@@ -1,0 +1,24 @@
+"""redisearch_tpu — a TPU-native search & aggregation framework.
+
+A from-scratch reimplementation of RediSearch's capabilities (full-text
+query language, scorers, numeric/tag/geo/geometry filters, vector KNN/range/
+hybrid, aggregations, spellcheck/suggest/synonyms, distributed fan-out) with
+a JAX/XLA/Pallas architecture: immutable device-resident segments, dense
+mask/accumulator query evaluation, MXU distance scans, and SPMD sharding
+over device meshes.  See SURVEY.md for the reference feature map.
+"""
+
+from .schema import (Field, FieldType, GeometryParams, IndexFlags, Schema,
+                     VectorAlgo, VectorMetric, VectorParams)
+from .index.index import Hit, SearchIndex, SearchResult
+from .index.doctable import DocMeta, DocTable
+from .query.engine import QueryOptions
+from .utils import errors
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Field", "FieldType", "Schema", "IndexFlags", "VectorParams",
+    "VectorAlgo", "VectorMetric", "GeometryParams", "SearchIndex",
+    "SearchResult", "Hit", "DocTable", "DocMeta", "QueryOptions", "errors",
+]

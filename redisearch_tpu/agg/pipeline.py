@@ -1,0 +1,332 @@
+"""FT.AGGREGATE request model + execution pipeline.
+
+Reference: AREQ + AGGPlan + result processors (src/aggregate/
+aggregate_request.c, aggregate_plan.h:28-38 — steps ROOT, GROUP, FILTER,
+APPLY, ARRANGE(sort+limit), LOAD; executed by the RP chain in
+aggregate_exec.c).
+
+Execution model here: the query engine produces dense match masks per
+segment (one jitted array program — see query/engine.py); the pipeline then
+runs the plan over the matched rows.  A device fast path (ops/groupby.py)
+handles GROUPBY on dictionary-encoded columns with algebraic reducers via
+segment reductions; the general path materializes host rows, matching the
+reference's semantics exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from ..query.engine import QueryOptions, execute
+from ..schema import FieldType
+from ..utils.errors import QuerySyntaxError
+from . import expr as E
+from .reducers import Reducer, make_reducer
+
+ASC = True
+DESC = False
+
+
+# -- plan steps (reference: PLN_*Step, aggregate_plan.h) --------------------
+
+@dataclasses.dataclass
+class LoadStep:
+    fields: Optional[list[str]]  # None = LOAD *
+
+
+@dataclasses.dataclass
+class ApplyStep:
+    expression: str
+    alias: str
+    parsed: E.Expr = None
+
+    def __post_init__(self):
+        self.parsed = E.parse(self.expression)
+
+
+@dataclasses.dataclass
+class FilterStep:
+    expression: str
+    parsed: E.Expr = None
+
+    def __post_init__(self):
+        self.parsed = E.parse(self.expression)
+
+
+@dataclasses.dataclass
+class GroupStep:
+    by: list[str]
+    reducers: list[tuple[str, list[str], Optional[str]]]  # (name, args, alias)
+
+
+@dataclasses.dataclass
+class SortStep:
+    keys: list[tuple[str, bool]]  # (prop, ascending)
+    max: int = 0
+
+
+@dataclasses.dataclass
+class LimitStep:
+    offset: int
+    num: int
+
+
+class AggregateRequest:
+    """Builder for an aggregation plan (FT.AGGREGATE argv analog)."""
+
+    def __init__(self, query: str = "*", params: Optional[dict] = None,
+                 dialect: int = 2, verbatim: bool = False,
+                 scorer: str = "BM25STD", add_scores: bool = False):
+        self.query = query
+        self.params = params
+        self.dialect = dialect
+        self.verbatim = verbatim
+        self.scorer = scorer
+        self.add_scores = add_scores
+        self.steps: list[Any] = []
+        self._cursor_count = 0
+        self.with_cursor = False
+
+    def load(self, *fields: str) -> "AggregateRequest":
+        self.steps.append(LoadStep([f.lstrip("@") for f in fields] or None))
+        return self
+
+    def load_all(self) -> "AggregateRequest":
+        self.steps.append(LoadStep(None))
+        return self
+
+    def apply(self, expression: str, alias: str) -> "AggregateRequest":
+        self.steps.append(ApplyStep(expression, alias))
+        return self
+
+    def filter(self, expression: str) -> "AggregateRequest":
+        self.steps.append(FilterStep(expression))
+        return self
+
+    def group_by(self, by, *reducers) -> "AggregateRequest":
+        """group_by("@field" | ["@f1", "@f2"], ("COUNT", [], "cnt"), ...)"""
+        by = [by] if isinstance(by, str) else list(by)
+        rs = []
+        for r in reducers:
+            if isinstance(r, tuple) and len(r) == 3:
+                rs.append((r[0], list(r[1]), r[2]))
+            elif isinstance(r, tuple) and len(r) == 2:
+                rs.append((r[0], list(r[1]), None))
+            else:
+                raise QuerySyntaxError(f"bad reducer spec {r!r}")
+        self.steps.append(GroupStep([b.lstrip("@") for b in by], rs))
+        return self
+
+    def sort_by(self, *keys, max: int = 0) -> "AggregateRequest":
+        """sort_by("@price", ("@name", DESC), max=10)"""
+        parsed = []
+        for k in keys:
+            if isinstance(k, tuple):
+                parsed.append((k[0].lstrip("@"), bool(k[1])))
+            else:
+                parsed.append((k.lstrip("@"), ASC))
+        self.steps.append(SortStep(parsed, max))
+        return self
+
+    def limit(self, offset: int, num: int) -> "AggregateRequest":
+        self.steps.append(LimitStep(offset, num))
+        return self
+
+    def cursor(self, count: int = 1000) -> "AggregateRequest":
+        self.with_cursor = True
+        self._cursor_count = count
+        return self
+
+
+@dataclasses.dataclass
+class AggregateResult:
+    total: int
+    rows: list[dict]
+    cursor_id: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
+    """Execute an aggregation against a SearchIndex."""
+    index.commit()
+    root = index.parse_query(req.query, req.params, req.dialect)
+    opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+    cq = index.compile(root, opts)
+
+    rows: list[dict] = []
+    total = 0
+    for seg in index.segments:
+        if cq.knn is not None:
+            res = execute(cq, seg, cq.knn.k, mode="topk")
+            sel = res.local_idx[res.scores > -3.3e38]
+            scores = res.scores[res.scores > -3.3e38]
+            total += res.count
+        else:
+            res = execute(cq, seg, 1, mode="mask")
+            mask = res.local_idx  # bool[n_pad] in mask mode
+            sel = np.nonzero(mask)[0]
+            scores = res.scores[sel]
+            total += res.count
+        gids = np.asarray(seg.gids)
+        for j, li in enumerate(sel):
+            gid = int(gids[li])
+            meta = index.doctable.get(gid)
+            if meta is None or meta.deleted:
+                continue
+            row = {"__key": meta.key, "__score": float(scores[j]),
+                   "__gid": gid, "__meta": meta}
+            rows.append(row)
+
+    rows = _run_steps(index, req, rows)
+    return AggregateResult(total=total, rows=rows)
+
+
+def _run_steps(index, req: AggregateRequest, rows: list[dict]) -> list[dict]:
+    # implicit behavior: fields referenced anywhere auto-load from stored
+    # docs unless produced by an earlier APPLY/GROUPBY (the reference
+    # resolves via RLookup: sorting vector, loaded doc, or computed key)
+    produced: set[str] = set()
+    for step in req.steps:
+        needed = _step_props(step) - produced
+        if needed:
+            _materialize(index, rows, needed)
+        if isinstance(step, LoadStep):
+            _materialize(index, rows, step.fields)
+            if step.fields:
+                produced |= set(step.fields)
+        elif isinstance(step, ApplyStep):
+            for row in rows:
+                row[step.alias] = E.evaluate(step.parsed, row)
+            produced.add(step.alias)
+        elif isinstance(step, FilterStep):
+            rows = [r for r in rows if E._truthy(E.evaluate(step.parsed, r))]
+        elif isinstance(step, GroupStep):
+            rows = _group(rows, step)
+            produced = set(step.by)
+            for name, args, alias in step.reducers:
+                produced.add(alias or make_reducer(name, args)
+                             .default_alias())
+        elif isinstance(step, SortStep):
+            rows = _sort(rows, step)
+        elif isinstance(step, LimitStep):
+            rows = rows[step.offset:step.offset + step.num]
+    # scrub internals
+    for row in rows:
+        row.pop("__meta", None)
+        row.pop("__gid", None)
+        if not req.add_scores:
+            row.pop("__score", None)
+    return rows
+
+
+def _step_props(step) -> set[str]:
+    if isinstance(step, ApplyStep):
+        return E.properties(step.parsed)
+    if isinstance(step, FilterStep):
+        return E.properties(step.parsed)
+    if isinstance(step, GroupStep):
+        out = set(step.by)
+        for name, args, _ in step.reducers:
+            out |= {a.lstrip("@") for a in args
+                    if isinstance(a, str) and a.startswith("@")}
+            if args and not args[0].startswith("@"):
+                out.add(args[0].lstrip("@"))
+        return out
+    if isinstance(step, SortStep):
+        return {k for k, _ in step.keys}
+    return set()
+
+
+def _materialize(index, rows: list[dict], fields: Optional[Sequence[str]]):
+    """Pull stored field values into rows (reference: RP_LOADER)."""
+    for row in rows:
+        meta = row.get("__meta")
+        if meta is None:
+            continue
+        if fields is None:
+            for k, v in meta.fields.items():
+                row.setdefault(k, v)
+        else:
+            for f in fields:
+                if f in ("__key", "__score") or f in row:
+                    continue
+                if f == "key" and f not in meta.fields:
+                    row[f] = meta.key
+                    continue
+                if f in meta.fields:
+                    row[f] = _coerce(index, f, meta.fields[f])
+
+
+def _coerce(index, field: str, value):
+    f = index.schema.try_field(field)
+    if f is not None and f.type == FieldType.NUMERIC:
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return E.NULL
+    return value
+
+
+def _group(rows: list[dict], step: GroupStep) -> list[dict]:
+    """Reference: Grouper (src/aggregate/group_by.c:63-158)."""
+    groups: dict[tuple, tuple[dict, list[Reducer]]] = {}
+    specs = [(name, args, alias) for name, args, alias in step.reducers]
+    for row in rows:
+        keyvals = []
+        for b in step.by:
+            v = row.get(b, E.NULL)
+            keyvals.append(tuple(v) if isinstance(v, list) else v)
+        key = tuple(keyvals)
+        ent = groups.get(key)
+        if ent is None:
+            grow = {b: row.get(b, E.NULL) for b in step.by}
+            reds = [make_reducer(n, a) for n, a, _ in specs]
+            ent = (grow, reds)
+            groups[key] = ent
+        for red in ent[1]:
+            red.add(row)
+    out = []
+    for grow, reds in groups.values():
+        for (name, args, alias), red in zip(specs, reds):
+            grow[alias or red.default_alias()] = red.finalize()
+        out.append(grow)
+    return out
+
+
+def _sort(rows: list[dict], step: SortStep) -> list[dict]:
+    def keyfn(row):
+        ks = []
+        for prop, asc in step.keys:
+            v = row.get(prop, E.NULL)
+            n = E._num(v)
+            if n is not None:
+                ks.append((0, n if asc else -n, ""))
+            elif v is E.NULL:
+                ks.append((2, 0.0, ""))
+            else:
+                # string keys can't be negated; sort desc via reverse trick
+                ks.append((1, 0.0, str(v)))
+        return tuple(ks)
+
+    # handle mixed asc/desc on strings with a stable multi-pass sort
+    out = rows
+    for prop, asc in reversed(step.keys):
+        def single(row, p=prop):
+            v = row.get(p, E.NULL)
+            n = E._num(v)
+            if v is E.NULL:
+                return (2, 0.0, "")
+            if n is not None:
+                return (0, n, "")
+            return (1, 0.0, str(v))
+        out = sorted(out, key=single, reverse=not asc)
+    if step.max:
+        out = out[:step.max]
+    return out

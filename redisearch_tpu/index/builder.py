@@ -1,0 +1,519 @@
+"""Host-side segment builder: the write path.
+
+TPU-native replacement for the reference's indexing path (SURVEY.md §2.2:
+src/document.c preprocessors, src/forward_index.c, src/indexer.c).  Instead
+of appending into mutable compressed blocks under a lock, documents are
+staged on the host (this file) and periodically *sealed* into an immutable
+device-resident Segment (segment.py) — the LSM-ish model from SURVEY.md
+§7.3 that replaces per-doc appends, fork-GC and the Revalidate protocol.
+
+Field preprocessing mirrors Document_AddToIndexes (src/document.c:980):
+  TEXT    -> tokenize -> per-term (freq, field mask, positions); stems are
+             indexed as '+'-prefixed terms, phonetic codes as '\\x01'-prefixed
+             terms (the reference marks these in its term trie the same way).
+  NUMERIC -> dense float column.
+  TAG     -> separator split -> per-value doc postings + dense sortable col.
+  GEO     -> "lon,lat" -> dense radian columns.
+  VECTOR  -> row in the [N, dim] matrix.
+  GEOMETRY-> parsed WKT shape kept host-side (R-tree replaced by vectorized
+             predicate checks at query time).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..analysis.phonetics import dm_code
+from ..analysis.stemmer import Stemmer
+from ..analysis.stopwords import StopWordList
+from ..analysis.tokenizer import Tokenizer, normalize_token
+from ..schema import Field, FieldType, Schema
+from ..utils import wkt
+from ..utils.errors import IndexError_, WrongFieldType
+from .doctable import DocMeta
+from .segment import (
+    LANE,
+    GeoColumn,
+    NumericColumn,
+    Segment,
+    StrColumn,
+    TagPostings,
+    TermDict,
+    TextPostings,
+    VectorColumn,
+    next_pow2,
+    round_up,
+)
+
+STEM_PREFIX = "+"        # reference: STEM_PREFIX in forward index terms
+PHONETIC_PREFIX = "\x01"  # reference: PHONETIC_PREFIX
+# Device field masks are int32 for now; the schema allows 128 TEXT fields
+# (reference t_fieldMask is 128-bit) but >31 raises until we widen to 4xi32.
+DEVICE_MAX_TEXT_FIELDS = 31
+# Positions per doc tracked for phrase matching are capped so that
+# local_doc * pos_stride + pos fits in int32 (see segment.py poskeys).
+MAX_POS_STRIDE = 4096
+
+_VEC_NP_DTYPES = {
+    "FLOAT32": np.float32,
+    "FLOAT64": np.float64,
+    "FLOAT16": np.float16,
+    "BFLOAT16": np.float32,  # staged as f32; cast to bf16 at seal
+    "INT8": np.int8,
+    "UINT8": np.uint8,
+}
+
+
+class _TermStage:
+    __slots__ = ("docs", "freqs", "masks", "positions", "doc_freq")
+
+    def __init__(self):
+        self.docs: list[int] = []
+        self.freqs: list[float] = []
+        self.masks: list[int] = []
+        self.positions: list[list[int]] = []
+        self.doc_freq = 0
+
+
+class SegmentBuilder:
+    """Accumulates documents, then seals them into a Segment."""
+
+    def __init__(self, schema: Schema,
+                 stopwords: Optional[StopWordList] = None,
+                 synonyms=None):
+        self.schema = schema
+        self.synonyms = synonyms
+        if schema.num_text_fields > DEVICE_MAX_TEXT_FIELDS:
+            raise IndexError_(
+                f"device field mask supports up to {DEVICE_MAX_TEXT_FIELDS} "
+                f"TEXT fields for now")
+        self.stopwords = stopwords or StopWordList(schema.stopwords)
+        self._stemmers: dict[str, Stemmer] = {}
+        # staging
+        self._gids: list[int] = []
+        self._doclen: list[float] = []
+        self._maxfreq: list[float] = []
+        self._docscore: list[float] = []
+        self._expire: list[int] = []
+        self._terms: dict[str, _TermStage] = {}
+        self._term_order: list[str] = []
+        self._tags: dict[str, dict[str, list[int]]] = {
+            f.attribute: {} for f in schema.fields if f.type == FieldType.TAG}
+        self._numerics: dict[str, list[float]] = {
+            f.attribute: [] for f in schema.fields
+            if f.type == FieldType.NUMERIC}
+        self._geos: dict[str, list[tuple[float, float]]] = {
+            f.attribute: [] for f in schema.fields if f.type == FieldType.GEO}
+        self._strcols: dict[str, list[Optional[str]]] = {
+            f.attribute: [] for f in schema.fields
+            if f.sortable and f.type in (FieldType.TEXT, FieldType.TAG)}
+        self._vectors: dict[str, list[Optional[np.ndarray]]] = {
+            f.attribute: [] for f in schema.fields
+            if f.type == FieldType.VECTOR}
+        self._geoms: dict[str, list] = {
+            f.attribute: [] for f in schema.fields
+            if f.type == FieldType.GEOMETRY}
+        self._present: dict[str, list[bool]] = {
+            f.attribute: [] for f in schema.fields}
+        self.max_positions = 0
+
+    def __len__(self) -> int:
+        return len(self._gids)
+
+    def _stemmer_for(self, language: str) -> Stemmer:
+        st = self._stemmers.get(language)
+        if st is None:
+            st = Stemmer(language)
+            self._stemmers[language] = st
+        return st
+
+    # -- add one document -------------------------------------------------
+    def add(self, meta: DocMeta) -> None:
+        """Stage one document.  Mirrors Document_AddToIndexes."""
+        local = len(self._gids)
+        self._gids.append(meta.gid)
+        self._docscore.append(meta.score)
+        self._expire.append(int(meta.expires_at) if meta.expires_at else 0)
+
+        language = str(
+            meta.fields.get(self.schema.language_field, self.schema.language)
+            if self.schema.language_field else self.schema.language)
+        stemmer = self._stemmer_for(language)
+
+        # per-doc forward index: term -> [freq, mask, positions].
+        # Positions are global across TEXT fields (base advances per field,
+        # +1 gap so phrases never falsely match across a field boundary).
+        fwd: dict[str, list] = {}
+        doclen = 0.0
+        max_pos = 0
+        pos_base = 0
+
+        for field in self.schema.fields:
+            raw = meta.fields.get(field.name)
+            if raw is None and field.alias:
+                raw = meta.fields.get(field.alias)
+            if isinstance(raw, (str, bytes)) or raw is None:
+                present = raw is not None and (raw != ""
+                                               or field.indexempty)
+            else:
+                present = True
+            self._present[field.attribute].append(bool(present))
+            if field.type == FieldType.TEXT:
+                n_tok, mp = self._add_text(field, raw, fwd, stemmer,
+                                           pos_base)
+                doclen += n_tok
+                pos_base += n_tok + 1
+                max_pos = max(max_pos, mp)
+                if field.sortable:
+                    val = str(raw) if raw is not None else None
+                    if val is not None and not field.unf:
+                        val = normalize_token(val)
+                    self._strcols[field.attribute].append(val)
+            elif field.type == FieldType.NUMERIC:
+                self._numerics[field.attribute].append(
+                    self._parse_numeric(field, raw))
+            elif field.type == FieldType.TAG:
+                joined = self._add_tag(field, raw, local)
+                if field.sortable:
+                    self._strcols[field.attribute].append(joined)
+            elif field.type == FieldType.GEO:
+                self._geos[field.attribute].append(
+                    self._parse_geo(field, raw))
+            elif field.type == FieldType.VECTOR:
+                self._vectors[field.attribute].append(
+                    self._parse_vector(field, raw))
+            elif field.type == FieldType.GEOMETRY:
+                self._geoms[field.attribute].append(
+                    wkt.parse(str(raw)) if raw is not None else None)
+
+        # merge forward index into term staging (reference: indexer.c:58
+        # writeIndexEntry per term)
+        max_freq = 0.0
+        for term, (freq, mask, positions) in fwd.items():
+            stage = self._terms.get(term)
+            if stage is None:
+                stage = _TermStage()
+                self._terms[term] = stage
+                self._term_order.append(term)
+            stage.docs.append(local)
+            stage.freqs.append(freq)
+            stage.masks.append(mask)
+            stage.positions.append(positions)
+            stage.doc_freq += 1
+            max_freq = max(max_freq, freq)
+
+        self._doclen.append(doclen)
+        self._maxfreq.append(max(max_freq, 1.0))
+        self.max_positions = max(self.max_positions, max_pos)
+        meta.doclen = int(doclen)
+        meta.max_freq = int(max_freq)
+
+    # -- field preprocessors ----------------------------------------------
+    def _add_text(self, field: Field, raw: Any, fwd: dict,
+                  stemmer: Stemmer, pos_base: int) -> tuple[int, int]:
+        if raw is None:
+            return 0, 0
+        text = str(raw)
+        tk = Tokenizer(self.stopwords,
+                       None if field.nostem else stemmer)
+        n_tok = 0
+        max_pos = 0
+        fbit = 1 << field.field_id
+        w = field.weight
+        for tok in tk.tokenize(text):
+            n_tok += 1
+            if tok.is_stopword or field.noindex:
+                continue
+            pos = pos_base + tok.pos
+            max_pos = max(max_pos, pos)
+            self._fwd_add(fwd, tok.tok, w, fbit, pos)
+            if tok.stem:
+                self._fwd_add(fwd, STEM_PREFIX + tok.stem, w, fbit, pos)
+            if field.phonetic:
+                code = dm_code(tok.tok)
+                if code:
+                    self._fwd_add(fwd, PHONETIC_PREFIX + code, w, fbit, pos)
+            if self.synonyms is not None:
+                for syn in self.synonyms.group_terms(tok.tok):
+                    self._fwd_add(fwd, syn, w, fbit, pos)
+        return n_tok, max_pos
+
+    @staticmethod
+    def _fwd_add(fwd: dict, term: str, weight: float, fbit: int,
+                 pos: int) -> None:
+        ent = fwd.get(term)
+        if ent is None:
+            fwd[term] = [weight, fbit, [pos]]
+        else:
+            ent[0] += weight
+            ent[1] |= fbit
+            ent[2].append(pos)
+
+    def _parse_numeric(self, field: Field, raw: Any) -> float:
+        if raw is None or raw == "":
+            return math.nan
+        if isinstance(raw, (list, tuple)):  # JSON multi-value: first value
+            raw = raw[0] if raw else None
+            if raw is None:
+                return math.nan
+        try:
+            return float(raw)
+        except (TypeError, ValueError):
+            raise WrongFieldType(
+                f"Could not index numeric value for field {field.name}")
+
+    def _add_tag(self, field: Field, raw: Any,
+                 local: int) -> Optional[str]:
+        if raw is None:
+            return None
+        if isinstance(raw, (list, tuple)):
+            values = [str(v) for v in raw]
+            joined = field.separator.join(values)
+        else:
+            joined = str(raw)
+            values = [v.strip() for v in joined.split(field.separator)]
+        stage = self._tags[field.attribute]
+        for v in values:
+            if v == "" and not field.indexempty:
+                continue
+            if not field.casesensitive:
+                v = v.lower()
+            lst = stage.get(v)
+            if lst is None:
+                stage[v] = [local]
+            elif lst[-1] != local:
+                lst.append(local)
+        return joined if not field.casesensitive else joined
+
+    def _parse_geo(self, field: Field, raw: Any) -> tuple[float, float]:
+        if raw is None or raw == "":
+            return (math.nan, math.nan)
+        if isinstance(raw, (list, tuple)) and len(raw) == 2:
+            lon, lat = float(raw[0]), float(raw[1])
+        else:
+            parts = str(raw).split(",")
+            if len(parts) != 2:
+                raise WrongFieldType(f"bad geo value for {field.name}: {raw}")
+            lon, lat = float(parts[0]), float(parts[1])
+        if not (-180 <= lon <= 180 and -85.05112878 <= lat <= 85.05112878):
+            raise WrongFieldType(f"geo out of range for {field.name}")
+        return (math.radians(lon), math.radians(lat))
+
+    def _parse_vector(self, field: Field, raw: Any) -> Optional[np.ndarray]:
+        if raw is None:
+            return None
+        vp = field.vector
+        npdt = _VEC_NP_DTYPES[vp.dtype]
+        if isinstance(raw, bytes):
+            arr = np.frombuffer(raw, dtype=npdt).astype(np.float32)
+        else:
+            arr = np.asarray(raw, dtype=np.float32).reshape(-1)
+        if arr.shape[0] != vp.dim:
+            raise WrongFieldType(
+                f"vector dim mismatch for {field.name}: got {arr.shape[0]}, "
+                f"want {vp.dim}")
+        return arr
+
+    # -- seal ---------------------------------------------------------------
+    def seal(self) -> Optional[Segment]:
+        """Build the immutable device segment from staged docs."""
+        import jax.numpy as jnp
+
+        n = len(self._gids)
+        if n == 0:
+            return None
+        n_pad = round_up(n, LANE)
+
+        gids = np.zeros(n_pad, np.int32)
+        gids[:n] = self._gids
+        alive = np.zeros(n_pad, bool)
+        alive[:n] = True
+        doclen = np.zeros(n_pad, np.float32)
+        doclen[:n] = self._doclen
+        max_freq = np.ones(n_pad, np.float32)
+        max_freq[:n] = self._maxfreq
+        docscore = np.zeros(n_pad, np.float32)
+        docscore[:n] = self._docscore
+        expire = np.zeros(n_pad, np.int32)
+        expire[:n] = self._expire
+
+        # ---- text postings CSR
+        n_terms = len(self._term_order)
+        pos_stride = min(next_pow2(self.max_positions + 2), MAX_POS_STRIDE)
+        while pos_stride > 2 and n_pad * pos_stride >= 2**31:
+            pos_stride //= 2
+        term_offsets = np.zeros(n_terms + 1, np.int64)
+        doc_freq = np.zeros(max(n_terms, 1), np.int32)
+        nnz = 0
+        npos = 0
+        max_postings = 0
+        for i, term in enumerate(self._term_order):
+            st = self._terms[term]
+            term_offsets[i] = nnz
+            nnz += len(st.docs)
+            max_postings = max(max_postings, len(st.docs))
+            doc_freq[i] = st.doc_freq
+            for plist in st.positions:
+                npos += len(plist)
+        term_offsets[n_terms] = nnz
+
+        nnz_pad = round_up(nnz, LANE)
+        npos_pad = round_up(npos, LANE)
+        doc_ids = np.zeros(nnz_pad, np.int32)
+        freqs = np.zeros(nnz_pad, np.float32)
+        field_masks = np.zeros(nnz_pad, np.int32)
+        pos_offsets = np.zeros(nnz_pad + 1, np.int64)
+        poskeys = np.zeros(npos_pad, np.int32)
+        at = 0
+        pat = 0
+        for term in self._term_order:
+            st = self._terms[term]
+            m = len(st.docs)
+            doc_ids[at:at + m] = st.docs
+            freqs[at:at + m] = st.freqs
+            field_masks[at:at + m] = st.masks
+            for j in range(m):
+                pos_offsets[at + j] = pat
+                d = st.docs[j]
+                for p in st.positions[j]:
+                    poskeys[pat] = d * pos_stride + min(p, pos_stride - 1)
+                    pat += 1
+            at += m
+        pos_offsets[at:] = pat
+
+        terms = TermDict(
+            ids={t: i for i, t in enumerate(self._term_order)},
+            terms=list(self._term_order),
+            doc_freq=doc_freq,
+        )
+        text = TextPostings(
+            term_offsets=jnp.asarray(term_offsets.astype(np.int32)),
+            doc_ids=jnp.asarray(doc_ids),
+            freqs=jnp.asarray(freqs),
+            field_masks=jnp.asarray(field_masks),
+            pos_offsets=jnp.asarray(pos_offsets.astype(np.int32)),
+            poskeys=jnp.asarray(poskeys),
+            pos_stride=pos_stride,
+            nnz=nnz,
+            max_postings=max_postings,
+            term_offsets_np=term_offsets.astype(np.int32),
+        )
+
+        # ---- tag postings
+        tags: dict[str, TagPostings] = {}
+        for attr, stage in self._tags.items():
+            values = sorted(stage)  # sorted for prefix expansion
+            t_off = np.zeros(len(values) + 1, np.int64)
+            t_nnz = 0
+            t_max = 0
+            for i, v in enumerate(values):
+                t_off[i] = t_nnz
+                t_nnz += len(stage[v])
+                t_max = max(t_max, len(stage[v]))
+            t_off[len(values)] = t_nnz
+            t_ids = np.zeros(round_up(t_nnz, LANE), np.int32)
+            at = 0
+            for v in values:
+                lst = stage[v]
+                t_ids[at:at + len(lst)] = lst
+                at += len(lst)
+            tags[attr] = TagPostings(
+                ids={v: i for i, v in enumerate(values)},
+                values=values,
+                offsets=jnp.asarray(t_off.astype(np.int32)),
+                doc_ids=jnp.asarray(t_ids),
+                nnz=t_nnz,
+                max_postings=t_max,
+                offsets_np=t_off.astype(np.int32),
+            )
+
+        # ---- dense columns
+        numerics = {}
+        for attr, vals in self._numerics.items():
+            col = np.full(n_pad, np.nan, np.float32)
+            col[:n] = vals
+            numerics[attr] = NumericColumn(
+                values=jnp.asarray(np.nan_to_num(col, nan=0.0)),
+                present=jnp.asarray(~np.isnan(col)),
+            )
+        geos = {}
+        for attr, vals in self._geos.items():
+            lon = np.full(n_pad, np.nan, np.float32)
+            lat = np.full(n_pad, np.nan, np.float32)
+            if vals:
+                arr = np.asarray(vals, np.float32).reshape(n, 2)
+                lon[:n] = arr[:, 0]
+                lat[:n] = arr[:, 1]
+            geos[attr] = GeoColumn(
+                lon=jnp.asarray(np.nan_to_num(lon, nan=0.0)),
+                lat=jnp.asarray(np.nan_to_num(lat, nan=0.0)),
+                present=jnp.asarray(~np.isnan(lon)),
+            )
+        strcols = {}
+        for attr, vals in self._strcols.items():
+            uniq = sorted({v for v in vals if v is not None})
+            idmap = {v: i for i, v in enumerate(uniq)}
+            ids = np.full(n_pad, -1, np.int32)
+            ids[:n] = [idmap.get(v, -1) if v is not None else -1 for v in vals]
+            # value ids are assigned in sorted order, so order == id
+            strcols[attr] = StrColumn(
+                value_ids=jnp.asarray(ids),
+                table=uniq,
+                order=jnp.asarray(ids),
+            )
+
+        vectors = {}
+        for attr, rows in self._vectors.items():
+            field = self.schema.field(attr)
+            vp = field.vector
+            dim = vp.dim
+            mat = np.zeros((n_pad, dim), np.float32)
+            present = np.zeros(n_pad, bool)
+            for i, r in enumerate(rows):
+                if r is not None:
+                    mat[i] = r
+                    present[i] = True
+            if vp.dtype == "BFLOAT16":
+                dev = jnp.asarray(mat, dtype=jnp.bfloat16)
+            elif vp.dtype in ("INT8", "UINT8"):
+                dev = jnp.asarray(mat, dtype=jnp.float32)  # keep f32 math
+            elif vp.dtype == "FLOAT16":
+                dev = jnp.asarray(mat, dtype=jnp.float16)
+            else:
+                dev = jnp.asarray(mat, dtype=jnp.float32)
+            sq = jnp.sum(jnp.asarray(mat) ** 2, axis=1)
+            vectors[attr] = VectorColumn(vecs=dev, present=jnp.asarray(present),
+                                         dim=dim, sq_norms=sq)
+
+        missing = {}
+        for attr, pres in self._present.items():
+            m = np.zeros(n_pad, bool)
+            m[:n] = pres
+            missing[attr] = jnp.asarray(m)
+
+        geometries = {attr: list(vals) for attr, vals in self._geoms.items()}
+
+        return Segment(
+            n_docs=n,
+            n_pad=n_pad,
+            gids=jnp.asarray(gids),
+            alive=jnp.asarray(alive),
+            doclen=jnp.asarray(doclen),
+            max_freq=jnp.asarray(max_freq),
+            docscore=jnp.asarray(docscore),
+            expire_at=jnp.asarray(expire),
+            terms=terms,
+            text=text,
+            tags=tags,
+            numerics=numerics,
+            geos=geos,
+            strcols=strcols,
+            vectors=vectors,
+            missing=missing,
+            gid_to_local={g: i for i, g in enumerate(self._gids)},
+            geometries=geometries,
+        )

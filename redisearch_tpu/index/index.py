@@ -1,0 +1,291 @@
+"""SearchIndex: the per-index facade tying schema, doc table, builder,
+sealed segments, synonyms and the query engine together.
+
+Reference analog: IndexSpec + the command-level glue (src/spec.c,
+src/module.c FT.SEARCH path).  Differences by design:
+  * documents live *in* the index (this framework owns storage; the
+    reference follows an external Redis keyspace);
+  * writes stage into a host-side builder and become searchable on
+    `commit()` (called automatically by `search()`), sealing an immutable
+    device segment — the LSM model replacing in-place mutation;
+  * deletes flip a bitmap; `compact()` rebuilds segments dropping dead docs
+    (replacing fork-GC).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from ..analysis.stopwords import StopWordList
+from ..analysis.synonyms import SynonymMap
+from ..query import ast
+from ..query.engine import CompiledQuery, QueryOptions, execute
+from ..query.parser import QueryParser
+from ..schema import FieldType, Schema
+from ..utils.errors import DocumentNotFound
+from .builder import SegmentBuilder
+from .doctable import DocMeta, DocTable
+from .segment import Segment
+
+
+class Hit:
+    """One search result row."""
+
+    __slots__ = ("key", "score", "fields", "sortkey", "vector_distance",
+                 "gid", "payload")
+
+    def __init__(self, key, score, fields=None, sortkey=None,
+                 vector_distance=None, gid=0, payload=None):
+        self.key = key
+        self.score = score
+        self.fields = fields
+        self.sortkey = sortkey
+        self.vector_distance = vector_distance
+        self.gid = gid
+        self.payload = payload
+
+    def __repr__(self):
+        return (f"Hit({self.key!r}, score={self.score:.4f}"
+                + (f", sortkey={self.sortkey!r}" if self.sortkey is not None
+                   else "")
+                + (f", dist={self.vector_distance:.4f}"
+                   if self.vector_distance is not None else "") + ")")
+
+
+class SearchResult:
+    def __init__(self, total: int, hits: list[Hit], query_ast=None):
+        self.total = total
+        self.hits = hits
+        self.query_ast = query_ast
+
+    def __iter__(self):
+        return iter(self.hits)
+
+    def __len__(self):
+        return len(self.hits)
+
+
+class SearchIndex:
+    def __init__(self, schema: Schema):
+        self.schema = schema
+        self.doctable = DocTable()
+        self.stopwords = StopWordList(schema.stopwords)
+        self.synonyms = SynonymMap()
+        self.segments: list[Segment] = []
+        self._builder = SegmentBuilder(schema, self.stopwords, self.synonyms)
+        self.created_at = time.time()
+        # stats (reference: FT.INFO counters)
+        self.stats = {"indexing_errors": 0, "queries": 0}
+
+    # -- write path ---------------------------------------------------------
+    def add_document(self, key: str, fields: dict[str, Any],
+                     score: float = 1.0, payload: Optional[bytes] = None,
+                     ttl: Optional[float] = None) -> None:
+        """HSET-equivalent: (re)index a document."""
+        if self.schema.score_field and self.schema.score_field in fields:
+            try:
+                score = float(fields[self.schema.score_field])
+            except (TypeError, ValueError):
+                pass
+        meta, old = self.doctable.put(key, fields, score=score,
+                                      payload=payload)
+        if ttl is not None:
+            meta.expires_at = time.time() + ttl
+        if old is not None:
+            self._mark_deleted(old.gid)
+        self._builder.add(meta)
+        self.doctable.set_doclen(meta.gid, meta.doclen, meta.max_freq)
+
+    def delete_document(self, key: str) -> bool:
+        meta = self.doctable.delete(key)
+        if meta is None:
+            return False
+        self._mark_deleted(meta.gid)
+        return True
+
+    def _mark_deleted(self, gid: int) -> None:
+        for seg in self.segments:
+            if seg.mark_deleted(gid):
+                return
+        # doc still in the builder: rebuild staging without it (rare path —
+        # delete-before-commit); simplest correct handling is a re-stage.
+        keep = [g for g in self._builder._gids if g != gid]
+        if len(keep) != len(self._builder._gids):
+            docs = [self.doctable.get(g) for g in keep]
+            self._builder = SegmentBuilder(self.schema, self.stopwords,
+                                           self.synonyms)
+            for m in docs:
+                if m is not None:
+                    self._builder.add(m)
+
+    def commit(self) -> None:
+        """Seal pending docs into a new immutable segment."""
+        if len(self._builder) == 0:
+            return
+        seg = self._builder.seal()
+        if seg is not None:
+            self.segments.append(seg)
+        self._builder = SegmentBuilder(self.schema, self.stopwords,
+                                       self.synonyms)
+
+    def compact(self) -> None:
+        """Rebuild all segments dropping deleted docs (replaces fork-GC)."""
+        self.commit()
+        builder = SegmentBuilder(self.schema, self.stopwords, self.synonyms)
+        for seg in self.segments:
+            alive = np.asarray(seg.alive)
+            gids = np.asarray(seg.gids)
+            for i in range(seg.n_docs):
+                if alive[i]:
+                    meta = self.doctable.get(int(gids[i]))
+                    if meta is not None and not meta.deleted:
+                        builder.add(meta)
+        self.segments = []
+        seg = builder.seal()
+        if seg is not None:
+            self.segments.append(seg)
+
+    # -- read path ----------------------------------------------------------
+    def parse_query(self, query: str, params=None,
+                    dialect: int = 2) -> ast.Node:
+        return QueryParser(params=params, stopwords=self.stopwords,
+                           dialect=dialect).parse(query)
+
+    def compile(self, root: ast.Node, opts: QueryOptions) -> CompiledQuery:
+        cq = CompiledQuery(self.schema, root, opts)
+        cq.set_synonyms(self.synonyms)
+        cq.global_N = max(self.doctable.num_docs, 1)
+        cq.global_avgdl = self.doctable.avg_doclen or 1.0
+        return cq
+
+    def search(
+        self,
+        query: str,
+        params: Optional[dict] = None,
+        offset: int = 0,
+        num: int = 10,
+        scorer: str = "BM25STD",
+        sort_by: Optional[str] = None,
+        sort_asc: bool = True,
+        slop: int = -1,
+        inorder: bool = False,
+        verbatim: bool = False,
+        language: Optional[str] = None,
+        no_content: bool = False,
+        return_fields: Optional[Iterable[str]] = None,
+        dialect: int = 2,
+        max_expansions: Optional[int] = None,
+    ) -> SearchResult:
+        """FT.SEARCH analog."""
+        self.commit()
+        self.stats["queries"] += 1
+        root = self.parse_query(query, params, dialect)
+        opts = QueryOptions(
+            scorer=scorer, k=offset + num, sort_field=sort_by,
+            sort_asc=sort_asc, slop=slop, inorder=inorder,
+            verbatim=verbatim, now=int(time.time()),
+            language=language or self.schema.language,
+        )
+        if max_expansions:
+            opts.max_expansions = max_expansions
+        cq = self.compile(root, opts)
+        k = max(offset + num, 1)
+
+        merged: list[tuple] = []   # (rank_key, seg_i, Hit-ish tuple)
+        total = 0
+        for seg in self.segments:
+            res = execute(cq, seg, k)
+            total += res.count
+            gids = np.asarray(seg.gids)
+            n_valid = min(k, res.local_idx.shape[0])
+            for j in range(n_valid):
+                li = int(res.local_idx[j])
+                sc = float(res.scores[j])
+                if cq.knn is not None:
+                    dist = float(res.knn_dists[j])
+                    if dist >= 3.3e38:
+                        continue
+                    rank = dist
+                elif sort_by is not None:
+                    kv = float(res.sortkeys[j])
+                    if abs(kv) >= 3.3e38:
+                        continue
+                    rank = kv if sort_asc else -kv
+                else:
+                    if sc <= -3.3e38:
+                        continue
+                    rank = -sc
+                merged.append((rank, int(gids[li]), sc,
+                               float(res.knn_dists[j])
+                               if res.knn_dists is not None else None,
+                               float(res.sortkeys[j])
+                               if res.sortkeys is not None else None,
+                               seg))
+        merged.sort(key=lambda x: (x[0], x[1]))
+        if cq.knn is not None:
+            merged = merged[:cq.knn.k]  # KNN returns at most k results
+        hits = []
+        for rank, gid, sc, dist, skey, seg in merged[offset:offset + num]:
+            meta = self.doctable.get(gid)
+            if meta is None or meta.deleted:
+                continue
+            fields = None
+            if not no_content:
+                if return_fields:
+                    fields = {f: meta.fields.get(f) for f in return_fields
+                              if f in meta.fields}
+                else:
+                    fields = dict(meta.fields)
+            sortkey = None
+            if skey is not None and sort_by is not None:
+                sortkey = self._resolve_sortkey(seg, sort_by, skey)
+            hits.append(Hit(meta.key, sc, fields=fields, sortkey=sortkey,
+                            vector_distance=dist, gid=gid,
+                            payload=meta.payload))
+        if cq.knn is not None:
+            total = min(total, cq.knn.k)
+        return SearchResult(total=total, hits=hits, query_ast=root)
+
+    def _resolve_sortkey(self, seg: Segment, field: str, keyval: float):
+        f = self.schema.field(field)
+        if f.type == FieldType.NUMERIC:
+            return keyval
+        sc = seg.strcols.get(f.attribute)
+        if sc is not None and 0 <= int(keyval) < len(sc.table):
+            return sc.table[int(keyval)]
+        return keyval
+
+    def aggregate(self, req) -> "AggregateResult":
+        """FT.AGGREGATE analog; `req` is an agg.pipeline.AggregateRequest."""
+        from ..agg.pipeline import run_aggregate
+        return run_aggregate(self, req)
+
+    def explain(self, query: str, params=None, dialect: int = 2) -> str:
+        """FT.EXPLAIN analog."""
+        return ast.dump(self.parse_query(query, params, dialect))
+
+    # -- introspection -------------------------------------------------------
+    def info(self) -> dict:
+        """FT.INFO analog."""
+        self_mem = sum(seg.memory_bytes() for seg in self.segments)
+        n_terms = sum(len(seg.terms) for seg in self.segments)
+        return {
+            "index_name": self.schema.name,
+            "num_docs": self.doctable.num_docs,
+            "max_doc_id": self.doctable.max_gid,
+            "num_terms": n_terms,
+            "num_segments": len(self.segments),
+            "pending_docs": len(self._builder),
+            "avg_doc_length": self.doctable.avg_doclen,
+            "inverted_sz_mb": self_mem / 1e6,
+            "attributes": [
+                {"identifier": f.name, "attribute": f.attribute,
+                 "type": f.type.value, "sortable": f.sortable,
+                 "weight": f.weight}
+                for f in self.schema.fields
+            ],
+            "queries": self.stats["queries"],
+        }

@@ -1,0 +1,221 @@
+"""Immutable device-resident index segments.
+
+This is the TPU-native replacement for the reference's mutable storage
+engine (inverted index src/redisearch_rs/inverted_index, numeric range tree,
+tag index, doc table columns — SURVEY.md §2.1).  Design (SURVEY.md §7.1):
+
+  * Postings are CSR int32 device arrays (term_offsets + doc_ids/freqs/
+    field_masks), not delta-compressed byte blocks: on TPU the decode cost of
+    varint/qint would serialize a vector machine, while uncompressed strided
+    int32 reads run at HBM line rate and feed scatter/gather directly.
+  * Term positions ("offsets" in the reference, used for phrase/slop and
+    highlighting) are stored as sorted int32 keys `local_doc * pos_stride +
+    position` in a per-posting CSR.  Phrase matching then becomes
+    `searchsorted` set-intersection over key arrays — a batch-at-a-time
+    replacement for the reference's doc-at-a-time offset iterators
+    (src/index_result, aggregate_plan slop checks).
+  * NUMERIC/GEO/TAG/sortable fields are dense per-doc columns; range and
+    radius filters are vectorized compares over the column instead of the
+    reference's numeric range tree + geohash union iterators
+    (src/redisearch_rs/numeric_range_tree, src/geo_index.c).
+  * Deletes are a bitmap (`alive`); compaction rebuilds the segment.  This
+    gives snapshot semantics by construction, replacing the reference's
+    fork-GC + Revalidate protocol (src/fork_gc/, iterator_api.h:30-37).
+
+A segment is immutable once sealed: queries never race writers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+
+try:  # jax optional at import time so pure-host tests stay light
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jnp = None
+
+from ..schema import Field, FieldType, Schema
+
+# Lane width of the TPU VPU; all ragged arrays are padded to a multiple.
+LANE = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+def next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass
+class TermDict:
+    """Host-side term dictionary (reference: terms Trie, src/trie/).
+
+    On TPU the dictionary stays host-side (SURVEY.md §7.3): lookups are hash
+    probes, and prefix/suffix/fuzzy expansion scans the sorted term list.
+    """
+
+    ids: dict[str, int]
+    terms: list[str]                    # id -> term
+    doc_freq: np.ndarray                # int32[n_terms]
+    _sorted: Optional[list[str]] = None
+
+    def lookup(self, term: str) -> int:
+        return self.ids.get(term, -1)
+
+    @property
+    def sorted_terms(self) -> list[str]:
+        if self._sorted is None:
+            self._sorted = sorted(self.ids)
+        return self._sorted
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+
+@dataclasses.dataclass
+class TextPostings:
+    """CSR postings over all TEXT terms of a segment.
+
+    Reference: InvertedIndex<E> blocks (inverted_index/src/index/core.rs:31)
+    — here one flat strided layout for the whole segment.
+    """
+
+    term_offsets: Any   # int32[n_terms+1] into the nnz axis
+    doc_ids: Any        # int32[nnz_pad] local doc ids (ascending per term)
+    freqs: Any          # float32[nnz_pad] field-weighted term frequency
+    field_masks: Any    # int32[nnz_pad] bitmask of TEXT fields (<=32 round1)
+    pos_offsets: Any    # int32[nnz_pad+1] into poskeys
+    poskeys: Any        # int32[npos_pad] = local_doc * pos_stride + position
+    pos_stride: int     # power of two >= max positions tracked per doc
+    nnz: int
+    max_postings: int   # longest posting list (gather bucket upper bound)
+    term_offsets_np: Optional[np.ndarray] = None  # host mirror for planning
+
+
+@dataclasses.dataclass
+class TagPostings:
+    """CSR doc-id postings per TAG value (reference: src/tag_index.c)."""
+
+    ids: dict[str, int]          # tag value -> tag id (host-side dict)
+    values: list[str]            # tag id -> value
+    offsets: Any                 # int32[n_tags+1]
+    doc_ids: Any                 # int32[nnz_pad]
+    nnz: int
+    max_postings: int
+    offsets_np: Optional[np.ndarray] = None       # host mirror for planning
+    _sorted: Optional[list[str]] = None
+
+    @property
+    def sorted_values(self) -> list[str]:
+        if self._sorted is None:
+            self._sorted = sorted(self.ids)
+        return self._sorted
+
+
+@dataclasses.dataclass
+class NumericColumn:
+    """Dense numeric column (replaces the numeric range tree)."""
+
+    values: Any    # float32[n_pad]
+    present: Any   # bool[n_pad]
+
+
+@dataclasses.dataclass
+class GeoColumn:
+    lon: Any       # float32[n_pad] radians
+    lat: Any       # float32[n_pad] radians
+    present: Any   # bool[n_pad]
+
+
+@dataclasses.dataclass
+class StrColumn:
+    """Dictionary-encoded string column for SORTBY/GROUPBY on TAG/TEXT."""
+
+    value_ids: Any        # int32[n_pad]; -1 = missing
+    table: list[str]      # value id -> string
+    order: Any            # int32[n_pad]: rank of value in lexicographic order
+
+
+@dataclasses.dataclass
+class VectorColumn:
+    """Per-field vector data (reference: VecSim FLAT storage).
+
+    IVF/tiered structures are built on top by ops/vector.py.
+    """
+
+    vecs: Any      # dtype[n_pad, dim]
+    present: Any   # bool[n_pad]
+    dim: int
+    # Precomputed squared L2 norms (f32[n_pad]) for L2 via the MXU
+    # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 trick.
+    sq_norms: Any = None
+
+
+@dataclasses.dataclass
+class Segment:
+    """One sealed, immutable, device-resident index segment."""
+
+    n_docs: int                     # live+deleted real docs (<= n_pad)
+    n_pad: int
+    gids: Any                       # int32[n_pad]: local id -> global doc id
+    alive: Any                      # bool[n_pad]: not deleted, not padding
+    doclen: Any                     # float32[n_pad] total text tokens
+    max_freq: Any                   # float32[n_pad] max term freq (TFIDF)
+    docscore: Any                   # float32[n_pad] user score
+    expire_at: Any                  # int32[n_pad] epoch-seconds (0 = never)
+    terms: TermDict
+    text: TextPostings
+    tags: dict[str, TagPostings]            # field attr -> postings
+    numerics: dict[str, NumericColumn]      # field attr -> column
+    geos: dict[str, GeoColumn]
+    strcols: dict[str, StrColumn]           # sortable TAG/TEXT columns
+    vectors: dict[str, VectorColumn]
+    missing: dict[str, Any]                 # field attr -> bool[n_pad] "has field"
+    gid_to_local: dict[int, int]            # host-side for deletes
+    # host-side geometry store: field attr -> list of parsed shapes or None
+    geometries: dict[str, list] = dataclasses.field(default_factory=dict)
+
+    # -- mutation (the only two allowed: delete + ttl refresh) -----------
+    def mark_deleted(self, gid: int) -> bool:
+        loc = self.gid_to_local.get(gid)
+        if loc is None:
+            return False
+        self.alive = self.alive.at[loc].set(False)
+        return True
+
+    @property
+    def num_alive(self) -> int:
+        return int(np.asarray(self.alive).sum())
+
+    def memory_bytes(self) -> int:
+        total = 0
+
+        def acc(x):
+            nonlocal total
+            if x is not None and hasattr(x, "nbytes"):
+                total += x.nbytes
+
+        for arr in (self.gids, self.alive, self.doclen, self.docscore,
+                    self.expire_at, self.text.term_offsets, self.text.doc_ids,
+                    self.text.freqs, self.text.field_masks,
+                    self.text.pos_offsets, self.text.poskeys):
+            acc(arr)
+        for t in self.tags.values():
+            acc(t.offsets), acc(t.doc_ids)
+        for c in self.numerics.values():
+            acc(c.values), acc(c.present)
+        for g in self.geos.values():
+            acc(g.lon), acc(g.lat), acc(g.present)
+        for s in self.strcols.values():
+            acc(s.value_ids), acc(s.order)
+        for v in self.vectors.values():
+            acc(v.vecs), acc(v.present), acc(v.sq_norms)
+        return total

@@ -1,0 +1,643 @@
+"""Recursive-descent parser for the RediSearch query language (dialect 2,
+with dialect-1 compatibility switches).
+
+The grammar implemented here is specified by the reference's Lemon grammar
+(src/query_parser/v2/parser.y:323-1244 + lexer.rl); this is a from-scratch
+recursive-descent implementation of the same language:
+
+  AND by juxtaposition, OR with `|`, `-` negation, `~` optional,
+  "exact phrase", field scoping @f: / @a|b:(...), prefix*/*suffix/*infix*,
+  %fuzzy% (1-3 edits), w'wildcard', verbatim 'quoted', tags @t:{a|b*},
+  numeric @n:[lo hi] and operators @n>5 @n<=3 @n==4 @n!=2,
+  geo @g:[lon lat r unit], geometry @g:[WITHIN $poly],
+  KNN (expr)=>[KNN $k @v $blob ...], range @v:[VECTOR_RANGE r $blob],
+  => {$weight:…; $slop:…; $inorder:…; $phonetic:…; $yield_distance_as:…},
+  ismissing(@f), `*` match-all, $param substitution.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+
+from ..analysis.stopwords import StopWordList
+from ..analysis.tokenizer import normalize_token
+from ..utils.errors import ParamError, QuerySyntaxError
+from . import ast
+
+# Characters that terminate an unquoted term (reference lexer.rl punctuation).
+_TERM_STOP = set(" \t\r\n()|{}[]\"'~-@:;*%$,=><!")
+# of those, chars that may appear mid-term without whitespace meaning
+_PUNCT_SELF = set("*")
+
+
+class _Cursor:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def eof(self) -> bool:
+        return self.i >= self.n
+
+    def peek(self, off: int = 0) -> str:
+        j = self.i + off
+        return self.s[j] if j < self.n else ""
+
+    def startswith(self, txt: str) -> bool:
+        return self.s.startswith(txt, self.i)
+
+    def skip_ws(self):
+        while self.i < self.n and self.s[self.i] in " \t\r\n":
+            self.i += 1
+
+    def expect(self, ch: str):
+        if not self.startswith(ch):
+            raise QuerySyntaxError(
+                f"Syntax error at offset {self.i} near "
+                f"{self.s[self.i:self.i+10]!r}: expected {ch!r}")
+        self.i += len(ch)
+
+    def error(self, msg: str):
+        raise QuerySyntaxError(f"Syntax error at offset {self.i}: {msg}")
+
+
+class QueryParser:
+    def __init__(
+        self,
+        params: Optional[dict[str, Any]] = None,
+        stopwords: Optional[StopWordList] = None,
+        dialect: int = 2,
+    ):
+        self.params = params or {}
+        self.stopwords = stopwords or StopWordList()
+        self.dialect = dialect
+
+    # -- public ------------------------------------------------------------
+    def parse(self, query: str) -> ast.Node:
+        cur = _Cursor(query)
+        cur.skip_ws()
+        if cur.eof():
+            return ast.WildcardNode()
+        node = self._parse_or(cur)
+        cur.skip_ws()
+        if not cur.eof():
+            cur.error(f"unexpected trailing input {cur.s[cur.i:]!r}")
+        if node is None:
+            return ast.EmptyNode()
+        return node
+
+    # -- params --------------------------------------------------------------
+    def _param(self, name: str) -> Any:
+        if name not in self.params:
+            raise ParamError(f"No such parameter `{name}`")
+        return self.params[name]
+
+    def _maybe_param_str(self, tok: str) -> str:
+        if tok.startswith("$"):
+            return str(self._param(tok[1:]))
+        return tok
+
+    def _maybe_param_num(self, tok: str) -> float:
+        if tok.startswith("$"):
+            tok = str(self._param(tok[1:]))
+        t = tok.lower()
+        if t in ("inf", "+inf", "infinity"):
+            return math.inf
+        if t == "-inf":
+            return -math.inf
+        try:
+            return float(tok)
+        except ValueError:
+            raise QuerySyntaxError(f"bad numeric value {tok!r}")
+
+    # -- expression levels -----------------------------------------------
+    def _parse_or(self, cur: _Cursor) -> Optional[ast.Node]:
+        kids = []
+        left = self._parse_and(cur)
+        if left is not None:
+            kids.append(left)
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "|":
+                cur.i += 1
+                right = self._parse_and(cur)
+                if right is not None:
+                    kids.append(right)
+            else:
+                break
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return ast.UnionNode(kids=kids)
+
+    def _parse_and(self, cur: _Cursor) -> Optional[ast.Node]:
+        kids = []
+        while True:
+            cur.skip_ws()
+            if cur.eof() or cur.peek() in ")|":
+                break
+            node = self._parse_unary(cur)
+            if node is not None:
+                kids.append(node)
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return ast.IntersectNode(kids=kids)
+
+    def _parse_unary(self, cur: _Cursor) -> Optional[ast.Node]:
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "-" and not self._is_negative_number(cur):
+            cur.i += 1
+            child = self._parse_unary(cur)
+            if child is None:
+                cur.error("dangling `-`")
+            return self._arrows(cur, ast.NotNode(child=child))
+        if ch == "~":
+            cur.i += 1
+            child = self._parse_unary(cur)
+            if child is None:
+                cur.error("dangling `~`")
+            return self._arrows(cur, ast.OptionalNode(child=child))
+        node = self._parse_primary(cur)
+        if node is None:
+            return None
+        return self._arrows(cur, node)
+
+    def _is_negative_number(self, cur: _Cursor) -> bool:
+        # `-2` as a bare term is a token, not negation of 2 (lexer nuance).
+        nxt = cur.peek(1)
+        return nxt.isdigit() and False  # reference treats -2 as NOT(2); keep
+
+    # -- `=>` suffixes ------------------------------------------------------
+    def _arrows(self, cur: _Cursor, node: ast.Node) -> ast.Node:
+        while True:
+            cur.skip_ws()
+            if cur.startswith("=>"):
+                save = cur.i
+                cur.i += 2
+                cur.skip_ws()
+                if cur.peek() == "[":
+                    node = self._parse_knn(cur, node)
+                elif cur.peek() == "{":
+                    self._parse_attrs(cur, node)
+                else:
+                    cur.i = save
+                    break
+            else:
+                break
+        return node
+
+    def _parse_attrs(self, cur: _Cursor, node: ast.Node):
+        """=> { $weight: 0.5; $slop: 2; $inorder: true; ... }"""
+        cur.expect("{")
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "}":
+                cur.i += 1
+                break
+            if cur.peek() != "$":
+                cur.error("expected $attribute")
+            cur.i += 1
+            name = self._read_ident(cur).lower()
+            cur.skip_ws()
+            cur.expect(":")
+            cur.skip_ws()
+            val = self._read_until(cur, ";}")
+            val = val.strip()
+            cur.skip_ws()
+            if cur.peek() == ";":
+                cur.i += 1
+            if name == "weight":
+                node.weight = self._maybe_param_num(val)
+            elif name == "slop" and isinstance(node, ast.PhraseNode):
+                node.slop = int(self._maybe_param_num(val))
+                node.exact = False
+            elif name == "inorder" and isinstance(node, ast.PhraseNode):
+                node.inorder = val.lower() in ("true", "1")
+            elif name == "phonetic":
+                if isinstance(node, ast.TokenNode):
+                    node.verbatim = val.lower() in ("false", "0")
+            elif name == "yield_distance_as":
+                if isinstance(node, ast.VectorNode):
+                    node.score_alias = val
+            # unknown attrs are ignored (reference raises; relaxed here)
+
+    def _parse_knn(self, cur: _Cursor, filter_node: ast.Node) -> ast.Node:
+        """(filter)=>[KNN <k> @field $blob <params>... AS alias]"""
+        cur.expect("[")
+        cur.skip_ws()
+        kw = self._read_ident(cur)
+        if kw.upper() != "KNN":
+            cur.error(f"expected KNN, got {kw!r}")
+        cur.skip_ws()
+        ktok = self._read_until(cur, " \t@")
+        k = int(self._maybe_param_num(ktok.strip()))
+        cur.skip_ws()
+        cur.expect("@")
+        field = self._read_ident(cur)
+        cur.skip_ws()
+        blob = self._read_blob(cur)
+        vn = ast.VectorNode(field=field, mode="KNN", blob=blob, k=k)
+        if not isinstance(filter_node, ast.WildcardNode):
+            vn.child = filter_node
+        # optional runtime params + AS
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "]":
+                cur.i += 1
+                break
+            name = self._read_ident(cur).upper()
+            cur.skip_ws()
+            if name == "AS":
+                vn.score_alias = self._read_ident(cur)
+            elif name == "EF_RUNTIME":
+                vn.ef_runtime = int(self._maybe_param_num(
+                    self._read_until(cur, " \t]")))
+            elif name == "BATCH_SIZE":
+                vn.batch_size = int(self._maybe_param_num(
+                    self._read_until(cur, " \t]")))
+            elif name == "HYBRID_POLICY":
+                vn.hybrid_policy = self._maybe_param_str(
+                    self._read_until(cur, " \t]")).upper()
+            elif name == "EPSILON":
+                vn.epsilon = self._maybe_param_num(
+                    self._read_until(cur, " \t]"))
+            else:
+                cur.error(f"unknown KNN param {name!r}")
+        return vn
+
+    def _read_blob(self, cur: _Cursor) -> Any:
+        if cur.peek() == "$":
+            cur.i += 1
+            name = self._read_ident(cur)
+            val = self._param(name)
+            return _coerce_vector(val)
+        cur.error("expected $blob parameter for vector query")
+
+    # -- primaries --------------------------------------------------------
+    def _parse_primary(self, cur: _Cursor) -> Optional[ast.Node]:
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "(":
+            cur.i += 1
+            node = self._parse_or(cur)
+            cur.skip_ws()
+            cur.expect(")")
+            return node
+        if ch == "*":
+            # match-all, or *suffix / *infix*
+            if cur.peek(1) and cur.peek(1) not in " \t\r\n)|=":
+                return self._parse_affix(cur, None)
+            cur.i += 1
+            return ast.WildcardNode()
+        if ch == "@":
+            return self._parse_field_scoped(cur)
+        if ch == '"':
+            return self._parse_exact_phrase(cur)
+        if ch == "'":
+            return self._parse_verbatim(cur)
+        if ch == "%":
+            return self._parse_fuzzy(cur)
+        if cur.startswith("w'") or cur.startswith('w"'):
+            return self._parse_wildcard_query(cur)
+        if cur.startswith("ismissing("):
+            cur.i += len("ismissing(")
+            cur.skip_ws()
+            cur.expect("@")
+            field = self._read_ident(cur)
+            cur.skip_ws()
+            cur.expect(")")
+            return ast.MissingNode(field=field)
+        if ch == "$":
+            cur.i += 1
+            name = self._read_ident(cur)
+            val = str(self._param(name))
+            return self._token_or_none(val)
+        if ch in ")|":
+            return None
+        if ch in "}]":
+            cur.error(f"unexpected {ch!r}")
+        return self._parse_term(cur)
+
+    def _parse_field_scoped(self, cur: _Cursor) -> Optional[ast.Node]:
+        cur.expect("@")
+        fields = [self._read_ident(cur)]
+        while cur.peek() == "|":
+            cur.i += 1
+            if cur.peek() == "@":
+                cur.i += 1
+            fields.append(self._read_ident(cur))
+        cur.skip_ws()
+        # dialect-2 numeric operators: @f>5, @f<=3, @f==x, @f!=y
+        two = cur.s[cur.i:cur.i + 2]
+        if two in (">=", "<=", "==", "!="):
+            cur.i += 2
+            val = self._maybe_param_num(self._read_until_term_end(cur))
+            return self._numeric_op(fields[0], two, val)
+        if cur.peek() in "<>":
+            op = cur.peek()
+            cur.i += 1
+            val = self._maybe_param_num(self._read_until_term_end(cur))
+            return self._numeric_op(fields[0], op, val)
+        cur.expect(":")
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "{":
+            return self._parse_tag(cur, fields[0])
+        if ch == "[":
+            return self._parse_bracket(cur, fields[0])
+        node = self._parse_unary(cur)
+        if node is None:
+            cur.error(f"empty field scope for @{'|'.join(fields)}")
+        _apply_fieldmask(node, fields)
+        return node
+
+    def _numeric_op(self, field: str, op: str, val: float) -> ast.NumericNode:
+        if op == ">":
+            return ast.NumericNode(field=field, lo=val, lo_excl=True)
+        if op == ">=":
+            return ast.NumericNode(field=field, lo=val)
+        if op == "<":
+            return ast.NumericNode(field=field, hi=val, hi_excl=True)
+        if op == "<=":
+            return ast.NumericNode(field=field, hi=val)
+        if op == "==":
+            return ast.NumericNode(field=field, lo=val, hi=val)
+        # != -> NOT(==)
+        return ast.NotNode(child=ast.NumericNode(field=field, lo=val, hi=val))
+
+    def _parse_bracket(self, cur: _Cursor, field: str) -> ast.Node:
+        """@f:[...] — numeric range, geo radius, geometry, or vector range."""
+        cur.expect("[")
+        cur.skip_ws()
+        save = cur.i
+        first = self._read_until(cur, " \t]")
+        up = first.upper()
+        if up in ("WITHIN", "CONTAINS", "INTERSECTS", "DISJOINT"):
+            cur.skip_ws()
+            if cur.peek() == "$":
+                cur.i += 1
+                wkt_txt = str(self._param(self._read_ident(cur)))
+            else:
+                wkt_txt = self._read_quoted_or_bare(cur, "]")
+            cur.skip_ws()
+            cur.expect("]")
+            return ast.GeometryNode(field=field, predicate=up, wkt=wkt_txt)
+        if up == "VECTOR_RANGE":
+            cur.skip_ws()
+            radius = self._maybe_param_num(self._read_until(cur, " \t"))
+            cur.skip_ws()
+            blob = self._read_blob(cur)
+            cur.skip_ws()
+            cur.expect("]")
+            return ast.VectorNode(field=field, mode="RANGE", blob=blob,
+                                  radius=radius)
+        # numeric or geo: parse space-separated args until ]
+        cur.i = save
+        args = []
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "]":
+                cur.i += 1
+                break
+            if cur.eof():
+                cur.error("unterminated [")
+            args.append(self._read_until(cur, " \t]"))
+        if len(args) == 2:
+            lo_raw, hi_raw = args
+            lo_excl = lo_raw.startswith("(")
+            hi_excl = hi_raw.startswith("(")
+            lo = self._maybe_param_num(lo_raw[1:] if lo_excl else lo_raw)
+            hi = self._maybe_param_num(hi_raw[1:] if hi_excl else hi_raw)
+            return ast.NumericNode(field=field, lo=lo, hi=hi,
+                                   lo_excl=lo_excl, hi_excl=hi_excl)
+        if len(args) == 4:
+            lon = self._maybe_param_num(args[0])
+            lat = self._maybe_param_num(args[1])
+            radius = self._maybe_param_num(args[2])
+            unit = self._maybe_param_str(args[3]).lower()
+            if unit not in ("m", "km", "mi", "ft"):
+                raise QuerySyntaxError(f"bad geo unit {unit!r}")
+            return ast.GeoNode(field=field, lon=lon, lat=lat, radius=radius,
+                               unit=unit)
+        raise QuerySyntaxError(
+            f"bad bracket expression for @{field}: {args}")
+
+    def _parse_tag(self, cur: _Cursor, field: str) -> ast.TagNode:
+        cur.expect("{")
+        kids: list[ast.Node] = []
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "}":
+                cur.i += 1
+                break
+            if cur.eof():
+                cur.error("unterminated {")
+            ch = cur.peek()
+            if ch == '"':
+                txt = self._read_quoted(cur, '"')
+                kids.append(ast.TokenNode(term=txt, verbatim=True))
+            elif ch == "'":
+                txt = self._read_quoted(cur, "'")
+                kids.append(ast.TokenNode(term=txt, verbatim=True))
+            elif ch == "%":
+                kids.append(self._parse_fuzzy(cur))
+            elif cur.startswith("w'") or cur.startswith('w"'):
+                kids.append(self._parse_wildcard_query(cur))
+            elif ch == "$":
+                cur.i += 1
+                val = str(self._param(self._read_ident(cur)))
+                kids.append(ast.TokenNode(term=val, verbatim=True))
+            else:
+                # bare value, may end with * (prefix) or start with *
+                txt = self._read_tag_value(cur)
+                suffix = txt.startswith("*")
+                prefix = txt.endswith("*") and not txt.endswith("\\*")
+                core = txt[1 if suffix else 0: -1 if prefix else None]
+                if (suffix or prefix) and core:
+                    kids.append(ast.AffixNode(text=core, prefix=prefix,
+                                              suffix=suffix))
+                else:
+                    kids.append(ast.TokenNode(term=txt, verbatim=True))
+            cur.skip_ws()
+            if cur.peek() == "|":
+                cur.i += 1
+        return ast.TagNode(field=field, kids=kids)
+
+    def _parse_exact_phrase(self, cur: _Cursor) -> ast.Node:
+        txt = self._read_quoted(cur, '"')
+        toks = _split_terms(txt)
+        kids = []
+        for t in toks:
+            norm = normalize_token(t)
+            if norm in self.stopwords:
+                continue
+            kids.append(ast.TokenNode(term=norm, verbatim=True))
+        if not kids:
+            return ast.EmptyNode()
+        if len(kids) == 1:
+            return kids[0]
+        return ast.PhraseNode(terms=kids, exact=True, inorder=True)
+
+    def _parse_verbatim(self, cur: _Cursor) -> ast.Node:
+        txt = self._read_quoted(cur, "'")
+        norm = normalize_token(txt)
+        return ast.TokenNode(term=norm, verbatim=True)
+
+    def _parse_fuzzy(self, cur: _Cursor) -> ast.FuzzyNode:
+        dist = 0
+        while cur.peek() == "%":
+            cur.i += 1
+            dist += 1
+        if dist > 3:
+            cur.error("fuzzy distance > 3")
+        term = self._read_term_text(cur)
+        for _ in range(dist):
+            cur.expect("%")
+        return ast.FuzzyNode(term=normalize_token(term), max_dist=dist)
+
+    def _parse_wildcard_query(self, cur: _Cursor) -> ast.WildcardQueryNode:
+        cur.i += 1  # w
+        quote = cur.peek()
+        pat = self._read_quoted(cur, quote)
+        return ast.WildcardQueryNode(pattern=normalize_token(pat))
+
+    def _parse_affix(self, cur: _Cursor, _field) -> ast.Node:
+        """*suffix or *inf*ix* — leading-star patterns."""
+        cur.expect("*")
+        text = self._read_term_text(cur)
+        prefix = False
+        if cur.peek() == "*":
+            cur.i += 1
+            prefix = True
+        return ast.AffixNode(text=normalize_token(text), prefix=prefix,
+                             suffix=True)
+
+    def _parse_term(self, cur: _Cursor) -> Optional[ast.Node]:
+        text = self._read_term_text(cur)
+        if not text:
+            cur.error(f"unexpected character {cur.peek()!r}")
+        if cur.peek() == "*":
+            cur.i += 1
+            # infix if another * follows the text? handled in _parse_affix
+            return ast.AffixNode(text=normalize_token(text), prefix=True)
+        return self._token_or_none(text)
+
+    def _token_or_none(self, text: str) -> Optional[ast.Node]:
+        norm = normalize_token(text)
+        if norm in self.stopwords:
+            return None
+        return ast.TokenNode(term=norm)
+
+    # -- low-level readers -------------------------------------------------
+    def _read_ident(self, cur: _Cursor) -> str:
+        start = cur.i
+        while not cur.eof() and (cur.peek().isalnum() or cur.peek() in "_-."):
+            cur.i += 1
+        if cur.i == start:
+            cur.error("expected identifier")
+        return cur.s[start:cur.i]
+
+    def _read_until(self, cur: _Cursor, stops: str) -> str:
+        start = cur.i
+        while not cur.eof() and cur.peek() not in stops:
+            cur.i += 1
+        return cur.s[start:cur.i]
+
+    def _read_until_term_end(self, cur: _Cursor) -> str:
+        cur.skip_ws()
+        start = cur.i
+        while not cur.eof() and cur.peek() not in " \t\r\n)|]}":
+            cur.i += 1
+        return cur.s[start:cur.i]
+
+    def _read_term_text(self, cur: _Cursor) -> str:
+        parts = []
+        while not cur.eof():
+            ch = cur.peek()
+            if ch == "\\" and cur.peek(1):
+                parts.append(cur.peek(1))
+                cur.i += 2
+                continue
+            if ch in _TERM_STOP:
+                break
+            parts.append(ch)
+            cur.i += 1
+        return "".join(parts)
+
+    def _read_tag_value(self, cur: _Cursor) -> str:
+        parts = []
+        while not cur.eof():
+            ch = cur.peek()
+            if ch == "\\" and cur.peek(1):
+                parts.append(cur.peek(1))
+                cur.i += 2
+                continue
+            if ch in "|}":
+                break
+            parts.append(ch)
+            cur.i += 1
+        return "".join(parts).strip()
+
+    def _read_quoted(self, cur: _Cursor, quote: str) -> str:
+        cur.expect(quote)
+        parts = []
+        while not cur.eof() and cur.peek() != quote:
+            ch = cur.peek()
+            if ch == "\\" and cur.peek(1):
+                parts.append(cur.peek(1))
+                cur.i += 2
+                continue
+            parts.append(ch)
+            cur.i += 1
+        cur.expect(quote)
+        return "".join(parts)
+
+    def _read_quoted_or_bare(self, cur: _Cursor, stops: str) -> str:
+        if cur.peek() in "\"'":
+            return self._read_quoted(cur, cur.peek())
+        return self._read_until(cur, stops).strip()
+
+
+def _apply_fieldmask(node: ast.Node, fields: list[str]):
+    """Scope a subtree to a field list (does not override inner scopes)."""
+    if node.fieldmask_attrs is None:
+        node.fieldmask_attrs = list(fields)
+    if isinstance(node, ast.TagNode) or isinstance(node, ast.VectorNode):
+        return
+    for c in node.children():
+        _apply_fieldmask(c, fields)
+
+
+def _split_terms(text: str) -> list[str]:
+    out = []
+    cur: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "\\" and i + 1 < len(text):
+            cur.append(text[i + 1])
+            i += 2
+            continue
+        if ch.isalnum() or ch == "_" or ord(ch) > 127:
+            cur.append(ch)
+        else:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _coerce_vector(val: Any) -> np.ndarray:
+    if isinstance(val, bytes):
+        return np.frombuffer(val, dtype=np.float32).copy()
+    return np.asarray(val, dtype=np.float32).reshape(-1)

@@ -1,0 +1,140 @@
+"""Aggregation pipeline tests (reference: tests/pytests/test_aggregate.py)."""
+
+import pytest
+
+from redisearch_tpu import Field, FieldType, Schema, SearchIndex
+from redisearch_tpu.agg.pipeline import (ASC, DESC, AggregateRequest)
+
+
+@pytest.fixture()
+def idx():
+    schema = Schema(name="products", fields=[
+        Field("name", FieldType.TEXT),
+        Field("brand", FieldType.TAG, sortable=True),
+        Field("category", FieldType.TAG, sortable=True),
+        Field("price", FieldType.NUMERIC, sortable=True),
+        Field("qty", FieldType.NUMERIC, sortable=True),
+    ])
+    ix = SearchIndex(schema)
+    data = [
+        ("apple phone", "apple", "phones", 999, 3),
+        ("apple tablet", "apple", "tablets", 799, 5),
+        ("samsung phone", "samsung", "phones", 899, 2),
+        ("samsung tv", "samsung", "tvs", 1299, 7),
+        ("nokia phone", "nokia", "phones", 199, 11),
+        ("apple watch", "apple", "wearables", 399, 8),
+    ]
+    for i, (name, brand, cat, price, qty) in enumerate(data):
+        ix.add_document(f"p{i}", {"name": name, "brand": brand,
+                                  "category": cat, "price": price,
+                                  "qty": qty})
+    ix.commit()
+    return ix
+
+
+def test_groupby_count(idx):
+    req = (AggregateRequest("*")
+           .group_by("@brand", ("COUNT", [], "count")))
+    res = idx.aggregate(req)
+    got = {r["brand"]: r["count"] for r in res.rows}
+    assert got == {"apple": 3.0, "samsung": 2.0, "nokia": 1.0}
+
+
+def test_groupby_sum_avg(idx):
+    req = (AggregateRequest("*")
+           .group_by("@brand",
+                     ("SUM", ["@price"], "total"),
+                     ("AVG", ["@qty"], "avg_qty"))
+           .sort_by(("@total", DESC)))
+    res = idx.aggregate(req)
+    assert res.rows[0]["brand"] == "samsung"
+    assert res.rows[0]["total"] == 2198.0
+    apple = next(r for r in res.rows if r["brand"] == "apple")
+    assert apple["avg_qty"] == pytest.approx(16 / 3)
+
+
+def test_filter_and_apply(idx):
+    req = (AggregateRequest("*")
+           .load("price", "qty")
+           .apply("@price * @qty", "value")
+           .filter("@value > 2000")
+           .sort_by(("@value", DESC)))
+    res = idx.aggregate(req)
+    vals = [r["value"] for r in res.rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 2000 for v in vals)
+    assert res.rows[0]["value"] == 1299.0 * 7
+
+
+def test_query_scoped_aggregate(idx):
+    req = (AggregateRequest("@category:{phones}")
+           .group_by("@brand", ("COUNT", [], "c")))
+    res = idx.aggregate(req)
+    assert {r["brand"] for r in res.rows} == {"apple", "samsung", "nokia"}
+    assert all(r["c"] == 1.0 for r in res.rows)
+
+
+def test_min_max_quantile_stddev(idx):
+    req = (AggregateRequest("*")
+           .group_by("@category",
+                     ("MIN", ["@price"], "mn"),
+                     ("MAX", ["@price"], "mx"),
+                     ("QUANTILE", ["@price", "0.5"], "med"),
+                     ("STDDEV", ["@price"], "sd")))
+    res = idx.aggregate(req)
+    phones = next(r for r in res.rows if r["category"] == "phones")
+    assert phones["mn"] == 199.0
+    assert phones["mx"] == 999.0
+    assert phones["med"] == 899.0
+
+
+def test_count_distinct(idx):
+    req = (AggregateRequest("*")
+           .group_by("@category",
+                     ("COUNT_DISTINCT", ["@brand"], "brands")))
+    res = idx.aggregate(req)
+    phones = next(r for r in res.rows if r["category"] == "phones")
+    assert phones["brands"] == 3.0
+
+
+def test_tolist_first_value(idx):
+    req = (AggregateRequest("*")
+           .group_by("@category",
+                     ("TOLIST", ["@brand"], "brands"),
+                     ("FIRST_VALUE", ["@name", "BY", "@price", "ASC"],
+                      "cheapest")))
+    res = idx.aggregate(req)
+    phones = next(r for r in res.rows if r["category"] == "phones")
+    assert set(phones["brands"]) == {"apple", "samsung", "nokia"}
+    assert phones["cheapest"] == "nokia phone"
+
+
+def test_apply_string_functions(idx):
+    req = (AggregateRequest("*")
+           .load("name", "price")
+           .apply("upper(@name)", "uname")
+           .apply("format(\"%s=%d\", @name, @price)", "label")
+           .limit(0, 100))
+    res = idx.aggregate(req)
+    row = next(r for r in res.rows if r["name"] == "nokia phone")
+    assert row["uname"] == "NOKIA PHONE"
+    assert row["label"] == "nokia phone=199"
+
+
+def test_limit_paging(idx):
+    req = (AggregateRequest("*")
+           .sort_by(("@price", ASC))
+           .limit(1, 2)
+           .load("price"))
+    res = idx.aggregate(req)
+    assert len(res.rows) == 2
+    assert [r["price"] for r in res.rows] == [399.0, 799.0]
+
+
+def test_count_all_group(idx):
+    # GROUPBY 0 reducers-only (global aggregate)
+    req = AggregateRequest("*").group_by([], ("COUNT", [], "total"),
+                                         ("SUM", ["@price"], "sum"))
+    res = idx.aggregate(req)
+    assert res.rows[0]["total"] == 6.0
+    assert res.rows[0]["sum"] == 4594.0
