@@ -1,0 +1,230 @@
+"""SPMD distributed query execution over a device mesh.
+
+TPU-native replacement for the reference's cluster coordinator + RMR
+MapReduce engine (SURVEY.md §2.5/§2.6: src/coord/rmr/, dist_aggregate.c,
+module.c searchResultReducer).  The mapping:
+
+    hash-slot document partitioning  -> doc-axis sharding over mesh axis
+                                        "shards" (each device owns a
+                                        sub-segment of the corpus)
+    MR_Fanout + reducer callbacks    -> one shard_map program: every device
+                                        runs the *same* compiled query on its
+                                        local sub-segment
+    sorted-merge of shard replies    -> all_gather of per-shard top-k inside
+                                        the program (rides ICI), final k-merge
+    KNN shard-window ratio           -> per-shard top-ceil(k*ratio) before
+                                        the gather (shard_k_ratio arg)
+
+There is no RPC layer: the "network" is XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.builder import SegmentBuilder
+from ..index.segment import Segment, next_pow2
+from ..query.engine import (_COMPILE_CACHE, CompiledQuery, _build_fn,
+                            _segment_args)
+
+AXIS = "shards"
+
+
+def make_mesh(n_shards: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_shards or len(devs)
+    return Mesh(np.asarray(devs[:n]), (AXIS,))
+
+
+def _stack_pad(arrays: list, fill=0):
+    """Stack per-shard arrays along a new axis 0, padding to max shape."""
+    arrays = [np.asarray(a) for a in arrays]
+    if arrays[0].ndim == 0:
+        return np.stack(arrays)
+    shape = tuple(max(a.shape[i] for a in arrays)
+                  for i in range(arrays[0].ndim))
+    out = np.full((len(arrays),) + shape, fill, dtype=arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i][tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """Doc-partitioned index: one sub-segment per device."""
+
+    mesh: Mesh
+    shards: list          # per-shard Segment (host handles for metadata)
+    index: Any            # the owning SearchIndex (doc table, schema)
+
+    @classmethod
+    def build(cls, index, mesh: Optional[Mesh] = None) -> "ShardedIndex":
+        """Partition an index's live docs round-robin across the mesh.
+
+        Round-robin by insertion order is the analog of hash-slot
+        partitioning (reference: src/slot_ranges.c) — uniform load without
+        a hash ring, since we control placement.
+        """
+        index.commit()
+        mesh = mesh or make_mesh()
+        n = mesh.devices.size
+        builders = [SegmentBuilder(index.schema, index.stopwords,
+                                   index.synonyms) for _ in range(n)]
+        i = 0
+        for seg in index.segments:
+            alive = np.asarray(seg.alive)
+            gids = np.asarray(seg.gids)
+            for j in range(seg.n_docs):
+                if not alive[j]:
+                    continue
+                meta = index.doctable.get(int(gids[j]))
+                if meta is None or meta.deleted:
+                    continue
+                builders[i % n].add(meta)
+                i += 1
+        shards = []
+        for b in builders:
+            seg = b.seal()
+            if seg is None:
+                raise ValueError("empty shard; need >= n_shards docs")
+            shards.append(seg)
+        return cls(mesh=mesh, shards=shards, index=index)
+
+    # -- distributed execution --------------------------------------------
+    def execute(self, cq: CompiledQuery, k: int,
+                shard_k_ratio: float = 1.0):
+        """Run a compiled query SPMD across all shards; returns merged
+        (gids, scores, knn_dists, sortkeys, total)."""
+        n = len(self.shards)
+        bindings = []
+        L = P_ = 1
+        tagL = 1
+        for seg in self.shards:
+            b, l, p = cq.bind(seg)
+            tagL = max(tagL, int(b.dyn.pop("_tagL")))
+            bindings.append(b)
+            L, P_ = max(L, l), max(P_, p)
+        L, P_, tagL = next_pow2(L), next_pow2(P_), next_pow2(tagL)
+        # per-shard k (KNN shard window ratio, shard_window_ratio.h:25-40)
+        k_local = int(min(next_pow2(max(int(np.ceil(k * shard_k_ratio)), 1)),
+                          max(s.n_pad for s in self.shards)))
+
+        seg_stack = _tree_stack([_segment_args(cq, s) for s in self.shards])
+        dyn_stack = _tree_stack([b.dyn for b in bindings])
+
+        key = cq.signature(
+            f"dist|n={max(s.n_pad for s in self.shards)}"
+            f"|stride={self.shards[0].text.pos_stride}|tagL={tagL}"
+            f"|S={n}", L, P_, k_local)
+        fn = _COMPILE_CACHE.get(key)
+        if fn is None:
+            fn = self._build_dist_fn(cq, L, P_, tagL, k_local)
+            _COMPILE_CACHE[key] = fn
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        seg_dev = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), seg_stack)
+        dyn_dev = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), dyn_stack)
+        out = fn(seg_dev, dyn_dev)
+        return {kk: np.asarray(v) for kk, v in out.items()}
+
+    def _build_dist_fn(self, cq: CompiledQuery, L: int, P_: int, tagL: int,
+                       k_local: int):
+        proto = self.shards[0]
+        run = _build_fn(cq, proto, L, P_, tagL, k_local, has_extra=False,
+                        mode="topk", jit=False)
+        mesh = self.mesh
+
+        def shard_body(seg, dyn):
+            seg = jax.tree.map(lambda x: x[0], seg)   # drop shard axis
+            dyn = jax.tree.map(lambda x: x[0], dyn)
+            out = run(seg, dyn)
+            # translate local idx -> global doc id on-device
+            gid = seg["gids"][out["idx"]]
+            res = {"gids": gid[None], "scores": out["scores"][None],
+                   "count": out["count"][None]}
+            if "knn" in out:
+                res["knn"] = out["knn"][None]
+            if "sortkeys" in out:
+                res["sortkeys"] = out["sortkeys"][None]
+            return res
+
+        @jax.jit
+        def dist(seg, dyn):
+            specs_in = (jax.tree.map(lambda _: P(AXIS), seg),
+                        jax.tree.map(lambda _: P(AXIS), dyn))
+            out = jax.shard_map(
+                shard_body, mesh=mesh, in_specs=specs_in,
+                out_specs=P(AXIS))(seg, dyn)
+            # out leaves: [S, k_local] (counts [S]); final merge is a tiny
+            # top-k over S*k_local candidates — the "coordinator" reduce
+            merged = {"count": jnp.sum(out["count"])}
+            flat_scores = out["scores"].reshape(-1)
+            flat_gids = out["gids"].reshape(-1)
+            kk = min(k_local, flat_scores.shape[0])
+            if "knn" in out:
+                d = out["knn"].reshape(-1)
+                vals, sel = jax.lax.top_k(-d, kk)
+                merged["knn"] = -vals
+                merged["gids"] = flat_gids[sel]
+                merged["scores"] = flat_scores[sel]
+            elif "sortkeys" in out:
+                sk = out["sortkeys"].reshape(-1)
+                asc = cq.opts.sort_asc
+                vals, sel = jax.lax.top_k(-sk if asc else sk, kk)
+                merged["sortkeys"] = sk[sel]
+                merged["gids"] = flat_gids[sel]
+                merged["scores"] = flat_scores[sel]
+            else:
+                vals, sel = jax.lax.top_k(flat_scores, kk)
+                merged["scores"] = vals
+                merged["gids"] = flat_gids[sel]
+            return merged
+
+        return dist
+
+    # -- user-facing search (mirrors SearchIndex.search semantics) --------
+    def search(self, query: str, params=None, offset: int = 0, num: int = 10,
+               scorer: str = "BM25STD", sort_by=None, sort_asc=True,
+               shard_k_ratio: float = 1.0, **kw):
+        from ..query.engine import QueryOptions
+        root = self.index.parse_query(query, params)
+        opts = QueryOptions(scorer=scorer, k=offset + num,
+                            sort_field=sort_by, sort_asc=sort_asc)
+        cq = self.index.compile(root, opts)
+        out = self.execute(cq, offset + num, shard_k_ratio)
+        from ..index.index import Hit, SearchResult
+        hits = []
+        order = range(len(out["gids"]))
+        for j in order:
+            gid = int(out["gids"][j])
+            sc = float(out["scores"][j])
+            dist = float(out["knn"][j]) if "knn" in out else None
+            skey = float(out["sortkeys"][j]) if "sortkeys" in out else None
+            if dist is not None and dist >= 3.3e38:
+                continue
+            if skey is not None and abs(skey) >= 3.3e38:
+                continue
+            if dist is None and skey is None and sc <= -3.3e38:
+                continue
+            meta = self.index.doctable.get(gid)
+            if meta is None or meta.deleted:
+                continue
+            hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
+                            sortkey=skey, vector_distance=dist, gid=gid))
+        total = int(out["count"])
+        if cq.knn is not None:
+            hits = hits[:cq.knn.k]
+            total = min(total, cq.knn.k)
+        return SearchResult(total=total, hits=hits[offset:offset + num])
+
+
+def _tree_stack(dicts: list[dict]) -> dict:
+    keys = dicts[0].keys()
+    return {k: _stack_pad([d[k] for d in dicts]) for k in keys}

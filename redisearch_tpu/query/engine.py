@@ -598,6 +598,7 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
 
 def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
     args = {
+        "gids": seg.gids,
         "doc_ids": seg.text.doc_ids,
         "freqs": seg.text.freqs,
         "field_masks": seg.text.field_masks,
@@ -655,7 +656,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
 
 
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, L: int, P: int,
-              tagL: int, k: int, has_extra: bool, mode: str = "topk"):
+              tagL: int, k: int, has_extra: bool, mode: str = "topk",
+              jit: bool = True):
     """Build + jit the executor for one query structure."""
     opts = cq.opts
     scorer = opts.scorer
@@ -841,4 +843,4 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, L: int, P: int,
         out["scores"] = vals
         return out
 
-    return jax.jit(run)
+    return jax.jit(run) if jit else run

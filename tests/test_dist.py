@@ -1,0 +1,93 @@
+"""SPMD distributed execution tests on the virtual 8-device CPU mesh
+(reference analog: tests/pytests/test_coordinator.py with Env(shardsCount))."""
+
+import numpy as np
+import pytest
+
+import redisearch_tpu as rs
+from redisearch_tpu.parallel.dist import ShardedIndex, make_mesh
+
+
+@pytest.fixture(scope="module")
+def sharded(eight_devices):
+    schema = rs.Schema(name="dist", fields=[
+        rs.Field("title", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG, sortable=True),
+        rs.Field("n", rs.FieldType.NUMERIC, sortable=True),
+        rs.Field("v", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=8, metric=rs.VectorMetric.L2)),
+    ])
+    ix = rs.SearchIndex(schema)
+    rng = np.random.default_rng(1)
+    words = ["apple", "banana", "cherry", "mango", "kiwi"]
+    vecs = rng.normal(size=(64, 8)).astype(np.float32)
+    for i in range(64):
+        ix.add_document(f"d{i}", {
+            "title": f"{words[i % 5]} {words[(i + 1) % 5]} item",
+            "cat": ["a", "b"][i % 2], "n": i, "v": vecs[i]})
+    mesh = make_mesh(8)
+    return ShardedIndex.build(ix, mesh), ix, vecs
+
+
+def test_shard_build(sharded):
+    sh, ix, _ = sharded
+    assert len(sh.shards) == 8
+    assert sum(s.num_alive for s in sh.shards) == 64
+
+
+def test_dist_matches_local_text(sharded):
+    sh, ix, _ = sharded
+    local = ix.search("apple banana", num=20)
+    dist = sh.search("apple banana", num=20)
+    assert dist.total == local.total
+    assert {h.key for h in dist} == {h.key for h in local}
+
+
+def test_dist_matches_local_filters(sharded):
+    sh, ix, _ = sharded
+    local = ix.search("@cat:{a} @n:[10 40]", num=30)
+    dist = sh.search("@cat:{a} @n:[10 40]", num=30)
+    assert dist.total == local.total
+    assert {h.key for h in dist} == {h.key for h in local}
+
+
+def test_dist_sortby_numeric(sharded):
+    sh, ix, _ = sharded
+    dist = sh.search("@cat:{b}", num=5, sort_by="n", sort_asc=True)
+    keys = [h.key for h in dist]
+    assert keys == ["d1", "d3", "d5", "d7", "d9"]
+
+
+def test_dist_knn(sharded):
+    sh, ix, vecs = sharded
+    q = vecs[33] + 0.01
+    local = ix.search("*=>[KNN 5 @v $q]", params={"q": q})
+    dist = sh.search("*=>[KNN 5 @v $q]", params={"q": q})
+    assert dist.hits[0].key == "d33"
+    assert [h.key for h in dist] == [h.key for h in local]
+
+
+def test_dist_knn_shard_window_ratio(sharded):
+    sh, ix, vecs = sharded
+    q = vecs[20] - 0.01
+    # ratio 1.0 with 8 shards: each shard returns k candidates, exact
+    res = sh.search("*=>[KNN 3 @v $q]", params={"q": q}, shard_k_ratio=1.0)
+    assert res.hits[0].key == "d20"
+
+
+def test_dryrun_entry(eight_devices):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles(eight_devices):
+    import jax
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert "idx" in out and "scores" in out
