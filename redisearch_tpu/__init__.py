@@ -13,6 +13,9 @@ from .schema import (Field, FieldType, GeometryParams, IndexFlags, Schema,
 from .index.index import Hit, SearchIndex, SearchResult
 from .index.doctable import DocMeta, DocTable
 from .query.engine import QueryOptions
+from .agg.pipeline import ASC, DESC, AggregateRequest, AggregateResult
+from .aux.hybrid import HybridQuery
+from .api import Client
 from .utils import errors
 
 __version__ = "0.1.0"
@@ -20,5 +23,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Field", "FieldType", "Schema", "IndexFlags", "VectorParams",
     "VectorAlgo", "VectorMetric", "GeometryParams", "SearchIndex",
-    "SearchResult", "Hit", "DocTable", "DocMeta", "QueryOptions", "errors",
+    "SearchResult", "Hit", "DocTable", "DocMeta", "QueryOptions",
+    "AggregateRequest", "AggregateResult", "ASC", "DESC", "HybridQuery",
+    "Client", "errors",
 ]

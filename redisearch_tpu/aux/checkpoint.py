@@ -1,0 +1,196 @@
+"""Index checkpoint save/restore.
+
+Reference: RDB persistence (src/rdb.c, spec.c:2990/3069) where most index
+content is *rebuilt* from the keyspace on load, except vector graphs which
+serialize inline (vector_index.c:497-512).  SURVEY.md §5.4: on TPU the
+index IS arrays, so checkpointing is direct array serialization — one .npz
+of every device array + a pickled host-side catalog (schema, doc table,
+term dictionaries, synonyms).  No rebuild pass, no load-time throttling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Any
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
+    """Flatten a Segment's device arrays into the npz dict."""
+    import jax.numpy as jnp
+
+    def put(name, x):
+        if x is not None and hasattr(x, "shape"):
+            arrays[f"{prefix}.{name}"] = np.asarray(x)
+
+    put("gids", seg.gids)
+    put("alive", seg.alive)
+    put("doclen", seg.doclen)
+    put("max_freq", seg.max_freq)
+    put("docscore", seg.docscore)
+    put("expire_at", seg.expire_at)
+    t = seg.text
+    for n in ("term_offsets", "doc_ids", "freqs", "field_masks",
+              "pos_offsets", "poskeys"):
+        put(f"text.{n}", getattr(t, n))
+    meta[prefix] = {
+        "n_docs": seg.n_docs, "n_pad": seg.n_pad,
+        "pos_stride": t.pos_stride, "nnz": t.nnz,
+        "max_postings": t.max_postings,
+        "tag_fields": list(seg.tags), "numeric_fields": list(seg.numerics),
+        "geo_fields": list(seg.geos), "str_fields": list(seg.strcols),
+        "vector_fields": list(seg.vectors), "missing_fields":
+        list(seg.missing),
+    }
+    for attr, tp in seg.tags.items():
+        put(f"tag.{attr}.offsets", tp.offsets)
+        put(f"tag.{attr}.doc_ids", tp.doc_ids)
+        meta[prefix][f"tag.{attr}"] = {"nnz": tp.nnz,
+                                       "max_postings": tp.max_postings}
+    for attr, c in seg.numerics.items():
+        put(f"num.{attr}.values", c.values)
+        put(f"num.{attr}.present", c.present)
+    for attr, g in seg.geos.items():
+        put(f"geo.{attr}.lon", g.lon)
+        put(f"geo.{attr}.lat", g.lat)
+        put(f"geo.{attr}.present", g.present)
+    for attr, s in seg.strcols.items():
+        put(f"str.{attr}.value_ids", s.value_ids)
+        put(f"str.{attr}.order", s.order)
+    for attr, v in seg.vectors.items():
+        arrays[f"{prefix}.vec.{attr}.vecs"] = np.asarray(
+            v.vecs.astype(jnp.float32))
+        put(f"vec.{attr}.present", v.present)
+        put(f"vec.{attr}.sq", v.sq_norms)
+        meta[prefix][f"vec.{attr}"] = {"dim": v.dim}
+    for attr, m in seg.missing.items():
+        put(f"missing.{attr}", m)
+
+
+def save(index, path: str) -> None:
+    """Checkpoint a SearchIndex to `path` (a directory)."""
+    index.commit()
+    os.makedirs(path, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    meta: dict[str, Any] = {"version": FORMAT_VERSION,
+                            "n_segments": len(index.segments)}
+    for i, seg in enumerate(index.segments):
+        _collect_arrays(seg, f"seg{i}", arrays, meta)
+    np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+    host = {
+        "schema": index.schema,
+        "doctable": index.doctable,
+        "synonyms": index.synonyms,
+        "stopwords": list(index.stopwords),
+        "terms": [(seg.terms.ids, seg.terms.terms, seg.terms.doc_freq)
+                  for seg in index.segments],
+        "tag_dicts": [{attr: (tp.ids, tp.values)
+                       for attr, tp in seg.tags.items()}
+                      for seg in index.segments],
+        "strtables": [{attr: s.table for attr, s in seg.strcols.items()}
+                      for seg in index.segments],
+        "geometries": [seg.geometries for seg in index.segments],
+        "gid_to_local": [seg.gid_to_local for seg in index.segments],
+        "vec_dtypes": [{attr: str(v.vecs.dtype)
+                        for attr, v in seg.vectors.items()}
+                       for seg in index.segments],
+    }
+    with open(os.path.join(path, "host.pkl"), "wb") as f:
+        pickle.dump(host, f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load(path: str):
+    """Restore a SearchIndex checkpoint."""
+    import jax.numpy as jnp
+
+    from ..index.index import SearchIndex
+    from ..index.segment import (GeoColumn, NumericColumn, Segment,
+                                 StrColumn, TagPostings, TermDict,
+                                 TextPostings, VectorColumn)
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != FORMAT_VERSION:
+        raise ValueError(f"bad checkpoint version {meta.get('version')}")
+    with open(os.path.join(path, "host.pkl"), "rb") as f:
+        host = pickle.load(f)
+    npz = np.load(os.path.join(path, "arrays.npz"))
+
+    index = SearchIndex(host["schema"])
+    index.doctable = host["doctable"]
+    index.synonyms = host["synonyms"]
+
+    def arr(name, as_jnp=True):
+        a = npz[name]
+        return jnp.asarray(a) if as_jnp else a
+
+    for i in range(meta["n_segments"]):
+        p = f"seg{i}"
+        sm = meta[p]
+        ids, terms, dfs = host["terms"][i]
+        td = TermDict(ids=ids, terms=terms, doc_freq=np.asarray(dfs))
+        text = TextPostings(
+            term_offsets=arr(f"{p}.text.term_offsets"),
+            doc_ids=arr(f"{p}.text.doc_ids"),
+            freqs=arr(f"{p}.text.freqs"),
+            field_masks=arr(f"{p}.text.field_masks"),
+            pos_offsets=arr(f"{p}.text.pos_offsets"),
+            poskeys=arr(f"{p}.text.poskeys"),
+            pos_stride=sm["pos_stride"], nnz=sm["nnz"],
+            max_postings=sm["max_postings"],
+            term_offsets_np=np.asarray(npz[f"{p}.text.term_offsets"]),
+        )
+        tags = {}
+        for attr in sm["tag_fields"]:
+            tids, tvals = host["tag_dicts"][i][attr]
+            tmeta = sm[f"tag.{attr}"]
+            tags[attr] = TagPostings(
+                ids=tids, values=tvals,
+                offsets=arr(f"{p}.tag.{attr}.offsets"),
+                doc_ids=arr(f"{p}.tag.{attr}.doc_ids"),
+                nnz=tmeta["nnz"], max_postings=tmeta["max_postings"],
+                offsets_np=np.asarray(npz[f"{p}.tag.{attr}.offsets"]),
+            )
+        numerics = {attr: NumericColumn(values=arr(f"{p}.num.{attr}.values"),
+                                        present=arr(f"{p}.num.{attr}.present"))
+                    for attr in sm["numeric_fields"]}
+        geos = {attr: GeoColumn(lon=arr(f"{p}.geo.{attr}.lon"),
+                                lat=arr(f"{p}.geo.{attr}.lat"),
+                                present=arr(f"{p}.geo.{attr}.present"))
+                for attr in sm["geo_fields"]}
+        strcols = {attr: StrColumn(value_ids=arr(f"{p}.str.{attr}.value_ids"),
+                                   table=host["strtables"][i][attr],
+                                   order=arr(f"{p}.str.{attr}.order"))
+                   for attr in sm["str_fields"]}
+        vectors = {}
+        for attr in sm["vector_fields"]:
+            dt = host["vec_dtypes"][i][attr]
+            vectors[attr] = VectorColumn(
+                vecs=jnp.asarray(npz[f"{p}.vec.{attr}.vecs"],
+                                 dtype=jnp.dtype(dt)),
+                present=arr(f"{p}.vec.{attr}.present"),
+                dim=sm[f"vec.{attr}"]["dim"],
+                sq_norms=arr(f"{p}.vec.{attr}.sq"),
+            )
+        missing = {attr: arr(f"{p}.missing.{attr}")
+                   for attr in sm["missing_fields"]}
+        seg = Segment(
+            n_docs=sm["n_docs"], n_pad=sm["n_pad"],
+            gids=arr(f"{p}.gids"), alive=arr(f"{p}.alive"),
+            doclen=arr(f"{p}.doclen"), max_freq=arr(f"{p}.max_freq"),
+            docscore=arr(f"{p}.docscore"), expire_at=arr(f"{p}.expire_at"),
+            terms=td, text=text, tags=tags, numerics=numerics, geos=geos,
+            strcols=strcols, vectors=vectors, missing=missing,
+            gid_to_local=host["gid_to_local"][i],
+            geometries=host["geometries"][i],
+        )
+        index.segments.append(seg)
+    return index

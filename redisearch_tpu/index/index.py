@@ -155,8 +155,7 @@ class SearchIndex:
                            dialect=dialect).parse(query)
 
     def compile(self, root: ast.Node, opts: QueryOptions) -> CompiledQuery:
-        cq = CompiledQuery(self.schema, root, opts)
-        cq.set_synonyms(self.synonyms)
+        cq = CompiledQuery(self.schema, root, opts, synonyms=self.synonyms)
         cq.global_N = max(self.doctable.num_docs, 1)
         cq.global_avgdl = self.doctable.avg_doclen or 1.0
         return cq

@@ -145,9 +145,11 @@ class SegmentBinding:
 class CompiledQuery:
     """Static structure + per-segment dynamic bindings."""
 
-    def __init__(self, schema: Schema, root: ast.Node, opts: QueryOptions):
+    def __init__(self, schema: Schema, root: ast.Node, opts: QueryOptions,
+                 synonyms=None):
         self.schema = schema
         self.opts = opts
+        self._syn = synonyms
         # slot tables filled during lowering
         self.term_strings: list[str] = []     # slot -> index term
         self.term_qmasks: list[int] = []      # slot -> field bitmask
@@ -207,8 +209,7 @@ class CompiledQuery:
                 f.phonetic for f in self.schema.text_fields())
             terms = expand.expand_token(
                 node.term, node.verbatim or self.opts.verbatim,
-                self._stemmer, getattr(self, "synonyms", None) or
-                self._synmap(), phonetic)
+                self._stemmer, self._syn, phonetic)
             lo = len(self.term_strings)
             for t in terms:
                 self._add_term_slot(t, qmask, w)
@@ -321,9 +322,6 @@ class CompiledQuery:
         if isinstance(node, ast.EmptyNode):
             return self._leaf(LNone())
         raise QuerySyntaxError(f"cannot lower {type(node).__name__}")
-
-    def _synmap(self):
-        return getattr(self, "_syn", None)
 
     def set_synonyms(self, syn):
         self._syn = syn

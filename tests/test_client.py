@@ -1,0 +1,204 @@
+"""Client command-surface tests (reference: tests/pytests command flows)."""
+
+import numpy as np
+import pytest
+
+import redisearch_tpu as rs
+
+
+@pytest.fixture()
+def client():
+    c = rs.Client()
+    c.ft_create("books", [
+        rs.Field("title", rs.FieldType.TEXT, weight=2.0),
+        rs.Field("summary", rs.FieldType.TEXT),
+        rs.Field("genre", rs.FieldType.TAG, sortable=True),
+        rs.Field("year", rs.FieldType.NUMERIC, sortable=True),
+    ], prefixes=("book:",))
+    c.hset("book:1", {"title": "dune", "summary":
+                      "a desert planet with giant sandworms and spice",
+                      "genre": "scifi", "year": 1965})
+    c.hset("book:2", {"title": "neuromancer", "summary":
+                      "a hacker navigates cyberspace and ai constructs",
+                      "genre": "scifi,cyberpunk", "year": 1984})
+    c.hset("book:3", {"title": "emma", "summary":
+                      "a young woman meddles in the romances of her friends",
+                      "genre": "romance", "year": 1815})
+    c.hset("note:1", {"title": "not a book"})  # prefix mismatch
+    return c
+
+
+def test_prefix_rule(client):
+    res = client.ft_search("books", "*")
+    assert res.total == 3
+    assert all(h.key.startswith("book:") for h in res)
+
+
+def test_keyspace_update_and_delete(client):
+    client.hset("book:1", {"title": "dune messiah", "genre": "scifi",
+                           "year": 1969})
+    res = client.ft_search("books", "messiah")
+    assert [h.key for h in res] == ["book:1"]
+    client.hdel("book:2")
+    assert client.ft_search("books", "*").total == 2
+
+
+def test_create_scans_existing_keys(client):
+    client.ft_create("books2", [rs.Field("title", rs.FieldType.TEXT)],
+                     prefixes=("book:",))
+    assert client.ft_search("books2", "*").total == 3
+
+
+def test_filter_rule():
+    c = rs.Client()
+    c.ft_create("expensive", [rs.Field("name", rs.FieldType.TEXT),
+                              rs.Field("price", rs.FieldType.NUMERIC)],
+                filter_expr="@price > 100")
+    c.hset("p1", {"name": "cheap thing", "price": 10})
+    c.hset("p2", {"name": "pricey thing", "price": 500})
+    res = c.ft_search("expensive", "*")
+    assert [h.key for h in res] == ["p2"]
+
+
+def test_alias(client):
+    client.ft_aliasadd("b", "books")
+    assert client.ft_search("b", "dune").total == 1
+    client.ft_aliasdel("b")
+    with pytest.raises(rs.errors.IndexNotFound):
+        client.ft_search("b", "dune")
+
+
+def test_dropindex(client):
+    client.ft_dropindex("books")
+    assert "books" not in client.ft_list()
+    with pytest.raises(rs.errors.IndexNotFound):
+        client.ft_search("books", "*")
+
+
+def test_alter_adds_field(client):
+    client.ft_alter("books", rs.Field("pages", rs.FieldType.NUMERIC))
+    client.hset("book:4", {"title": "new book", "genre": "scifi",
+                           "year": 2000, "pages": 350})
+    res = client.ft_search("books", "@pages:[300 400]")
+    assert [h.key for h in res] == ["book:4"]
+
+
+def test_synonyms(client):
+    client.ft_synupdate("books", "g1", ["hacker", "cracker"])
+    res = client.ft_search("books", "cracker")
+    assert [h.key for h in res] == ["book:2"]
+    dump = client.ft_syndump("books")
+    assert dump["hacker"] == ["g1"]
+
+
+def test_spellcheck(client):
+    out = client.ft_spellcheck("books", "sandwrms")
+    assert out and out[0]["term"] == "sandwrms"
+    suggestions = [s for _, s in out[0]["suggestions"]]
+    assert "sandworms" in suggestions
+
+
+def test_dict_commands(client):
+    assert client.ft_dictadd("slang", "gnarly", "rad") == 2
+    assert client.ft_dictdump("slang") == ["gnarly", "rad"]
+    assert client.ft_dictdel("slang", "rad") == 1
+    out = client.ft_spellcheck("books", "gnarl", include=["slang"])
+    assert any(s == "gnarly" for _, s in out[0]["suggestions"])
+
+
+def test_suggestions(client):
+    client.ft_sugadd("ac", "hello world", 1.0)
+    client.ft_sugadd("ac", "hello there", 0.5)
+    client.ft_sugadd("ac", "help me", 0.8)
+    assert client.ft_suglen("ac") == 3
+    got = client.ft_sugget("ac", "hel")
+    assert "hello world" in got and len(got) == 3
+    got = client.ft_sugget("ac", "helo", fuzzy=True)
+    assert got  # fuzzy prefix match
+    assert client.ft_sugdel("ac", "help me")
+    assert client.ft_suglen("ac") == 2
+    scored = client.ft_sugget("ac", "hello", with_scores=True)
+    assert scored[0][0] == "hello world"
+
+
+def test_tagvals(client):
+    vals = client.ft_tagvals("books", "genre")
+    assert vals == ["cyberpunk", "romance", "scifi"]
+
+
+def test_config(client):
+    assert client.ft_config_get("MAXPREFIXEXPANSIONS") == 200
+    client.ft_config_set("MAXPREFIXEXPANSIONS", 50)
+    assert client.ft_config_get("MAXPREFIXEXPANSIONS") == 50
+    with pytest.raises(rs.errors.ConfigError):
+        client.ft_config_set("WORKERS", 4)  # immutable in this design
+
+
+def test_highlight(client):
+    res = client.ft_search("books", "hacker",
+                           highlight={"fields": ["summary"]})
+    assert "<b>hacker</b>" in res.hits[0].fields["summary"]
+
+
+def test_summarize(client):
+    res = client.ft_search(
+        "books", "sandworms",
+        summarize={"fields": ["summary"], "frag_len": 5},
+        highlight={})
+    assert "<b>sandworms</b>" in res.hits[0].fields["summary"]
+
+
+def test_profile(client):
+    res, prof = client.ft_profile("books", "SEARCH", "dune | emma")
+    assert res.total == 2
+    assert prof["parsing_time_ms"] >= 0
+    assert "UNION" in prof["query_tree"]
+
+
+def test_cursor(client):
+    req = (rs.AggregateRequest("*").load("title")
+           .sort_by("@year").cursor(count=2))
+    res = client.ft_aggregate("books", req)
+    assert len(res.rows) == 2 and res.cursor_id != 0
+    rows2, cid2 = client.ft_cursor_read("books", res.cursor_id)
+    assert len(rows2) == 1 and cid2 == 0
+
+
+def test_hybrid_rrf(client):
+    c = rs.Client()
+    c.ft_create("h", [
+        rs.Field("txt", rs.FieldType.TEXT),
+        rs.Field("v", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=4,
+                                        metric=rs.VectorMetric.L2))])
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(10, 4)).astype(np.float32)
+    for i in range(10):
+        c.hset(f"d{i}", {"txt": f"common word{'s' if i % 2 else ''} {i}",
+                         "v": vecs[i]})
+    hq = rs.HybridQuery(search="common", vsim_field="v",
+                        vsim_vector=vecs[4], combine="RRF", limit=5)
+    rows = c.ft_hybrid("h", hq)
+    assert rows and rows[0]["__key"] == "d4"  # top by both rank lists
+    hq2 = rs.HybridQuery(search="common", vsim_field="v",
+                         vsim_vector=vecs[4], combine="LINEAR",
+                         alpha=0.1, beta=0.9, limit=5)
+    rows2 = c.ft_hybrid("h", hq2)
+    assert rows2[0]["__key"] == "d4"
+
+
+def test_checkpoint_roundtrip(tmp_path, client):
+    client.save_index("books", str(tmp_path / "ckpt"))
+    c2 = rs.Client()
+    c2.load_index("books", str(tmp_path / "ckpt"))
+    res = c2.ft_search("books", "dune")
+    assert [h.key for h in res] == ["book:1"]
+    res = c2.ft_search("books", "@genre:{cyberpunk}")
+    assert [h.key for h in res] == ["book:2"]
+
+
+def test_doc_ttl(client):
+    client.hset("book:9", {"title": "ephemeral tome", "genre": "scifi",
+                           "year": 2020}, ttl=-1)  # already expired
+    res = client.ft_search("books", "ephemeral")
+    assert res.total == 0
