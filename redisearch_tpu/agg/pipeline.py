@@ -165,14 +165,14 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
     for seg in index.segments:
         if cq.knn is not None:
             res = execute(cq, seg, cq.knn.k, mode="topk")
-            sel = res.local_idx[res.scores > -3.3e38]
-            scores = res.scores[res.scores > -3.3e38]
+            keep = res.knn_dists < 3.3e38
+            sel = res.local_idx[keep]
+            scores = res.scores[keep]
             total += res.count
         else:
-            res = execute(cq, seg, 1, mode="mask")
-            mask = res.local_idx  # bool[n_pad] in mask mode
-            sel = np.nonzero(mask)[0]
-            scores = res.scores[sel]
+            res = execute(cq, seg, 1, mode="window")
+            sel = res.local_idx[res.valid]   # window docs, valid only
+            scores = res.scores[res.valid]
             total += res.count
         gids = np.asarray(seg.gids)
         for j, li in enumerate(sel):

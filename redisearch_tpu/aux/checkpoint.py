@@ -114,7 +114,8 @@ def load(path: str):
     from ..index.index import SearchIndex
     from ..index.segment import (GeoColumn, NumericColumn, Segment,
                                  StrColumn, TagPostings, TermDict,
-                                 TextPostings, VectorColumn)
+                                 TextPostings, VectorColumn,
+                                 make_numeric_column)
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
@@ -159,9 +160,13 @@ def load(path: str):
                 nnz=tmeta["nnz"], max_postings=tmeta["max_postings"],
                 offsets_np=np.asarray(npz[f"{p}.tag.{attr}.offsets"]),
             )
-        numerics = {attr: NumericColumn(values=arr(f"{p}.num.{attr}.values"),
-                                        present=arr(f"{p}.num.{attr}.present"))
-                    for attr in sm["numeric_fields"]}
+        numerics = {}
+        for attr in sm["numeric_fields"]:
+            vals = np.asarray(npz[f"{p}.num.{attr}.values"])
+            pres = np.asarray(npz[f"{p}.num.{attr}.present"])
+            # rebuild the sorted permutation (cheap relative to load IO)
+            numerics[attr] = make_numeric_column(
+                np.where(pres, vals, np.nan), sm["n_docs"])
         geos = {attr: GeoColumn(lon=arr(f"{p}.geo.{attr}.lon"),
                                 lat=arr(f"{p}.geo.{attr}.lat"),
                                 present=arr(f"{p}.geo.{attr}.present"))

@@ -37,6 +37,7 @@ from ..utils.errors import IndexError_, WrongFieldType
 from .doctable import DocMeta
 from .segment import (
     LANE,
+    POS_SLICE_PAD,
     GeoColumn,
     NumericColumn,
     Segment,
@@ -45,8 +46,10 @@ from .segment import (
     TermDict,
     TextPostings,
     VectorColumn,
+    make_numeric_column,
     next_pow2,
     round_up,
+    tail_pad,
 )
 
 STEM_PREFIX = "+"        # reference: STEM_PREFIX in forward index terms
@@ -390,13 +393,15 @@ class SegmentBuilder:
             terms=list(self._term_order),
             doc_freq=doc_freq,
         )
+        cap = next_pow2(n_pad)
         text = TextPostings(
             term_offsets=jnp.asarray(term_offsets.astype(np.int32)),
-            doc_ids=jnp.asarray(doc_ids),
-            freqs=jnp.asarray(freqs),
-            field_masks=jnp.asarray(field_masks),
+            doc_ids=jnp.asarray(tail_pad(doc_ids, cap)),
+            freqs=jnp.asarray(tail_pad(freqs, cap)),
+            field_masks=jnp.asarray(tail_pad(field_masks, cap)),
             pos_offsets=jnp.asarray(pos_offsets.astype(np.int32)),
-            poskeys=jnp.asarray(poskeys),
+            poskeys=jnp.asarray(tail_pad(poskeys, POS_SLICE_PAD,
+                                         2**31 - 1)),
             pos_stride=pos_stride,
             nnz=nnz,
             max_postings=max_postings,
@@ -425,7 +430,7 @@ class SegmentBuilder:
                 ids={v: i for i, v in enumerate(values)},
                 values=values,
                 offsets=jnp.asarray(t_off.astype(np.int32)),
-                doc_ids=jnp.asarray(t_ids),
+                doc_ids=jnp.asarray(tail_pad(t_ids, cap)),
                 nnz=t_nnz,
                 max_postings=t_max,
                 offsets_np=t_off.astype(np.int32),
@@ -436,10 +441,7 @@ class SegmentBuilder:
         for attr, vals in self._numerics.items():
             col = np.full(n_pad, np.nan, np.float32)
             col[:n] = vals
-            numerics[attr] = NumericColumn(
-                values=jnp.asarray(np.nan_to_num(col, nan=0.0)),
-                present=jnp.asarray(~np.isnan(col)),
-            )
+            numerics[attr] = make_numeric_column(col, n)
         geos = {}
         for attr, vals in self._geos.items():
             lon = np.full(n_pad, np.nan, np.float32)

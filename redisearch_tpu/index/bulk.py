@@ -1,0 +1,283 @@
+"""Bulk ingestion: native tokenizer path producing a Segment directly.
+
+The throughput write path (reference analog: the background scanner feeding
+the indexer, src/indexes_scanner.c + indexer.c).  TEXT fields stream through
+the C++ tokenizer/CSR builder (native/bulk_indexer.cpp); structured columns
+are built with vectorized numpy.  Falls back to the incremental Python
+builder when the native library is unavailable or the schema needs
+features the native path doesn't cover (phonetics, synonyms, per-doc
+language).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable
+
+import numpy as np
+
+from .. import native
+from ..schema import FieldType, Schema
+from .builder import MAX_POS_STRIDE, SegmentBuilder
+from .doctable import DocMeta
+from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
+                      Segment, StrColumn, TagPostings, TermDict,
+                      TextPostings, VectorColumn, make_numeric_column,
+                      next_pow2, round_up, tail_pad)
+
+
+def can_use_native(index) -> bool:
+    if not native.available():
+        return False
+    if len(index.synonyms) > 0:
+        return False
+    if any(f.phonetic for f in index.schema.text_fields()):
+        return False
+    if index.schema.language_field is not None:
+        return False
+    return True
+
+
+def bulk_add(index, docs: Iterable[tuple[str, dict]],
+             commit: bool = True) -> int:
+    """Add many documents at once.  Returns the number indexed."""
+    if not can_use_native(index):
+        n = 0
+        for key, fields in docs:
+            index.add_document(key, fields)
+            n += 1
+        if commit:
+            index.commit()
+        return n
+
+    index.commit()  # seal any pending incremental docs first
+    schema = index.schema
+    import jax.numpy as jnp
+
+    nb = native.NativeTextBuilder(list(index.stopwords), stem=True)
+    text_fields = schema.text_fields()
+    tf_ids = [f.field_id for f in text_fields]
+    tf_w = [f.weight for f in text_fields]
+
+    metas: list[DocMeta] = []
+    tag_stage = {f.attribute: {} for f in schema.fields
+                 if f.type == FieldType.TAG}
+    num_stage = {f.attribute: [] for f in schema.fields
+                 if f.type == FieldType.NUMERIC}
+    geo_stage = {f.attribute: [] for f in schema.fields
+                 if f.type == FieldType.GEO}
+    str_stage = {f.attribute: [] for f in schema.fields
+                 if f.sortable and f.type in (FieldType.TEXT, FieldType.TAG)}
+    vec_stage = {f.attribute: [] for f in schema.fields
+                 if f.type == FieldType.VECTOR}
+    present_stage = {f.attribute: [] for f in schema.fields}
+    geom_stage = {f.attribute: [] for f in schema.fields
+                  if f.type == FieldType.GEOMETRY}
+
+    helper = SegmentBuilder(schema, index.stopwords)  # reuses field parsers
+    local = 0
+    for key, fields in docs:
+        meta, old = index.doctable.put(key, fields)
+        if old is not None:
+            index._mark_deleted(old.gid)
+        metas.append(meta)
+        texts = []
+        for f in text_fields:
+            v = fields.get(f.name)
+            texts.append(str(v).encode("utf-8") if v is not None else b"")
+        doclen = nb.add_doc(texts, tf_ids, tf_w)
+        meta.doclen = int(doclen)
+        for f in schema.fields:
+            raw = fields.get(f.name)
+            if isinstance(raw, (str, bytes)) or raw is None:
+                present_stage[f.attribute].append(
+                    raw is not None and (raw != "" or f.indexempty))
+            else:
+                present_stage[f.attribute].append(True)
+            if f.type == FieldType.NUMERIC:
+                num_stage[f.attribute].append(helper._parse_numeric(f, raw))
+            elif f.type == FieldType.TAG:
+                joined = _stage_tag(f, raw, local, tag_stage[f.attribute])
+                if f.sortable:
+                    str_stage[f.attribute].append(joined)
+            elif f.type == FieldType.GEO:
+                geo_stage[f.attribute].append(helper._parse_geo(f, raw))
+            elif f.type == FieldType.VECTOR:
+                vec_stage[f.attribute].append(helper._parse_vector(f, raw))
+            elif f.type == FieldType.GEOMETRY:
+                from ..utils import wkt
+                geom_stage[f.attribute].append(
+                    wkt.parse(str(raw)) if raw is not None else None)
+            elif f.type == FieldType.TEXT and f.sortable:
+                val = str(raw) if raw is not None else None
+                if val is not None and not f.unf:
+                    val = val.casefold()
+                str_stage[f.attribute].append(val)
+        local += 1
+
+    n = local
+    if n == 0:
+        return 0
+    (terms, term_offsets, doc_ids, freqs, masks, pos_offsets, positions,
+     doc_lens, max_freqs_arr, max_pos, max_postings) = nb.finish()
+
+    for meta, mf in zip(metas, max_freqs_arr):
+        index.doctable.set_doclen(meta.gid, meta.doclen, int(mf))
+
+    n_pad = round_up(n, LANE)
+    pos_stride = min(next_pow2(int(max_pos) + 2), MAX_POS_STRIDE)
+    while pos_stride > 2 and n_pad * pos_stride >= 2**31:
+        pos_stride //= 2
+
+    nnz = doc_ids.shape[0]
+    nnz_pad = round_up(max(nnz, 1), LANE)
+    npos = positions.shape[0]
+    npos_pad = round_up(max(npos, 1), LANE)
+
+    di = np.zeros(nnz_pad, np.int32)
+    di[:nnz] = doc_ids
+    fr = np.zeros(nnz_pad, np.float32)
+    fr[:nnz] = freqs
+    ms = np.zeros(nnz_pad, np.int32)
+    ms[:nnz] = masks
+    po = np.zeros(nnz_pad + 1, np.int64)
+    po[:nnz + 1] = pos_offsets
+    po[nnz + 1:] = pos_offsets[nnz]
+    # poskeys = doc * stride + min(pos, stride-1), vectorized
+    counts = np.diff(pos_offsets)
+    docrep = np.repeat(doc_ids, counts)
+    pk = np.zeros(npos_pad, np.int32)
+    pk[:npos] = docrep.astype(np.int64) * pos_stride + np.minimum(
+        positions, pos_stride - 1)
+
+    doc_freq = np.diff(term_offsets).astype(np.int32)
+    # doc_freq counts postings == docs per term (one posting per (term,doc))
+    td = TermDict(ids={t: i for i, t in enumerate(terms)}, terms=terms,
+                  doc_freq=doc_freq)
+    cap = next_pow2(n_pad)
+    text = TextPostings(
+        term_offsets=jnp.asarray(term_offsets),
+        doc_ids=jnp.asarray(tail_pad(di, cap)),
+        freqs=jnp.asarray(tail_pad(fr, cap)),
+        field_masks=jnp.asarray(tail_pad(ms, cap)),
+        pos_offsets=jnp.asarray(po.astype(np.int32)),
+        poskeys=jnp.asarray(tail_pad(pk, POS_SLICE_PAD, 2**31 - 1)),
+        pos_stride=pos_stride, nnz=int(nnz),
+        max_postings=int(max_postings), term_offsets_np=term_offsets)
+
+    gids = np.zeros(n_pad, np.int32)
+    gids[:n] = [m.gid for m in metas]
+    alive = np.zeros(n_pad, bool)
+    alive[:n] = True
+    dl = np.zeros(n_pad, np.float32)
+    dl[:n] = doc_lens
+    mf = np.ones(n_pad, np.float32)
+    mf[:n] = max_freqs_arr
+    ds = np.zeros(n_pad, np.float32)
+    ds[:n] = [m.score for m in metas]
+    exp = np.zeros(n_pad, np.int32)
+    exp[:n] = [int(m.expires_at) if m.expires_at else 0 for m in metas]
+
+    tags = {}
+    for attr, stage in tag_stage.items():
+        values = sorted(stage)
+        t_off = np.zeros(len(values) + 1, np.int64)
+        t_nnz = 0
+        t_max = 0
+        for i, v in enumerate(values):
+            t_off[i] = t_nnz
+            t_nnz += len(stage[v])
+            t_max = max(t_max, len(stage[v]))
+        t_off[len(values)] = t_nnz
+        t_ids = np.zeros(round_up(max(t_nnz, 1), LANE), np.int32)
+        at = 0
+        for v in values:
+            lst = stage[v]
+            t_ids[at:at + len(lst)] = lst
+            at += len(lst)
+        tags[attr] = TagPostings(
+            ids={v: i for i, v in enumerate(values)}, values=values,
+            offsets=jnp.asarray(t_off.astype(np.int32)),
+            doc_ids=jnp.asarray(tail_pad(t_ids, cap)), nnz=int(t_nnz),
+            max_postings=int(t_max), offsets_np=t_off.astype(np.int32))
+
+    numerics = {}
+    for attr, vals in num_stage.items():
+        col = np.full(n_pad, np.nan, np.float32)
+        col[:n] = vals
+        numerics[attr] = make_numeric_column(col, n)
+    geos = {}
+    for attr, vals in geo_stage.items():
+        lon = np.full(n_pad, np.nan, np.float32)
+        lat = np.full(n_pad, np.nan, np.float32)
+        if vals:
+            a = np.asarray(vals, np.float32).reshape(n, 2)
+            lon[:n] = a[:, 0]
+            lat[:n] = a[:, 1]
+        geos[attr] = GeoColumn(lon=jnp.asarray(np.nan_to_num(lon)),
+                               lat=jnp.asarray(np.nan_to_num(lat)),
+                               present=jnp.asarray(~np.isnan(lon)))
+    strcols = {}
+    for attr, vals in str_stage.items():
+        uniq = sorted({v for v in vals if v is not None})
+        idmap = {v: i for i, v in enumerate(uniq)}
+        ids = np.full(n_pad, -1, np.int32)
+        ids[:n] = [idmap.get(v, -1) if v is not None else -1 for v in vals]
+        strcols[attr] = StrColumn(value_ids=jnp.asarray(ids), table=uniq,
+                                  order=jnp.asarray(ids))
+    vectors = {}
+    for attr, rows in vec_stage.items():
+        f = schema.field(attr)
+        dim = f.vector.dim
+        mat = np.zeros((n_pad, dim), np.float32)
+        pres = np.zeros(n_pad, bool)
+        for i, r in enumerate(rows):
+            if r is not None:
+                mat[i] = r
+                pres[i] = True
+        dt = (jnp.bfloat16 if f.vector.dtype == "BFLOAT16"
+              else jnp.float16 if f.vector.dtype == "FLOAT16"
+              else jnp.float32)
+        vectors[attr] = VectorColumn(
+            vecs=jnp.asarray(mat, dtype=dt), present=jnp.asarray(pres),
+            dim=dim, sq_norms=jnp.asarray((mat.astype(np.float64) ** 2)
+                                          .sum(1).astype(np.float32)))
+    missing = {}
+    for attr, pres in present_stage.items():
+        m = np.zeros(n_pad, bool)
+        m[:n] = pres
+        missing[attr] = jnp.asarray(m)
+
+    seg = Segment(
+        n_docs=n, n_pad=n_pad, gids=jnp.asarray(gids),
+        alive=jnp.asarray(alive), doclen=jnp.asarray(dl),
+        max_freq=jnp.asarray(mf), docscore=jnp.asarray(ds),
+        expire_at=jnp.asarray(exp), terms=td, text=text, tags=tags,
+        numerics=numerics, geos=geos, strcols=strcols, vectors=vectors,
+        missing=missing,
+        gid_to_local={m.gid: i for i, m in enumerate(metas)},
+        geometries={a: list(v) for a, v in geom_stage.items()})
+    index.segments.append(seg)
+    return n
+
+
+def _stage_tag(field, raw, local: int, stage: dict):
+    if raw is None:
+        return None
+    if isinstance(raw, (list, tuple)):
+        values = [str(v) for v in raw]
+        joined = field.separator.join(values)
+    else:
+        joined = str(raw)
+        values = [v.strip() for v in joined.split(field.separator)]
+    for v in values:
+        if v == "" and not field.indexempty:
+            continue
+        if not field.casesensitive:
+            v = v.lower()
+        lst = stage.get(v)
+        if lst is None:
+            stage[v] = [local]
+        elif lst[-1] != local:
+            lst.append(local)
+    return joined

@@ -99,6 +99,13 @@ class SearchIndex:
         self._builder.add(meta)
         self.doctable.set_doclen(meta.gid, meta.doclen, meta.max_freq)
 
+    def add_documents(self, docs, commit: bool = True) -> int:
+        """Bulk ingest via the native tokenizer (index/bulk.py); falls back
+        to the incremental path when native features don't cover the
+        schema.  docs: iterable of (key, fields)."""
+        from .bulk import bulk_add
+        return bulk_add(self, docs, commit=commit)
+
     def delete_document(self, key: str) -> bool:
         meta = self.doctable.delete(key)
         if meta is None:

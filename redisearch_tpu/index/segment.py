@@ -47,6 +47,21 @@ def round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
 
 
+# SLICE guarantee: device posting arrays carry a tail pad so that the
+# engine's `dynamic_slice(arr, start, W)` window reads never clamp
+# (start <= real length, W <= the pad).  ops/window.py relies on this.
+# Position keys cap their pad (and the engine caps the P bucket) at
+# POS_SLICE_PAD — phrase windows over terms with more positions than this
+# are truncated (ultra-common words; the reference degrades there too).
+POS_SLICE_PAD = 262144
+
+
+def tail_pad(arr: np.ndarray, extra: int, fill=0) -> np.ndarray:
+    out = np.full(arr.shape[0] + extra, fill, arr.dtype)
+    out[:arr.shape[0]] = arr
+    return out
+
+
 def next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -122,10 +137,43 @@ class TagPostings:
 
 @dataclasses.dataclass
 class NumericColumn:
-    """Dense numeric column (replaces the numeric range tree)."""
+    """Dense numeric column (replaces the numeric range tree).
+
+    `sorted_*` is the value-sorted permutation: the numeric *generator*
+    path — a range [lo, hi] is a contiguous run in sorted order found by
+    searchsorted, the batch-at-a-time analog of a range-tree leaf scan
+    (reference: numeric_range_tree).  Missing docs sort last with doc id
+    INT32_MAX so a window gather yields valid sorted candidates.
+    """
 
     values: Any    # float32[n_pad]
     present: Any   # bool[n_pad]
+    sorted_vals: Any = None   # float32[n_pad] ascending (missing -> +inf)
+    sorted_docs: Any = None   # int32[n_pad] doc ids in value order
+    sorted_vals_np: Any = None  # host mirror for bind-time searchsorted
+
+
+def make_numeric_column(col_with_nan: np.ndarray, n: int) -> NumericColumn:
+    """Build a NumericColumn (incl. sorted permutation) from a float array
+    where NaN marks missing; entries beyond `n` are padding."""
+    import jax.numpy as jnp
+
+    present = ~np.isnan(col_with_nan)
+    present[n:] = False
+    key = np.where(present, col_with_nan, np.inf)
+    order = np.argsort(key, kind="stable").astype(np.int32)
+    sv = key[order].astype(np.float32)
+    sd = np.where(np.isfinite(sv), order, np.int32(2**31 - 1))
+    cap = next_pow2(col_with_nan.shape[0])
+    return NumericColumn(
+        values=jnp.asarray(np.nan_to_num(col_with_nan, nan=0.0,
+                                         posinf=0.0, neginf=0.0)),
+        present=jnp.asarray(present),
+        sorted_vals=jnp.asarray(tail_pad(sv, cap, np.inf)),
+        sorted_docs=jnp.asarray(tail_pad(sd.astype(np.int32), cap,
+                                         2**31 - 1)),
+        sorted_vals_np=sv,
+    )
 
 
 @dataclasses.dataclass

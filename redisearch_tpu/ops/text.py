@@ -130,8 +130,7 @@ def gather_poskeys(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
     kend = pos_offsets[start + length]
     klen = kend - kstart
     lane = _iota(P)
-    idx = jnp.minimum(kstart + lane, poskeys.shape[0] - 1)
-    keys = poskeys[idx]
+    keys = jax.lax.dynamic_slice(poskeys, (kstart,), (P,))
     keys = jnp.where(lane < klen, keys, jnp.int32(2**31 - 1))
     return keys, klen
 
@@ -166,7 +165,11 @@ def phrase_match_dense(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
         lo = jnp.minimum(lo, P - 1)
         found_key = keys_j[lo]
         same_doc = (found_key // pos_stride) == (cand // pos_stride)
-        ok = alive_c & (found_key < hi_target) & same_doc
+        # found_key >= lo_target guards the index clip above: when
+        # searchsorted returns P (nothing >= target) the clipped gather
+        # would otherwise pick a key below the window
+        ok = (alive_c & (found_key >= lo_target)
+              & (found_key < hi_target) & same_doc)
         if not inorder and slop > 0:
             # non-inorder: the found key may equal cand's own position of a
             # previous term; accept any distinct position in the window.

@@ -103,14 +103,19 @@ class ShardedIndex:
         (gids, scores, knn_dists, sortkeys, total)."""
         n = len(self.shards)
         bindings = []
-        L = P_ = 1
-        tagL = 1
+        P_ = 1
+        buckets: dict[int, tuple] = {}
         for seg in self.shards:
-            b, l, p = cq.bind(seg)
-            tagL = max(tagL, int(b.dyn.pop("_tagL")))
+            b, p = cq.bind(seg)
+            b.dyn.pop("_tagL", None)
+            bk = b.dyn.pop("_buckets")
+            for idx, t in bk.items():
+                cur = buckets.get(idx)
+                buckets[idx] = (t if cur is None else
+                                tuple(max(a, c) for a, c in zip(t, cur)))
             bindings.append(b)
-            L, P_ = max(L, l), max(P_, p)
-        L, P_, tagL = next_pow2(L), next_pow2(P_), next_pow2(tagL)
+            P_ = max(P_, p)
+        P_ = next_pow2(P_)
         # per-shard k (KNN shard window ratio, shard_window_ratio.h:25-40)
         k_local = int(min(next_pow2(max(int(np.ceil(k * shard_k_ratio)), 1)),
                           max(s.n_pad for s in self.shards)))
@@ -120,11 +125,11 @@ class ShardedIndex:
 
         key = cq.signature(
             f"dist|n={max(s.n_pad for s in self.shards)}"
-            f"|stride={self.shards[0].text.pos_stride}|tagL={tagL}"
-            f"|S={n}", L, P_, k_local)
+            f"|stride={self.shards[0].text.pos_stride}"
+            f"|S={n}", buckets, P_, k_local)
         fn = _COMPILE_CACHE.get(key)
         if fn is None:
-            fn = self._build_dist_fn(cq, L, P_, tagL, k_local)
+            fn = self._build_dist_fn(cq, buckets, P_, k_local)
             _COMPILE_CACHE[key] = fn
         sharding = NamedSharding(self.mesh, P(AXIS))
         seg_dev = jax.tree.map(
@@ -134,10 +139,10 @@ class ShardedIndex:
         out = fn(seg_dev, dyn_dev)
         return {kk: np.asarray(v) for kk, v in out.items()}
 
-    def _build_dist_fn(self, cq: CompiledQuery, L: int, P_: int, tagL: int,
+    def _build_dist_fn(self, cq: CompiledQuery, buckets: dict, P_: int,
                        k_local: int):
         proto = self.shards[0]
-        run = _build_fn(cq, proto, L, P_, tagL, k_local, has_extra=False,
+        run = _build_fn(cq, proto, buckets, P_, k_local, has_extra=False,
                         mode="topk", jit=False)
         mesh = self.mesh
 

@@ -37,6 +37,7 @@ from ..utils import wkt
 from ..utils.errors import FieldNotFound, QuerySyntaxError, WrongFieldType
 from ..ops import text as T
 from ..ops import vector as V
+from ..ops import window as W
 from . import ast, expand
 
 # ---------------------------------------------------------------------------
@@ -327,13 +328,43 @@ class CompiledQuery:
         self._syn = syn
 
     # -- signature (compile-cache key) -----------------------------------
-    def signature(self, seg_sig: str, L: int, P: int, k: int,
+    def signature(self, seg_sig: str, buckets: dict, P: int, k: int,
                   batch: int = 1) -> str:
-        return (f"{self.tree}|T={len(self.term_strings)}|L={L}|P={P}|k={k}"
-                f"|scorer={self.opts.scorer}"
+        bstr = ",".join(f"{i}:{b}" for i, b in sorted(buckets.items()))
+        return (f"{self.tree}|T={len(self.term_strings)}|B[{bstr}]|P={P}"
+                f"|k={k}|scorer={self.opts.scorer}"
                 f"|sort={self.opts.sort_field}:{self.opts.sort_asc}"
                 f"|knn={self.knn.field if self.knn else None}"
                 f"|b={batch}|{seg_sig}")
+
+    @staticmethod
+    def bucket_size(n: int) -> int:
+        """Quantize a window length to a coarse bucket.
+
+        Buckets are powers of 8 starting at 1024 (1k, 8k, 64k, 512k, 4M):
+        a handful of levels per segment keeps the compile universe tiny
+        (each distinct bucket vector is one XLA executable) while the
+        wasted gather work at the low end is negligible.
+        """
+        b = 1024
+        while b < n:
+            b *= 8
+        return b
+
+    def leaves(self) -> list[tuple[Any, int]]:
+        """All (leaf, leaf_idx) pairs of the lowered tree."""
+        out = []
+
+        def rec(t):
+            if t[0] == "leaf":
+                out.append((t[1], t[2]))
+            elif t[0] in ("not", "opt"):
+                rec(t[1])
+            else:
+                for k in t[1]:
+                    rec(k)
+        rec(self.tree)
+        return out
 
     # -- binding ----------------------------------------------------------
     def bind(self, seg: Segment) -> tuple[SegmentBinding, int, int]:
@@ -407,6 +438,8 @@ class CompiledQuery:
         dyn["_tagL"] = P_tag  # popped before jit
 
         # numerics / geo
+        numw_start = np.zeros(max(len(self.num_bounds), 1), np.int32)
+        numw_len = np.zeros(max(len(self.num_bounds), 1), np.int32)
         if self.num_bounds:
             dyn["num_lo"] = np.asarray([b[0] for b in self.num_bounds],
                                        np.float32)
@@ -437,9 +470,64 @@ class CompiledQuery:
                     po = np.asarray(seg.text.pos_offsets[a]), np.asarray(
                         seg.text.pos_offsets[b])
                     P = max(P, int(po[1]) - int(po[0]))
-        P = int(next_pow2(max(P, 1)))
+        from ..index.segment import POS_SLICE_PAD
+        P = min(int(self.bucket_size(P)), POS_SLICE_PAD) if P > 1 else 1
 
-        return SegmentBinding(seg, dyn), L, P
+        # ---- per-leaf window buckets (static shapes for the window
+        # evaluator; part of the compile-cache key)
+        cap = int(next_pow2(seg.n_pad))
+        buckets: dict[int, tuple] = {}
+        tweight = dyn["tweight"]
+        for leaf, idx in self.leaves():
+            if isinstance(leaf, LTerms):
+                lo, hi = leaf.lo, leaf.hi
+                # compact non-empty slots to the front of the leaf range so
+                # a static prefix covers every live expansion
+                rng = list(range(lo, hi))
+                nz = [i for i in rng if lens[i] > 0]
+                perm = nz + [i for i in rng if lens[i] == 0]
+                for arr in (starts, lens, qmasks, tweight):
+                    arr[lo:hi] = arr[perm]
+                nu = next_pow2(max(len(nz), 1))
+                W = min(self.bucket_size(
+                    int(lens[lo:hi].max()) if hi > lo else 1), cap)
+                buckets[idx] = (min(nu, hi - lo), W)
+            elif isinstance(leaf, LPhrase):
+                W = min(self.bucket_size(
+                    max((int(lens[s]) for s in leaf.slots), default=1)), cap)
+                buckets[idx] = (W, P)
+            elif isinstance(leaf, LTag):
+                ts = dyn[f"tag{leaf.ord}_starts"]
+                tl = dyn[f"tag{leaf.ord}_lens"]
+                nz = np.nonzero(tl > 0)[0]
+                perm = np.concatenate([nz, np.nonzero(tl == 0)[0]])
+                dyn[f"tag{leaf.ord}_starts"] = ts[perm]
+                dyn[f"tag{leaf.ord}_lens"] = tl[perm]
+                nu = next_pow2(max(len(nz), 1))
+                W = min(self.bucket_size(int(tl.max()) if tl.size else 1),
+                        cap)
+                buckets[idx] = (min(nu, len(tl)), W)
+            elif isinstance(leaf, LNumeric):
+                col = seg.numerics.get(leaf.field)
+                length = 0
+                if col is not None and col.sorted_vals_np is not None:
+                    lo_v, hi_v = self.num_bounds[leaf.ord]
+                    sv = col.sorted_vals_np
+                    a = np.searchsorted(
+                        sv, lo_v, side="right" if leaf.lo_excl else "left")
+                    b = np.searchsorted(
+                        sv, hi_v, side="left" if leaf.hi_excl else "right")
+                    length = max(int(b - a), 0)
+                    numw_start[leaf.ord] = a
+                    numw_len[leaf.ord] = length
+                buckets[idx] = (min(self.bucket_size(length), cap),)
+            else:
+                buckets[idx] = ()
+        dyn["numw_start"] = numw_start
+        dyn["numw_len"] = numw_len
+        dyn["_buckets"] = buckets  # popped before jit
+
+        return SegmentBinding(seg, dyn), P
 
     def _idf(self, dfs: np.ndarray, N: int) -> np.ndarray:
         if self.opts.scorer.startswith("BM25"):
@@ -551,6 +639,7 @@ class SegmentResult:
     count: int                 # total matching docs
     sortkeys: Optional[np.ndarray] = None
     knn_dists: Optional[np.ndarray] = None
+    valid: Optional[np.ndarray] = None   # window mode: bool per window slot
 
 
 def execute(cq: CompiledQuery, seg: Segment, k: int,
@@ -559,39 +648,105 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     """Run a compiled query against one segment.
 
     mode "topk": top-k by score/sortkey (FT.SEARCH path).
-    mode "mask": full dense match mask + scores (aggregation source).
+    mode "window": candidate window (docs, valid, scores) — the
+    aggregation source (all matching docs, no top-k truncation).
     """
-    binding, L, P = cq.bind(seg)
+    binding, P = cq.bind(seg)
     dyn = binding.dyn
-    tagL = int(next_pow2(dyn.pop("_tagL")))
+    dyn.pop("_tagL", None)
+    buckets = dyn.pop("_buckets")
     if extra_mask is not None:
         dyn["extra_mask"] = extra_mask
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
-    seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|tagL={tagL}"
+    seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}"
                f"|extra={extra_mask is not None}|mode={mode}")
-    sig = cq.signature(seg_sig, L, P, k_pad)
+    sig = cq.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
-        fn = _build_fn(cq, seg, L, P, tagL, k_pad,
+        fn = _build_fn(cq, seg, buckets, P, k_pad,
                        has_extra="extra_mask" in dyn, mode=mode)
         _COMPILE_CACHE[sig] = fn
     seg_args = _segment_args(cq, seg)
-    out = fn(seg_args, {k_: jnp.asarray(v) for k_, v in dyn.items()})
-    if mode == "mask":
+    out = fn(seg_args, jax.device_put(dyn))
+    out = jax.device_get(out)  # ONE d2h transfer for all outputs
+    if mode == "window":
         return SegmentResult(
-            local_idx=np.asarray(out["match"]),   # bool mask, n_pad
-            scores=np.asarray(out["score"]),
+            local_idx=out["docs"],     # window doc ids
+            scores=out["score"],
             count=int(out["count"]),
-            knn_dists=np.asarray(out["knn"]) if "knn" in out else None,
+            valid=out["valid"],
+            knn_dists=out.get("knn"),
         )
-    res = SegmentResult(
-        local_idx=np.asarray(out["idx"]),
-        scores=np.asarray(out["scores"]),
+    return SegmentResult(
+        local_idx=out["idx"],
+        scores=out["scores"],
         count=int(out["count"]),
-        sortkeys=np.asarray(out["sortkeys"]) if "sortkeys" in out else None,
-        knn_dists=np.asarray(out["knn"]) if "knn" in out else None,
+        sortkeys=out.get("sortkeys"),
+        knn_dists=out.get("knn"),
     )
-    return res
+
+
+def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
+                  ) -> list[SegmentResult]:
+    """Run a batch of same-structure queries in one device dispatch.
+
+    The throughput path (serving + benchmarks): windows batch along a vmap
+    axis and the whole batch is one XLA program — amortizing postings reads
+    and dispatch overhead the way the reference amortizes per-query cost
+    across worker threads (src/util/workers.c), but on one device.
+    Queries must share a parsed structure; buckets are maxed across the
+    batch so they share one executable.
+    """
+    cq0 = cqs[0]
+    bindings = []
+    P = 1
+    buckets: dict[int, tuple] = {}
+    for cq in cqs:
+        b, p = cq.bind(seg)
+        b.dyn.pop("_tagL", None)
+        bk = b.dyn.pop("_buckets")
+        for idx, t in bk.items():
+            cur = buckets.get(idx)
+            buckets[idx] = (t if cur is None else
+                            tuple(max(a, c) for a, c in zip(t, cur)))
+        bindings.append(b)
+        P = max(P, p)
+    P = next_pow2(P)
+    k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
+    B = len(cqs)
+    seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}")
+    sig = cq0.signature(seg_sig, buckets, P, k_pad)
+    fn = _COMPILE_CACHE.get(sig)
+    if fn is None:
+        raw = _build_fn(cq0, seg, buckets, P, k_pad, has_extra=False,
+                        jit=False)
+
+        # lax.scan over the batch axis instead of vmap: the body compiles
+        # once (vmap of dynamic_slice re-lowers to arbitrary gathers and
+        # explodes compile time), and per-query work stays
+        # contiguous-window shaped.  One h2d transfer for the whole batch.
+        def batched(seg_args, dyn_stacked):
+            def body(_, dyn_i):
+                return None, raw(seg_args, dyn_i)
+            _, outs = jax.lax.scan(body, None, dyn_stacked)
+            return outs
+
+        fn = jax.jit(batched)
+        _COMPILE_CACHE[sig] = fn
+    dyn = {key: np.stack([np.asarray(b.dyn[key]) for b in bindings])
+           for key in bindings[0].dyn}
+    seg_args = _segment_args(cq0, seg)
+    out = fn(seg_args, jax.device_put(dyn))
+    out = jax.device_get(out)  # ONE d2h transfer for the whole batch
+    results = []
+    for i in range(B):
+        results.append(SegmentResult(
+            local_idx=out["idx"][i],
+            scores=out["scores"][i],
+            count=int(out["count"][i]),
+            sortkeys=(out["sortkeys"][i] if "sortkeys" in out else None),
+            knn_dists=(out["knn"][i] if "knn" in out else None)))
+    return results
 
 
 def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
@@ -612,11 +767,14 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         tp = seg.tags.get(cq.schema.field(node.field).attribute)
         args[f"tag{j}_docs"] = (tp.doc_ids if tp is not None
                                 else jnp.zeros(1, jnp.int32))
-    for leaf in cq._iter_leaves(cq.tree):
+    for leaf, _idx in cq.leaves():
         if isinstance(leaf, LNumeric):
             col = seg.numerics[leaf.field]
             args[f"num{leaf.ord}_v"] = col.values
             args[f"num{leaf.ord}_p"] = col.present
+            args[f"num{leaf.ord}_sd"] = (
+                col.sorted_docs if col.sorted_docs is not None
+                else jnp.zeros(1, jnp.int32))
         elif isinstance(leaf, LGeo):
             col = seg.geos[leaf.field]
             args[f"geo{leaf.ord}_lon"] = col.lon
@@ -653,10 +811,15 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
     return args
 
 
-def _build_fn(cq: CompiledQuery, seg_proto: Segment, L: int, P: int,
-              tagL: int, k: int, has_extra: bool, mode: str = "topk",
+def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
+              P: int, k: int, has_extra: bool, mode: str = "topk",
               jit: bool = True):
-    """Build + jit the executor for one query structure."""
+    """Build + jit the window-evaluator executor for one query structure.
+
+    See ops/window.py for the evaluation model: every subtree evaluates as
+    a sorted candidate *window* (generator) or a membership *predicate*;
+    intersections pivot on the statically-smallest window.
+    """
     opts = cq.opts
     scorer = opts.scorer
     tree = cq.tree
@@ -664,181 +827,388 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, L: int, P: int,
     knn = cq.knn
     knn_metric = (cq.schema.field(knn.field).vector.metric.value
                   if knn is not None else None)
+    dismax = scorer == "DISMAX"
+    n_pad_static = seg_proto.n_pad
+
+    # ---- static analysis: which subtrees can generate, and how wide
+    def can_gen(t) -> bool:
+        tag = t[0]
+        if tag == "leaf":
+            return isinstance(t[1], (LTerms, LPhrase, LTag, LNumeric,
+                                     LAll, LNone))
+        if tag == "and":
+            return any(can_gen(c) for c in t[1])
+        if tag in ("or", "dismax"):
+            return all(can_gen(c) for c in t[1])
+        return False  # not/opt are predicates
+
+    def gen_bucket(t) -> int:
+        tag = t[0]
+        if tag == "leaf":
+            leaf, idx = t[1], t[2]
+            bk = buckets[idx]
+            if isinstance(leaf, LTerms):
+                return bk[0] * bk[1]
+            if isinstance(leaf, LPhrase):
+                return bk[1]           # position window bound
+            if isinstance(leaf, LTag):
+                return bk[0] * bk[1]
+            if isinstance(leaf, LNumeric):
+                return bk[0]
+            if isinstance(leaf, LAll):
+                return n_pad_static
+            return 1                   # LNone
+        if tag == "and":
+            return min(gen_bucket(c) for c in t[1] if can_gen(c))
+        if tag in ("or", "dismax"):
+            return next_pow2(sum(gen_bucket(c) for c in t[1]))
+        return n_pad_static
 
     def run(seg, dyn):
         n_pad = seg["alive"].shape[0]
-        n_slots = len(cq.term_strings)
 
-        # ---- dense tf for all term slots (one scatter)
-        if n_slots:
-            acc = T.terms_tf_dense(
+        def clampdoc(docs):
+            return jnp.minimum(docs, n_pad - 1)
+
+        # ---- per-slot scored windows
+        def slot_scored(slot: int, Wn: int):
+            docs, tf, valid = W.slot_window(
                 seg["doc_ids"], seg["freqs"], seg["field_masks"],
-                dyn["tstarts"], dyn["tlens"], dyn["tmasks"], n_pad, L)
-            # acc holds tf; a separate +1 scatter marks matches even when
-            # field weights are 0.  Single (term,doc) entry per slot, so
-            # tf = acc_tf, match = acc_cnt > 0 — both from one fused pass:
-            tf = acc
-            # scorer transform
+                dyn["tstarts"][slot], dyn["tlens"][slot],
+                dyn["tmasks"][slot], Wn)
+            w = dyn["tweight"][slot]
+            cd = clampdoc(docs)
             if scorer.startswith("BM25"):
-                contrib = T.bm25_transform(
-                    tf, dyn["tweight"][:, None], seg["doclen"][None, :],
-                    dyn["avgdl"])
+                dl = seg["doclen"][cd]
+                norm = T.BM25_K1 * (1.0 - T.BM25_B
+                                    + T.BM25_B * dl
+                                    / jnp.maximum(dyn["avgdl"], 1e-9))
+                s = w * tf * (T.BM25_K1 + 1.0) / (tf + norm)
             elif scorer == "TFIDF.DOCNORM":
-                contrib = T.tfidf_docnorm_transform(
-                    tf, dyn["tweight"][:, None], seg["doclen"][None, :])
-            else:  # TFIDF, DISMAX, DOCSCORE use normalized tf*idf
-                contrib = T.tfidf_transform(
-                    tf, dyn["tweight"][:, None], seg["max_freq"][None, :])
-            match_slots = tf > 0.0
-        else:
-            contrib = jnp.zeros((0, n_pad), jnp.float32)
-            match_slots = jnp.zeros((0, n_pad), jnp.bool_)
+                s = w * tf / jnp.maximum(seg["doclen"][cd], 1.0)
+            else:
+                s = w * tf / jnp.maximum(seg["max_freq"][cd], 1.0)
+            return docs, jnp.where(valid, s, 0.0), valid
 
-        ones = jnp.ones((n_pad,), jnp.bool_)
-        zeros_f = jnp.zeros((n_pad,), jnp.float32)
-
-        def eval_node(t):
-            tag = t[0]
-            if tag == "leaf":
-                return eval_leaf(t[1], t[2])
-            if tag == "and":
-                ms, ss = zip(*(eval_node(k) for k in t[1]))
-                m = ms[0]
-                for x in ms[1:]:
-                    m = m & x
-                s = sum(ss[1:], ss[0])
-                return m, jnp.where(m, s, 0.0)
-            if tag in ("or", "dismax"):
-                ms, ss = zip(*(eval_node(k) for k in t[1]))
-                m = ms[0]
-                for x in ms[1:]:
-                    m = m | x
-                if tag == "dismax":
-                    s = ss[0]
-                    for x in ss[1:]:
-                        s = jnp.maximum(s, x)
-                else:
-                    s = sum(ss[1:], ss[0])
-                return m, s
-            if tag == "not":
-                m, _ = eval_node(t[1])
-                return seg["alive"] & ~m, zeros_f
-            if tag == "opt":
-                m, s = eval_node(t[1])
-                return ones, s
-            raise AssertionError(tag)
-
-        def eval_leaf(leaf, idx):
+        # ---- leaf generators
+        def gen_leaf(leaf, idx):
             const = dyn["leaf_const"][idx]
             if isinstance(leaf, LTerms):
-                m = jnp.any(match_slots[leaf.lo:leaf.hi], axis=0)
-                s = jnp.sum(contrib[leaf.lo:leaf.hi], axis=0)
-                return m, s
+                nu, Wn = buckets[idx]
+                wins = [slot_scored(leaf.lo + j, Wn) for j in range(nu)]
+                if len(wins) == 1:
+                    return wins[0]
+                return W.union_windows(wins, dismax=False)
             if isinstance(leaf, LPhrase):
-                starts = jnp.stack([dyn["tstarts"][s] for s in leaf.slots])
-                lens = jnp.stack([dyn["tlens"][s] for s in leaf.slots])
-                m = T.phrase_match_dense(
-                    seg["poskeys"], seg["pos_offsets"], starts, lens,
-                    pos_stride, leaf.slop, leaf.inorder, n_pad, P)
-                anylen = jnp.all(lens > 0)
-                m = m & anylen
-                # each phrase term must also match the field-mask filter
-                # (positions are field-agnostic; masks live on postings)
-                for s_ in leaf.slots:
-                    m = m & match_slots[s_]
-                s = jnp.sum(contrib[leaf.score_lo:leaf.score_hi], axis=0)
-                return m, jnp.where(m, s, 0.0)
+                return gen_phrase(leaf, idx)
             if isinstance(leaf, LTag):
-                m = T.tags_match_dense(
-                    seg[f"tag{leaf.ord}_docs"],
-                    dyn[f"tag{leaf.ord}_starts"],
-                    dyn[f"tag{leaf.ord}_lens"], n_pad, tagL)
-                return m, jnp.where(m, const, 0.0)
+                nu, Wn = buckets[idx]
+                wins = []
+                for j in range(nu):
+                    d, v = W.tag_window(
+                        seg[f"tag{leaf.ord}_docs"],
+                        dyn[f"tag{leaf.ord}_starts"][j],
+                        dyn[f"tag{leaf.ord}_lens"][j], Wn)
+                    wins.append((d, None, v))
+                if len(wins) == 1:
+                    d, _, v = wins[0]
+                else:
+                    d, _, v = W.union_windows(wins)
+                return d, jnp.where(v, const, 0.0), v
             if isinstance(leaf, LNumeric):
-                m = T.numeric_range_mask(
-                    seg[f"num{leaf.ord}_v"], seg[f"num{leaf.ord}_p"],
-                    dyn["num_lo"][leaf.ord], dyn["num_hi"][leaf.ord],
-                    leaf.lo_excl, leaf.hi_excl)
-                return m, jnp.where(m, const, 0.0)
-            if isinstance(leaf, LGeo):
-                m = T.geo_radius_mask(
-                    seg[f"geo{leaf.ord}_lon"], seg[f"geo{leaf.ord}_lat"],
-                    seg[f"geo{leaf.ord}_p"], dyn["geo_lon"][leaf.ord],
-                    dyn["geo_lat"][leaf.ord], dyn["geo_rad"][leaf.ord])
-                return m, jnp.where(m, const, 0.0)
-            if isinstance(leaf, LVecRange):
-                d = V.distances_to(
-                    seg[f"vec{leaf.ord}"], seg[f"vec{leaf.ord}_sq"],
-                    dyn[f"vblob{leaf.ord}"], leaf.metric)
-                m = (seg[f"vec{leaf.ord}_p"]
-                     & (d <= dyn[f"vrad{leaf.ord}"]))
-                return m, jnp.where(m, const, 0.0)
-            if isinstance(leaf, LHostMask):
-                m = dyn[f"hm{leaf.ord}"]
-                return m, jnp.where(m, const, 0.0)
-            if isinstance(leaf, LMissing):
-                return seg["alive"] & ~seg[f"has_{leaf.field}"], zeros_f
+                (Wn,) = buckets[idx]
+                d, v = W.numeric_window(
+                    seg[f"num{leaf.ord}_sd"], dyn["numw_start"][leaf.ord],
+                    dyn["numw_len"][leaf.ord], Wn)
+                return d, jnp.where(v, const, 0.0), v
             if isinstance(leaf, LAll):
-                return seg["alive"], zeros_f
+                d, v = W.iota_window(n_pad)
+                return d, jnp.where(v, const, 0.0), v
             if isinstance(leaf, LNone):
-                return jnp.zeros((n_pad,), jnp.bool_), zeros_f
+                d = jnp.full((1,), W.INVALID, jnp.int32)
+                return d, jnp.zeros((1,), jnp.float32), d != W.INVALID
             raise AssertionError(leaf)
 
-        match, score = eval_node(tree)
-        # TTL + alive + padding
-        not_expired = (seg["expire_at"] == 0) | (seg["expire_at"] > dyn["now"])
-        match = match & seg["alive"] & not_expired
+        def gen_phrase(leaf, idx):
+            Wn, Pn = buckets[idx]
+            starts = jnp.stack([dyn["tstarts"][s] for s in leaf.slots])
+            lens = jnp.stack([dyn["tlens"][s] for s in leaf.slots])
+            cand, alive_c = _phrase_chain(
+                seg["poskeys"], seg["pos_offsets"], starts, lens,
+                pos_stride, leaf.slop, leaf.inorder, Pn)
+            anylen = jnp.all(lens > 0)
+            alive_c = alive_c & anylen
+            docs = jnp.where(alive_c, cand // pos_stride,
+                             W.INVALID)
+            docs, valid = W.dedup_sorted(docs, alive_c)
+            # score: sum of member-term contributions at the phrase docs
+            score = jnp.zeros(docs.shape, jnp.float32)
+            for s in range(leaf.score_lo, leaf.score_hi):
+                sd, ss, sv = slot_scored(s, Wn)
+                hit, add = W.member(sd, sv, ss, docs)
+                score = score + add
+            return docs, jnp.where(valid, score, 0.0), valid
+
+        # ---- predicates: fn(docs) -> (match, score)
+        def pred_leaf(leaf, idx):
+            const = dyn["leaf_const"][idx]
+            if isinstance(leaf, (LTerms, LPhrase, LTag, LNone)):
+                win = gen_leaf(leaf, idx)
+
+                def f(docs, _w=win):
+                    hit, s = W.member(_w[0], _w[2], _w[1], docs)
+                    return hit, s
+                return f
+            if isinstance(leaf, LNumeric):
+                def f(docs):
+                    cd = clampdoc(docs)
+                    v = seg[f"num{leaf.ord}_v"][cd]
+                    p = seg[f"num{leaf.ord}_p"][cd]
+                    lo = dyn["num_lo"][leaf.ord]
+                    hi = dyn["num_hi"][leaf.ord]
+                    ge = v > lo if leaf.lo_excl else v >= lo
+                    le = v < hi if leaf.hi_excl else v <= hi
+                    m = p & ge & le & (docs != W.INVALID)
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            if isinstance(leaf, LGeo):
+                def f(docs):
+                    cd = clampdoc(docs)
+                    m = T.geo_radius_mask(
+                        seg[f"geo{leaf.ord}_lon"][cd],
+                        seg[f"geo{leaf.ord}_lat"][cd],
+                        seg[f"geo{leaf.ord}_p"][cd],
+                        dyn["geo_lon"][leaf.ord],
+                        dyn["geo_lat"][leaf.ord],
+                        dyn["geo_rad"][leaf.ord])
+                    m = m & (docs != W.INVALID)
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            if isinstance(leaf, LVecRange):
+                def f(docs):
+                    cd = clampdoc(docs)
+                    rows = seg[f"vec{leaf.ord}"][cd].astype(jnp.float32)
+                    q = dyn[f"vblob{leaf.ord}"]
+                    dots = rows @ q
+                    sq = seg[f"vec{leaf.ord}_sq"][cd]
+                    if leaf.metric == "L2":
+                        d = sq - 2.0 * dots + jnp.sum(q * q)
+                    elif leaf.metric == "IP":
+                        d = 1.0 - dots
+                    else:
+                        d = 1.0 - dots / jnp.maximum(
+                            jnp.sqrt(sq) * jnp.linalg.norm(q), 1e-30)
+                    m = (seg[f"vec{leaf.ord}_p"][cd]
+                         & (d <= dyn[f"vrad{leaf.ord}"])
+                         & (docs != W.INVALID))
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            if isinstance(leaf, LHostMask):
+                def f(docs):
+                    m = dyn[f"hm{leaf.ord}"][clampdoc(docs)] \
+                        & (docs != W.INVALID)
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            if isinstance(leaf, LMissing):
+                def f(docs):
+                    m = (~seg[f"has_{leaf.field}"][clampdoc(docs)]
+                         & (docs != W.INVALID))
+                    return m, jnp.zeros(docs.shape, jnp.float32)
+                return f
+            if isinstance(leaf, LAll):
+                def f(docs):
+                    m = docs != W.INVALID
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            raise AssertionError(leaf)
+
+        # ---- recursive evaluation
+        def eval_gen(t):
+            tag = t[0]
+            if tag == "leaf":
+                return gen_leaf(t[1], t[2])
+            if tag == "and":
+                gens = [c for c in t[1] if can_gen(c)]
+                pivot = min(gens, key=gen_bucket)
+                docs, score, valid = eval_gen(pivot)
+                for c in t[1]:
+                    if c is pivot:
+                        continue
+                    m, s = eval_pred(c)(docs)
+                    valid = valid & m
+                    score = score + s
+                return docs, jnp.where(valid, score, 0.0), valid
+            if tag in ("or", "dismax"):
+                wins = [eval_gen(c) for c in t[1]]
+                return W.union_windows(wins, dismax=(tag == "dismax"))
+            raise AssertionError(tag)
+
+        def eval_pred(t):
+            tag = t[0]
+            if tag == "leaf":
+                return pred_leaf(t[1], t[2])
+            if tag == "and":
+                preds = [eval_pred(c) for c in t[1]]
+
+                def f(docs):
+                    m = docs != W.INVALID
+                    s = jnp.zeros(docs.shape, jnp.float32)
+                    for p in preds:
+                        mi, si = p(docs)
+                        m = m & mi
+                        s = s + si
+                    return m, jnp.where(m, s, 0.0)
+                return f
+            if tag in ("or", "dismax"):
+                preds = [eval_pred(c) for c in t[1]]
+                mx = tag == "dismax"
+
+                def f(docs):
+                    m = jnp.zeros(docs.shape, jnp.bool_)
+                    s = jnp.zeros(docs.shape, jnp.float32)
+                    for p in preds:
+                        mi, si = p(docs)
+                        m = m | mi
+                        s = jnp.maximum(s, si) if mx else s + si
+                    return m, s
+                return f
+            if tag == "not":
+                child = eval_pred(t[1])
+
+                def f(docs):
+                    mi, _ = child(docs)
+                    return ~mi & (docs != W.INVALID), \
+                        jnp.zeros(docs.shape, jnp.float32)
+                return f
+            if tag == "opt":
+                child = eval_pred(t[1])
+
+                def f(docs):
+                    _, si = child(docs)
+                    return docs != W.INVALID, si
+                return f
+            raise AssertionError(tag)
+
+        # ---- root
+        root_gen = can_gen(tree)
+        root_is_iota = ((not root_gen)
+                        or (tree[0] == "leaf"
+                            and isinstance(tree[1], LAll)))
+        if root_gen:
+            docs, score, valid = eval_gen(tree)
+        else:
+            docs, valid0 = W.iota_window(n_pad)
+            m, score = eval_pred(tree)(docs)
+            valid = valid0 & m
+        cd = clampdoc(docs)
+
+        not_expired = ((seg["expire_at"][cd] == 0)
+                       | (seg["expire_at"][cd] > dyn["now"]))
+        valid = (valid & seg["alive"][cd] & not_expired
+                 & (docs != W.INVALID))
         if has_extra:
-            match = match & dyn["extra_mask"]
+            valid = valid & dyn["extra_mask"][cd]
 
         if scorer == "DOCSCORE":
-            score = seg["docscore"]
+            score = seg["docscore"][cd]
         else:
-            score = score * seg["docscore"]
+            score = score * seg["docscore"][cd]
         if scorer == "BM25STD.TANH":
             score = jnp.tanh(score)
+        score = jnp.where(valid, score, 0.0)
 
-        count = jnp.sum(match.astype(jnp.int32))
+        count = jnp.sum(valid.astype(jnp.int32))
         out = {"count": count}
+        Wc = docs.shape[0]
+        k_eff = min(k, Wc)
 
-        if mode == "mask":
-            out["match"] = match
-            out["score"] = jnp.where(match, score, 0.0)
+        if mode == "window":
+            out["docs"] = docs
+            out["valid"] = valid
+            out["score"] = score
             if knn is not None:
-                d = V.distances_to(seg["knn_vecs"], seg["knn_sq"],
-                                   seg["knn_blob"], knn_metric)
-                out["knn"] = jnp.where(match & seg["knn_present"], d, 3.4e38)
+                rows = seg["knn_vecs"][cd].astype(jnp.float32)
+                q = seg["knn_blob"]
+                d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
+                out["knn"] = jnp.where(valid & seg["knn_present"][cd],
+                                       d, 3.4e38)
             return out
 
         if knn is not None:
-            d = V.distances_to(seg["knn_vecs"], seg["knn_sq"],
-                               seg["knn_blob"], knn_metric)
-            valid = match & seg["knn_present"]
-            big = jnp.float32(3.4e38)
-            dm = jnp.where(valid, d, big)
-            vals, idx = jax.lax.top_k(-dm, k)
-            out["idx"] = idx
-            out["knn"] = -vals
-            out["scores"] = score[idx]
-            out["count"] = jnp.sum(valid.astype(jnp.int32))
+            q = seg["knn_blob"]
+            if not root_is_iota:
+                rows = seg["knn_vecs"][cd].astype(jnp.float32)
+                d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
+                dm = jnp.where(valid & seg["knn_present"][cd], d, 3.4e38)
+                vals, sel = jax.lax.top_k(-dm, k_eff)
+                out["idx"] = docs[sel]
+                out["knn"] = -vals
+                out["scores"] = score[sel]
+            else:
+                d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
+                                   knn_metric)
+                # window is the iota ordering here, so valid aligns by doc
+                dm = jnp.where(valid & seg["knn_present"], d, 3.4e38)
+                vals, sel = jax.lax.top_k(-dm, k_eff)
+                out["idx"] = sel
+                out["knn"] = -vals
+                out["scores"] = score[sel]
+            out["count"] = jnp.sum(
+                (valid & seg["knn_present"][cd]).astype(jnp.int32))
             return out
 
         if opts.sort_field:
-            valid = match & seg["sort_p"]
-            keyvals, idx = T.topk_by_key(seg["sort_v"], valid, k,
-                                         opts.sort_asc)
-            out["idx"] = idx
-            out["scores"] = score[idx]
+            keys = seg["sort_v"][cd]
+            v2 = valid & seg["sort_p"][cd]
+            keyvals, sel = T.topk_by_key(keys, v2, k_eff, opts.sort_asc)
+            out["idx"] = docs[sel]
+            out["scores"] = score[sel]
             out["sortkeys"] = keyvals
-            # docs matching but missing the sort field rank last; count
-            # stays the full match count like the reference sorter
             return out
 
         neg = jnp.float32(-3.4e38)
-        masked = jnp.where(match, score, neg)
-        vals, idx = jax.lax.top_k(masked, k)
-        out["idx"] = idx
+        masked = jnp.where(valid, score, neg)
+        vals, sel = jax.lax.top_k(masked, k_eff)
+        out["idx"] = docs[sel]
         out["scores"] = vals
         return out
 
     return jax.jit(run) if jit else run
+
+
+def _metric_dist(rows, sq, q, metric):
+    dots = rows @ q
+    if metric == "L2":
+        return sq - 2.0 * dots + jnp.sum(q * q)
+    if metric == "IP":
+        return 1.0 - dots
+    return 1.0 - dots / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30))
+                                    * jnp.linalg.norm(q), 1e-30)
+
+
+def _phrase_chain(poskeys, pos_offsets, starts, lens, pos_stride,
+                  slop, inorder, P):
+    """Greedy phrase chain over sorted position keys (see ops/text.py
+    phrase_match_dense for the algorithm); returns surviving candidate
+    keys + alive mask instead of a dense doc mask."""
+    Tn = starts.shape[0]
+    cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[0], lens[0], P)
+    alive_c = cand != 2**31 - 1
+    for j in range(1, Tn):
+        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
+                                     lens[j], P)
+        if inorder or slop == 0:
+            lo_t = cand + 1
+            hi_t = cand + 2 + slop
+        else:
+            lo_t = cand - slop
+            hi_t = cand + 2 + slop
+        lo = jnp.minimum(jnp.searchsorted(keys_j, lo_t, side="left"), P - 1)
+        found = keys_j[lo]
+        same_doc = (found // pos_stride) == (cand // pos_stride)
+        ok = (alive_c & (found >= lo_t) & (found < hi_t) & same_doc)
+        if not inorder and slop > 0:
+            ok = ok & (found != cand)
+        cand = jnp.where(ok, jnp.maximum(found, cand), cand)
+        alive_c = ok
+    return cand, alive_c
