@@ -104,7 +104,10 @@ class SearchIndex:
         to the incremental path when native features don't cover the
         schema.  docs: iterable of (key, fields)."""
         from .bulk import bulk_add
-        return bulk_add(self, docs, commit=commit)
+        n = bulk_add(self, docs, commit=commit)
+        if self.segments:
+            self._build_ann(self.segments[-1])
+        return n
 
     def delete_document(self, key: str) -> bool:
         meta = self.doctable.delete(key)
@@ -135,8 +138,32 @@ class SearchIndex:
         seg = self._builder.seal()
         if seg is not None:
             self.segments.append(seg)
+            self._build_ann(seg)
         self._builder = SegmentBuilder(self.schema, self.stopwords,
                                        self.synonyms)
+
+    def _build_ann(self, seg: Segment) -> None:
+        """Build partitioned (IVF) ANN structures for qualifying vector
+        fields.  Small segments stay brute-force FLAT — the tiered
+        front-buffer semantics of the reference's TIERED index
+        (src/vector_index.c:89): fresh writes are exact, large sealed
+        segments get the ANN structure."""
+        from ..schema import VectorAlgo
+        from ..ops.ivf import IVFIndex
+        for f in self.schema.fields_of(FieldType.VECTOR):
+            vp = f.vector
+            if vp.algo == VectorAlgo.FLAT:
+                continue
+            col = seg.vectors.get(f.attribute)
+            if col is None or col.ivf is not None:
+                continue
+            n_present = int(np.asarray(col.present).sum())
+            if n_present < max(vp.flat_buffer_limit, 64):
+                continue
+            col.ivf = IVFIndex.build(
+                np.asarray(col.vecs, np.float32),
+                np.asarray(col.present), vp.metric.value,
+                nlist=vp.nlist)
 
     def compact(self) -> None:
         """Rebuild all segments dropping deleted docs (replaces fork-GC)."""

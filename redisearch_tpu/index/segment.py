@@ -205,6 +205,12 @@ class VectorColumn:
     # Precomputed squared L2 norms (f32[n_pad]) for L2 via the MXU
     # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 trick.
     sq_norms: Any = None
+    # Partitioned ANN structure (ops/ivf.py IVFIndex) for IVF/TIERED
+    # fields; None = brute-force FLAT scan (always exact).  Built by
+    # SearchIndex.commit() when the segment crosses the tiered threshold —
+    # small fresh segments stay FLAT, which IS the reference's tiered
+    # flat-front-buffer semantics (src/vector_index.c tiered).
+    ivf: Any = None
 
 
 @dataclasses.dataclass

@@ -154,33 +154,42 @@ class IVFIndex:
                 + self.bucket_ids.nbytes + self.centroids.nbytes)
 
 
-def ivf_probe(ivf: IVFIndex, q: jnp.ndarray, k: int, nprobe: int,
-              mask: Optional[jnp.ndarray] = None):
-    """KNN via centroid routing: returns (dists [k], local_ids [k]).
+def ivf_probe_arrays(centroids, cent_sq, bucket_vecs, bucket_sq, bucket_ids,
+                     metric: str, q: jnp.ndarray, k: int, nprobe: int,
+                     cand_docs: Optional[jnp.ndarray] = None,
+                     cand_valid: Optional[jnp.ndarray] = None):
+    """KNN via centroid routing over raw arrays (jit-friendly form).
 
-    q [d] f32.  mask: optional bool[n_pad] prefilter over local doc ids
-    (filtered KNN: the mask gathers into the probed tiles).
+    Returns (dists [k], local_ids [k]).  Filtered KNN: `cand_docs` is a
+    sorted candidate window (engine window representation) and membership
+    of probed ids is tested with searchsorted — the BATCHES-mode analog of
+    the reference's hybrid iterator (src/iterators/hybrid_reader.c).
     """
     qf = q.astype(jnp.float32)
-    if ivf.metric == "COSINE":
+    if metric == "COSINE":
         qf = qf / jnp.maximum(jnp.linalg.norm(qf), 1e-30)
-    # route: top-nprobe centroids by L2
-    cd = ivf.cent_sq - 2.0 * (ivf.centroids @ qf)
-    _, lists = jax.lax.top_k(-cd, nprobe)
-    tiles = ivf.bucket_vecs[lists]           # [nprobe, list_pad, d]
-    tsq = ivf.bucket_sq[lists]               # [nprobe, list_pad]
-    tids = ivf.bucket_ids[lists]             # [nprobe, list_pad]
+    cd = cent_sq - 2.0 * (centroids @ qf)
+    _, lists = jax.lax.top_k(-cd, min(nprobe, centroids.shape[0]))
+    tiles = bucket_vecs[lists]               # [nprobe, list_pad, d]
+    tsq = bucket_sq[lists]
+    tids = bucket_ids[lists]
     dots = jnp.einsum("pld,d->pl", tiles.astype(jnp.float32), qf,
                       preferred_element_type=jnp.float32)
-    if ivf.metric == "L2":
+    if metric == "L2":
         d = tsq - 2.0 * dots + jnp.sum(qf * qf)
-    elif ivf.metric == "IP":
+    elif metric == "IP":
         d = 1.0 - dots
     else:  # COSINE (vectors stored unnormalized; normalize via tsq)
         d = 1.0 - dots / jnp.maximum(jnp.sqrt(tsq), 1e-30)
     valid = tids >= 0
-    if mask is not None:
-        valid = valid & mask[jnp.maximum(tids, 0)]
+    if cand_docs is not None:
+        Wc = cand_docs.shape[0]
+        flat = tids.reshape(-1)
+        pos = jnp.clip(jnp.searchsorted(cand_docs, flat), 0, Wc - 1)
+        hit = (cand_docs[pos] == flat)
+        if cand_valid is not None:
+            hit = hit & cand_valid[pos]
+        valid = valid & hit.reshape(tids.shape)
     d = jnp.where(valid, d, BIG)
     flat_d = d.reshape(-1)
     flat_i = tids.reshape(-1)
@@ -189,8 +198,16 @@ def ivf_probe(ivf: IVFIndex, q: jnp.ndarray, k: int, nprobe: int,
     return -vals, flat_i[sel]
 
 
-def ivf_probe_batch(ivf: IVFIndex, Q: jnp.ndarray, k: int, nprobe: int,
-                    mask: Optional[jnp.ndarray] = None):
+def ivf_probe(ivf: IVFIndex, q: jnp.ndarray, k: int, nprobe: int,
+              cand: Optional[tuple] = None):
+    """Convenience wrapper over ivf_probe_arrays for an IVFIndex."""
+    cd, cv = cand if cand is not None else (None, None)
+    return ivf_probe_arrays(ivf.centroids, ivf.cent_sq, ivf.bucket_vecs,
+                            ivf.bucket_sq, ivf.bucket_ids, ivf.metric,
+                            q, k, nprobe, cd, cv)
+
+
+def ivf_probe_batch(ivf: IVFIndex, Q: jnp.ndarray, k: int, nprobe: int):
     """Batched probe via vmap (throughput path)."""
-    fn = lambda q: ivf_probe(ivf, q, k, nprobe, mask)
+    fn = lambda q: ivf_probe(ivf, q, k, nprobe)
     return jax.vmap(fn)(Q)

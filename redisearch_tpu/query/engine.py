@@ -659,7 +659,8 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
         dyn["extra_mask"] = extra_mask
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}"
-               f"|extra={extra_mask is not None}|mode={mode}")
+               f"|extra={extra_mask is not None}|mode={mode}"
+               f"|ivf={_knn_ivf_sig(cq, seg)}")
     sig = cq.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -714,7 +715,8 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
     P = next_pow2(P)
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     B = len(cqs)
-    seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}")
+    seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
+               f"|ivf={_knn_ivf_sig(cq0, seg)}")
     sig = cq0.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -795,6 +797,12 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_sq"] = col.sq_norms
         args["knn_blob"] = jnp.asarray(
             np.asarray(cq.knn.blob, np.float32))
+        if col.ivf is not None:
+            args["ivf_cent"] = col.ivf.centroids
+            args["ivf_csq"] = col.ivf.cent_sq
+            args["ivf_bv"] = col.ivf.bucket_vecs
+            args["ivf_bsq"] = col.ivf.bucket_sq
+            args["ivf_bi"] = col.ivf.bucket_ids
     if cq.opts.sort_field:
         f = cq.schema.field(cq.opts.sort_field)
         if f.type == FieldType.NUMERIC:
@@ -809,6 +817,19 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
             raise FieldNotFound(
                 f"SORTBY field {f.attribute} is not sortable")
     return args
+
+
+def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
+    if cq.knn is None:
+        return "none"
+    from ..schema import VectorAlgo
+    field = cq.schema.field(cq.knn.field)
+    col = seg.vectors.get(field.attribute)
+    if (col is None or col.ivf is None
+            or field.vector.algo == VectorAlgo.FLAT):
+        return "flat"
+    nprobe = cq.knn.ef_runtime or field.vector.nprobe
+    return f"ivf:{nprobe}:{col.ivf.nlist}:{col.ivf.list_pad}"
 
 
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
@@ -827,6 +848,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     knn = cq.knn
     knn_metric = (cq.schema.field(knn.field).vector.metric.value
                   if knn is not None else None)
+    knn_ivf = _knn_ivf_sig(cq, seg_proto).startswith("ivf")
+    knn_nprobe = (knn.ef_runtime or cq.schema.field(knn.field).vector.nprobe
+                  if knn is not None else 0)
+    knn_policy = (knn.hybrid_policy if knn is not None else None)
     dismax = scorer == "DISMAX"
     n_pad_static = seg_proto.n_pad
 
@@ -1136,7 +1161,13 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
 
         if knn is not None:
             q = seg["knn_blob"]
-            if not root_is_iota:
+            # mode selection (reference: hybrid BATCHES vs ADHOC_BF
+            # heuristic, hybrid_reader.c): exact gather over small
+            # candidate windows; IVF probe otherwise (when built)
+            use_exact_gather = (not root_is_iota) and (
+                knn_policy == "ADHOC_BF" or not knn_ivf
+                or (knn_policy is None and Wc <= 16384))
+            if use_exact_gather:
                 rows = seg["knn_vecs"][cd].astype(jnp.float32)
                 d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
                 dm = jnp.where(valid & seg["knn_present"][cd], d, 3.4e38)
@@ -1144,6 +1175,28 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 out["idx"] = docs[sel]
                 out["knn"] = -vals
                 out["scores"] = score[sel]
+            elif knn_ivf:
+                from ..ops.ivf import ivf_probe_arrays
+                cand = (None, None) if root_is_iota else (docs, valid)
+                dists, ids = ivf_probe_arrays(
+                    seg["ivf_cent"], seg["ivf_csq"], seg["ivf_bv"],
+                    seg["ivf_bsq"], seg["ivf_bi"], knn_metric, q, k_eff,
+                    knn_nprobe, cand_docs=cand[0], cand_valid=cand[1])
+                if root_is_iota:
+                    # still honor alive/TTL via the iota-aligned valid mask
+                    ok = valid[jnp.minimum(ids, n_pad - 1)] & (ids >= 0)
+                    dists = jnp.where(ok, dists, 3.4e38)
+                    sc = score[jnp.clip(ids, 0, n_pad - 1)]
+                else:
+                    # ids are local doc ids; resolve text scores through
+                    # the candidate window by binary search
+                    pos = jnp.clip(jnp.searchsorted(docs,
+                                                    jnp.maximum(ids, 0)),
+                                   0, Wc - 1)
+                    sc = jnp.where(docs[pos] == ids, score[pos], 0.0)
+                out["idx"] = jnp.maximum(ids, 0)
+                out["knn"] = dists
+                out["scores"] = sc
             else:
                 d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
                                    knn_metric)

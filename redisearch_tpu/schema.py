@@ -79,6 +79,14 @@ class VectorParams:
     multi: bool = False      # multi-value vector fields (one doc, many vecs)
 
     def __post_init__(self):
+        if isinstance(self.algo, str):  # accept "HNSW"/"SVS-VAMANA" aliases
+            up = self.algo.upper()
+            if up in ("HNSW", "SVS", "SVS-VAMANA", "IVF"):
+                self.algo = VectorAlgo.IVF
+            else:
+                self.algo = VectorAlgo(up)
+        if isinstance(self.metric, str):
+            self.metric = VectorMetric(self.metric.upper())
         if self.dtype not in VECTOR_DTYPES:
             raise IndexError_(f"bad vector dtype {self.dtype}")
 
