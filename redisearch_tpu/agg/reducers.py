@@ -139,6 +139,23 @@ class RStdDev(Reducer):
         return (self.m2 / (self.n - 1)) ** 0.5
 
 
+class RSumSq(Reducer):
+    """Internal: sum of squares (distributed STDDEV shard partial)."""
+    NAME = "SUMSQ"
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        self.s = 0.0
+
+    def add(self, row):
+        v = _num(row.get(self.prop))
+        if v is not None:
+            self.s += v * v
+
+    def finalize(self):
+        return self.s
+
+
 class RCountDistinct(Reducer):
     NAME = "COUNT_DISTINCT"
 
@@ -312,7 +329,7 @@ class RCollect(RToList):
 
 REDUCERS: dict[str, type] = {
     r.NAME: r for r in [
-        RCount, RSum, RMin, RMax, RAvg, RStdDev, RCountDistinct,
+        RCount, RSum, RSumSq, RMin, RMax, RAvg, RStdDev, RCountDistinct,
         RCountDistinctish, RHLL, RHLLSum, RToList, RFirstValue,
         RRandomSample, RQuantile, RCollect,
     ]

@@ -251,6 +251,10 @@ class Client:
             from .query import ast as A
             prof["query_tree"] = A.dump(root)
             prof["results_count"] = res.total
+            # per-node counters (reference: Profile_AddIters sections)
+            from .aux.explain import profile_query
+            prof["iterators"] = profile_query(ix, query,
+                                              opts.get("params"))
             return res, prof
         elif query_type.upper() == "AGGREGATE":
             res = run_aggregate(ix, query)
@@ -258,6 +262,13 @@ class Client:
             prof["results_count"] = res.total
             return res, prof
         raise IndexError_(f"bad profile type {query_type}")
+
+    def ft_explainscore(self, name: str, query: str, key: str,
+                        params: Optional[dict] = None,
+                        scorer: str = "BM25STD") -> dict:
+        """EXPLAINSCORE: score-explanation tree for one result document."""
+        from .aux.explain import explain_score
+        return explain_score(self._index(name), query, key, params, scorer)
 
     def ft_hybrid(self, name: str, hq: HybridQuery,
                   tail: Optional[AggregateRequest] = None) -> list[dict]:

@@ -211,11 +211,15 @@ class SearchIndex:
         return_fields: Optional[Iterable[str]] = None,
         dialect: int = 2,
         max_expansions: Optional[int] = None,
+        payload: Optional[bytes] = None,
     ) -> SearchResult:
         """FT.SEARCH analog."""
         self.commit()
         self.stats["queries"] += 1
         root = self.parse_query(query, params, dialect)
+        if scorer == "HAMMING":
+            return self._search_hamming(root, payload, offset, num,
+                                        no_content, return_fields)
         opts = QueryOptions(
             scorer=scorer, k=offset + num, sort_field=sort_by,
             sort_asc=sort_asc, slop=slop, inorder=inorder,
@@ -280,6 +284,42 @@ class SearchIndex:
                             payload=meta.payload))
         if cq.knn is not None:
             total = min(total, cq.knn.k)
+        return SearchResult(total=total, hits=hits, query_ast=root)
+
+    def _search_hamming(self, root, payload: Optional[bytes], offset, num,
+                        no_content, return_fields) -> SearchResult:
+        """HAMMING scorer (reference: ext/default.c:457): score =
+        1/(1+hamming_distance(query payload, doc payload)); docs without an
+        equal-length payload score 0.  Payload distance is inherently
+        host-side (payloads are opaque bytes on the doc table)."""
+        cq = self.compile(root, QueryOptions())
+        scored = []
+        total = 0
+        for seg in self.segments:
+            res = execute(cq, seg, 1, mode="window")
+            total += res.count
+            gids = np.asarray(seg.gids)
+            for li in res.local_idx[res.valid]:
+                meta = self.doctable.get(int(gids[int(li)]))
+                if meta is None or meta.deleted:
+                    continue
+                score = 0.0
+                if (payload is not None and meta.payload is not None
+                        and len(meta.payload) == len(payload)):
+                    dist = sum(bin(a ^ b).count("1")
+                               for a, b in zip(payload, meta.payload))
+                    score = 1.0 / (1.0 + dist)
+                scored.append((score, meta))
+        scored.sort(key=lambda x: (-x[0], x[1].key))
+        hits = []
+        for score, meta in scored[offset:offset + num]:
+            fields = None
+            if not no_content:
+                fields = ({f: meta.fields.get(f) for f in return_fields
+                           if f in meta.fields} if return_fields
+                          else dict(meta.fields))
+            hits.append(Hit(meta.key, score, fields=fields, gid=meta.gid,
+                            payload=meta.payload))
         return SearchResult(total=total, hits=hits, query_ast=root)
 
     def _resolve_sortkey(self, seg: Segment, field: str, keyval: float):

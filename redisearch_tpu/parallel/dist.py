@@ -194,6 +194,12 @@ class ShardedIndex:
 
         return dist
 
+    def aggregate(self, req):
+        """Distributed FT.AGGREGATE with DISTRIBUTE-step plan splitting
+        (see parallel/dist_agg.py)."""
+        from .dist_agg import dist_aggregate
+        return dist_aggregate(self, req)
+
     # -- user-facing search (mirrors SearchIndex.search semantics) --------
     def search(self, query: str, params=None, offset: int = 0, num: int = 10,
                scorer: str = "BM25STD", sort_by=None, sort_asc=True,

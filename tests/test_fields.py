@@ -1,0 +1,161 @@
+"""Field-type behaviors: geometry, ismissing/indexempty, TTL, tags options,
+field masks, languages, payload (reference: per-feature pytest files)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import redisearch_tpu as rs
+
+
+def test_geometry_predicates():
+    ix = rs.SearchIndex(rs.Schema(name="g", fields=[
+        rs.Field("shape", rs.FieldType.GEOMETRY,
+                 geometry=rs.GeometryParams())]))
+    ix.add_document("sq", {"shape": "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"})
+    ix.add_document("inner", {"shape": "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))"})
+    ix.add_document("far", {"shape": "POLYGON((100 100, 110 100, 110 110, "
+                                     "100 110, 100 100))"})
+    ix.add_document("pt", {"shape": "POINT(5 5)"})
+    ix.commit()
+    res = ix.search("@shape:[WITHIN $q]",
+                    params={"q": "POLYGON((-1 -1, 20 -1, 20 20, -1 20, -1 -1))"})
+    assert {h.key for h in res} == {"sq", "inner", "pt"}
+    res = ix.search("@shape:[CONTAINS $q]", params={"q": "POINT(3 3)"})
+    assert {h.key for h in res} == {"sq", "inner"}
+    res = ix.search("@shape:[INTERSECTS $q]",
+                    params={"q": "POLYGON((9 9, 12 9, 12 12, 9 12, 9 9))"})
+    assert "sq" in {h.key for h in res}
+    res = ix.search("@shape:[DISJOINT $q]", params={"q": "POINT(5 5)"})
+    assert "far" in {h.key for h in res}
+
+
+def test_ismissing():
+    ix = rs.SearchIndex(rs.Schema(name="m", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("opt", rs.FieldType.TEXT, indexmissing=True)]))
+    ix.add_document("has", {"t": "x", "opt": "present"})
+    ix.add_document("hasnot", {"t": "x"})
+    ix.commit()
+    res = ix.search("ismissing(@opt)")
+    assert {h.key for h in res} == {"hasnot"}
+    # without INDEXMISSING the query errors
+    ix2 = rs.SearchIndex(rs.Schema(name="m2", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix2.add_document("a", {"t": "x"})
+    with pytest.raises(rs.errors.QuerySyntaxError):
+        ix2.search("ismissing(@t)")
+
+
+def test_indexempty_tag():
+    ix = rs.SearchIndex(rs.Schema(name="ie", fields=[
+        rs.Field("tag", rs.FieldType.TAG, indexempty=True)]))
+    ix.add_document("empty", {"tag": ""})
+    ix.add_document("full", {"tag": "val"})
+    ix.commit()
+    res = ix.search('@tag:{""}', params=None)
+    assert {h.key for h in res} == {"empty"}
+
+
+def test_doc_ttl_expiry():
+    ix = rs.SearchIndex(rs.Schema(name="ttl", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("fresh", {"t": "hello"}, ttl=3600)
+    ix.add_document("stale", {"t": "hello"}, ttl=-5)
+    ix.commit()
+    res = ix.search("hello")
+    assert {h.key for h in res} == {"fresh"}
+
+
+def test_field_level_ttl():
+    ix = rs.SearchIndex(rs.Schema(name="fttl", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("d", {"t": "hello"})
+    meta = ix.doctable.get_by_key("d")
+    meta.field_expiration = {"t": time.time() - 1}
+    assert meta.field_expired("t")
+    assert not meta.field_expired("other")
+
+
+def test_tag_casesensitive():
+    ix = rs.SearchIndex(rs.Schema(name="cs", fields=[
+        rs.Field("a", rs.FieldType.TAG, casesensitive=True),
+        rs.Field("b", rs.FieldType.TAG)]))
+    ix.add_document("d1", {"a": "Hello", "b": "Hello"})
+    ix.commit()
+    assert ix.search("@a:{Hello}").total == 1
+    assert ix.search("@a:{hello}").total == 0      # case preserved
+    assert ix.search("@b:{HELLO}").total == 1      # folded
+
+
+def test_tag_separator():
+    ix = rs.SearchIndex(rs.Schema(name="sep", fields=[
+        rs.Field("t", rs.FieldType.TAG, separator=";")]))
+    ix.add_document("d", {"t": "a;b; c"})
+    ix.commit()
+    assert ix.search("@t:{a}").total == 1
+    assert ix.search("@t:{c}").total == 1          # trimmed
+    assert ix.search("@t:{a;b}").total == 0
+
+
+def test_multifield_mask():
+    ix = rs.SearchIndex(rs.Schema(name="mf", fields=[
+        rs.Field("title", rs.FieldType.TEXT),
+        rs.Field("body", rs.FieldType.TEXT),
+        rs.Field("other", rs.FieldType.TEXT)]))
+    ix.add_document("d1", {"title": "apple", "body": "pear", "other": "kiwi"})
+    ix.add_document("d2", {"title": "pear", "body": "apple"})
+    ix.commit()
+    assert {h.key for h in ix.search("@title:apple")} == {"d1"}
+    assert {h.key for h in ix.search("@title|body:apple")} == {"d1", "d2"}
+    assert ix.search("@other:apple").total == 0
+
+
+def test_language_stemming():
+    ix = rs.SearchIndex(rs.Schema(name="fr", fields=[
+        rs.Field("t", rs.FieldType.TEXT)], language="french"))
+    ix.add_document("d", {"t": "les chanteuses magnifiques"})
+    ix.commit()
+    # "chanteuse" (singular-ish) stems to the same root as "chanteuses"
+    res = ix.search("chanteuse")
+    assert res.total == 1
+
+
+def test_nostem_field():
+    ix = rs.SearchIndex(rs.Schema(name="ns", fields=[
+        rs.Field("t", rs.FieldType.TEXT, nostem=True)]))
+    ix.add_document("d", {"t": "running"})
+    ix.commit()
+    assert ix.search("running").total == 1
+    assert ix.search("'run'").total == 0  # verbatim, no stem indexed
+
+
+def test_weights_affect_ranking():
+    ix = rs.SearchIndex(rs.Schema(name="w", fields=[
+        rs.Field("hi", rs.FieldType.TEXT, weight=5.0),
+        rs.Field("lo", rs.FieldType.TEXT, weight=0.5)]))
+    ix.add_document("in_hi", {"hi": "target", "lo": "x"})
+    ix.add_document("in_lo", {"hi": "x", "lo": "target"})
+    ix.commit()
+    res = ix.search("target")
+    assert [h.key for h in res] == ["in_hi", "in_lo"]
+
+
+def test_query_weight_attribute():
+    ix = rs.SearchIndex(rs.Schema(name="qw", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("a", {"t": "apple"})
+    ix.add_document("b", {"t": "banana"})
+    ix.commit()
+    res = ix.search("(apple) => {$weight: 0.1;} | (banana) => {$weight: 9}")
+    assert res.hits[0].key == "b"
+
+
+def test_payload_roundtrip():
+    ix = rs.SearchIndex(rs.Schema(name="pl", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("d", {"t": "x"}, payload=b"\x01\x02")
+    ix.commit()
+    res = ix.search("x")
+    assert res.hits[0].payload == b"\x01\x02"
