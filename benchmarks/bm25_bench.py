@@ -1,0 +1,62 @@
+"""Full-text BM25 benchmark at 1M-doc scale (BASELINE.md config:
+"BM25 top-10: AND/OR/NOT + exact phrase over ~1M Wikipedia abstracts").
+
+Synthetic zipf corpus shaped like enwiki abstracts (24 tokens/doc, 200k
+vocab).  Run on the TPU host: `python benchmarks/bm25_bench.py`.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(n_docs: int = 1_000_000, batch: int = 128, iters: int = 10):
+    import redisearch_tpu as rs
+    from redisearch_tpu.query.engine import QueryOptions, execute_batch
+
+    rng = np.random.default_rng(0)
+    vocab = 200_000
+    words = np.array(["w%06d" % i for i in range(vocab)])
+    zipf = np.clip(rng.zipf(1.25, size=(n_docs, 24)) - 1, 0, vocab - 1)
+    docs = [(f"d{i}", {"title": " ".join(words[zipf[i, :4]]),
+                       "body": " ".join(words[zipf[i, 4:]])})
+            for i in range(n_docs)]
+    schema = rs.Schema(name="bm25", fields=[
+        rs.Field("title", rs.FieldType.TEXT, weight=2.0),
+        rs.Field("body", rs.FieldType.TEXT)])
+    ix = rs.SearchIndex(schema)
+    t0 = time.perf_counter()
+    ix.add_documents(docs)
+    build_s = time.perf_counter() - t0
+    seg = ix.segments[0]
+    print(f"index: {n_docs} docs in {build_s:.1f}s "
+          f"({n_docs/build_s:.0f} docs/s), {len(seg.terms)} terms")
+
+    qt = ["w%06d" % i for i in rng.integers(20, 5000, size=512)]
+    results = {}
+    for name, qfn in [
+        ("and2", lambda i, it: f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}"),
+        ("or2", lambda i, it: f"{qt[(2*i+it) % 500]} | {qt[(2*i+it+1) % 500]}"),
+        ("not", lambda i, it: f"{qt[(2*i+it) % 500]} -{qt[(2*i+it+1) % 500]}"),
+        ("phrase", lambda i, it:
+         f'"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}"'),
+    ]:
+        def make(it):
+            return [ix.compile(ix.parse_query(qfn(i, it)),
+                               QueryOptions(k=10)) for i in range(batch)]
+        execute_batch(make(0), seg, 10)  # compile
+        t0 = time.perf_counter()
+        for it in range(iters):
+            execute_batch(make(it), seg, 10)
+        dt = time.perf_counter() - t0
+        results[name] = round(iters * batch / dt, 1)
+        print(f"{name}: {results[name]} QPS "
+              f"({dt/iters*1000:.1f} ms/batch of {batch})")
+    print(json.dumps({"metric": "BM25 top-10 QPS (1M zipf docs, AND-2)",
+                      "value": results["and2"], "unit": "qps",
+                      "all": results}))
+
+
+if __name__ == "__main__":
+    main()

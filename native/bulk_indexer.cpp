@@ -415,3 +415,131 @@ void bulk_export(void* handle, int32_t* term_offsets, int32_t* doc_ids,
 void bulk_free(void* handle) { delete (Builder*)handle; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Term-dictionary expansion scans (reference: trie Levenshtein automaton
+// src/trie/levenshtein.c, wildcard src/wildcard/, suffix trie src/suffix.c —
+// here linear scans over the NUL-separated term blob with banded DP /
+// glob matching; the dictionary stays host-side per SURVEY.md §7.3).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Banded Levenshtein <= maxd between query q and term t (byte-wise).
+static inline bool lev_le(const char* q, int lq, const char* t, int lt,
+                          int maxd) {
+  if (lq - lt > maxd || lt - lq > maxd) return false;
+  // rolling rows; band of width 2*maxd+1
+  static thread_local std::vector<int> prev_v, cur_v;
+  prev_v.resize(lt + 1);
+  cur_v.resize(lt + 1);
+  int* prev = prev_v.data();
+  int* cur = cur_v.data();
+  for (int j = 0; j <= lt; j++) prev[j] = j;
+  for (int i = 1; i <= lq; i++) {
+    int lo = i - maxd < 1 ? 1 : i - maxd;
+    int hi = i + maxd > lt ? lt : i + maxd;
+    cur[lo - 1] = (lo - 1 == 0) ? i : maxd + 1;
+    int rowmin = cur[lo - 1];
+    for (int j = lo; j <= hi; j++) {
+      int sub = prev[j - 1] + (q[i - 1] != t[j - 1]);
+      int del = prev[j] + 1;
+      int ins = cur[j - 1] + 1;
+      int v = sub < del ? sub : del;
+      if (ins < v) v = ins;
+      cur[j] = v;
+      if (v < rowmin) rowmin = v;
+    }
+    if (hi < lt) cur[hi + 1] = maxd + 1;
+    if (rowmin > maxd) return false;
+    std::swap(prev, cur);
+  }
+  return prev[lt] <= maxd;
+}
+
+// Scan the NUL-separated blob; fill out_idx with term ordinals whose
+// Levenshtein distance from q is <= maxd.  Returns the match count.
+int64_t fuzzy_scan(const char* blob, int64_t blob_len, const char* q,
+                   int maxd, int32_t* out_idx, int64_t max_out) {
+  int lq = strlen(q);
+  int64_t n = 0, ord = 0;
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end && n < max_out) {
+    int lt = strlen(p);
+    char c0 = p[0];
+    // skip internal-marker terms (stem '+', phonetic \x01, synonym '~')
+    if (c0 != '+' && c0 != '\x01' && c0 != '~'
+        && lev_le(q, lq, p, lt, maxd)) {
+      out_idx[n++] = (int32_t)ord;
+    }
+    p += lt + 1;
+    ord++;
+  }
+  return n;
+}
+
+// Glob match: '*' any run, '?' single char.
+static bool glob_match(const char* pat, const char* s) {
+  const char* star = nullptr;
+  const char* ss = nullptr;
+  while (*s) {
+    if (*pat == '?' || *pat == *s) {
+      pat++; s++;
+    } else if (*pat == '*') {
+      star = pat++;
+      ss = s;
+    } else if (star) {
+      pat = star + 1;
+      s = ++ss;
+    } else {
+      return false;
+    }
+  }
+  while (*pat == '*') pat++;
+  return *pat == '\0';
+}
+
+int64_t wildcard_scan(const char* blob, int64_t blob_len, const char* pat,
+                      int32_t* out_idx, int64_t max_out) {
+  int64_t n = 0, ord = 0;
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end && n < max_out) {
+    char c0 = p[0];
+    if (c0 != '+' && c0 != '\x01' && c0 != '~' && glob_match(pat, p))
+      out_idx[n++] = (int32_t)ord;
+    p += strlen(p) + 1;
+    ord++;
+  }
+  return n;
+}
+
+// mode 0: *suffix (ends-with), mode 1: *infix* (contains)
+int64_t affix_scan(const char* blob, int64_t blob_len, const char* text,
+                   int mode, int32_t* out_idx, int64_t max_out) {
+  int lt = strlen(text);
+  int64_t n = 0, ord = 0;
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end && n < max_out) {
+    char c0 = p[0];
+    if (c0 != '+' && c0 != '\x01' && c0 != '~') {
+      int lp = strlen(p);
+      bool hit = false;
+      if (mode == 0) {
+        hit = lp >= lt && memcmp(p + lp - lt, text, lt) == 0;
+      } else {
+        hit = lp >= lt && strstr(p, text) != nullptr;
+      }
+      if (hit) out_idx[n++] = (int32_t)ord;
+      p += lp + 1;
+    } else {
+      p += strlen(p) + 1;
+    }
+    ord++;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -28,6 +28,22 @@ def is_separator(ch: str) -> bool:
     return ch in _SEPARATORS or unicodedata.category(ch).startswith("Z")
 
 
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0xF900 <= cp <= 0xFAFF or 0x3040 <= cp <= 0x30FF)
+
+
+def cjk_segment(token: str) -> list[str]:
+    """Bigram segmentation for CJK runs (the friso/Chinese-dict analog,
+    reference: src/tokenize_cn.c + deps/friso).  Dictionary-free overlapping
+    bigrams give recall-equivalent matching: a query segmented the same way
+    always matches."""
+    if len(token) == 1:
+        return [token]
+    return [token[i:i + 2] for i in range(len(token) - 1)]
+
+
 def normalize_token(tok: str) -> str:
     """Unicode casefold (reference uses libnu nu_tolower per rune)."""
     return tok.casefold()
@@ -97,8 +113,14 @@ class Tokenizer:
             raw = text[start:i] if not parts else "".join(parts)
             if not raw:
                 continue
-            pos += 1
             norm = normalize_token("".join(parts) if parts else raw)
+            # CJK runs split into overlapping bigrams, each its own position
+            if any(_is_cjk(c) for c in norm):
+                for gram in cjk_segment(norm):
+                    pos += 1
+                    yield Token(gram, gram, None, pos, start_byte, byte_i)
+                continue
+            pos += 1
             if norm in self.stopwords:
                 yield Token(raw, norm, None, pos, start_byte, byte_i, True)
                 continue

@@ -37,10 +37,12 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
     put("expire_at", seg.expire_at)
     t = seg.text
     for n in ("term_offsets", "doc_ids", "freqs", "field_masks",
-              "pos_offsets", "poskeys"):
+              "doclens", "pos_offsets", "poskeys"):
         put(f"text.{n}", getattr(t, n))
     meta[prefix] = {
         "n_docs": seg.n_docs, "n_pad": seg.n_pad,
+        "n_deleted": seg.n_deleted, "has_ttl": seg.has_ttl,
+        "uniform_docscore": seg.uniform_docscore,
         "pos_stride": t.pos_stride, "nnz": t.nnz,
         "max_postings": t.max_postings,
         "tag_fields": list(seg.tags), "numeric_fields": list(seg.numerics),
@@ -143,6 +145,7 @@ def load(path: str):
             doc_ids=arr(f"{p}.text.doc_ids"),
             freqs=arr(f"{p}.text.freqs"),
             field_masks=arr(f"{p}.text.field_masks"),
+            doclens=arr(f"{p}.text.doclens"),
             pos_offsets=arr(f"{p}.text.pos_offsets"),
             poskeys=arr(f"{p}.text.poskeys"),
             pos_stride=sm["pos_stride"], nnz=sm["nnz"],
@@ -196,6 +199,9 @@ def load(path: str):
             strcols=strcols, vectors=vectors, missing=missing,
             gid_to_local=host["gid_to_local"][i],
             geometries=host["geometries"][i],
+            n_deleted=sm.get("n_deleted", 0),
+            has_ttl=sm.get("has_ttl", True),
+            uniform_docscore=sm.get("uniform_docscore", False),
         )
         index.segments.append(seg)
     return index

@@ -34,6 +34,7 @@ from ..analysis.tokenizer import Tokenizer, normalize_token
 from ..schema import Field, FieldType, Schema
 from ..utils import wkt
 from ..utils.errors import IndexError_, WrongFieldType
+from ..utils.jsonpath import get_field_value
 from .doctable import DocMeta
 from .segment import (
     LANE,
@@ -156,7 +157,7 @@ class SegmentBuilder:
         pos_base = 0
 
         for field in self.schema.fields:
-            raw = meta.fields.get(field.name)
+            raw = get_field_value(meta.fields, field.name)
             if raw is None and field.alias:
                 raw = meta.fields.get(field.alias)
             if isinstance(raw, (str, bytes)) or raw is None:
@@ -220,7 +221,10 @@ class SegmentBuilder:
                   stemmer: Stemmer, pos_base: int) -> tuple[int, int]:
         if raw is None:
             return 0, 0
-        text = str(raw)
+        if isinstance(raw, (list, tuple)):  # JSON multi-value text
+            text = " ".join(str(v) for v in raw)
+        else:
+            text = str(raw)
         tk = Tokenizer(self.stopwords,
                        None if field.nostem else stemmer)
         n_tok = 0
@@ -394,11 +398,13 @@ class SegmentBuilder:
             doc_freq=doc_freq,
         )
         cap = next_pow2(n_pad)
+        posting_dl = doclen[doc_ids]  # replicate doc length per posting
         text = TextPostings(
             term_offsets=jnp.asarray(term_offsets.astype(np.int32)),
             doc_ids=jnp.asarray(tail_pad(doc_ids, cap)),
             freqs=jnp.asarray(tail_pad(freqs, cap)),
             field_masks=jnp.asarray(tail_pad(field_masks, cap)),
+            doclens=jnp.asarray(tail_pad(posting_dl, cap)),
             pos_offsets=jnp.asarray(pos_offsets.astype(np.int32)),
             poskeys=jnp.asarray(tail_pad(poskeys, POS_SLICE_PAD,
                                          2**31 - 1)),
@@ -518,4 +524,6 @@ class SegmentBuilder:
             missing=missing,
             gid_to_local={g: i for i, g in enumerate(self._gids)},
             geometries=geometries,
+            has_ttl=any(e != 0 for e in self._expire),
+            uniform_docscore=all(s_ == 1.0 for s_ in self._docscore),
         )

@@ -18,6 +18,7 @@ import numpy as np
 
 from .. import native
 from ..schema import FieldType, Schema
+from ..utils.jsonpath import get_field_value
 from .builder import MAX_POS_STRIDE, SegmentBuilder
 from .doctable import DocMeta
 from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
@@ -83,12 +84,14 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         metas.append(meta)
         texts = []
         for f in text_fields:
-            v = fields.get(f.name)
+            v = get_field_value(fields, f.name)
+            if isinstance(v, (list, tuple)):
+                v = " ".join(str(x) for x in v)
             texts.append(str(v).encode("utf-8") if v is not None else b"")
         doclen = nb.add_doc(texts, tf_ids, tf_w)
         meta.doclen = int(doclen)
         for f in schema.fields:
-            raw = fields.get(f.name)
+            raw = get_field_value(fields, f.name)
             if isinstance(raw, (str, bytes)) or raw is None:
                 present_stage[f.attribute].append(
                     raw is not None and (raw != "" or f.indexempty))
@@ -155,11 +158,15 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     td = TermDict(ids={t: i for i, t in enumerate(terms)}, terms=terms,
                   doc_freq=doc_freq)
     cap = next_pow2(n_pad)
+    dl = np.zeros(n_pad, np.float32)
+    dl[:n] = doc_lens
+    posting_dl = dl[di]  # per-posting doc length
     text = TextPostings(
         term_offsets=jnp.asarray(term_offsets),
         doc_ids=jnp.asarray(tail_pad(di, cap)),
         freqs=jnp.asarray(tail_pad(fr, cap)),
         field_masks=jnp.asarray(tail_pad(ms, cap)),
+        doclens=jnp.asarray(tail_pad(posting_dl, cap)),
         pos_offsets=jnp.asarray(po.astype(np.int32)),
         poskeys=jnp.asarray(tail_pad(pk, POS_SLICE_PAD, 2**31 - 1)),
         pos_stride=pos_stride, nnz=int(nnz),
@@ -169,8 +176,6 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     gids[:n] = [m.gid for m in metas]
     alive = np.zeros(n_pad, bool)
     alive[:n] = True
-    dl = np.zeros(n_pad, np.float32)
-    dl[:n] = doc_lens
     mf = np.ones(n_pad, np.float32)
     mf[:n] = max_freqs_arr
     ds = np.zeros(n_pad, np.float32)
@@ -256,7 +261,9 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         numerics=numerics, geos=geos, strcols=strcols, vectors=vectors,
         missing=missing,
         gid_to_local={m.gid: i for i, m in enumerate(metas)},
-        geometries={a: list(v) for a, v in geom_stage.items()})
+        geometries={a: list(v) for a, v in geom_stage.items()},
+        has_ttl=bool((exp != 0).any()),
+        uniform_docscore=bool((ds[:n] == 1.0).all()))
     index.segments.append(seg)
     return n
 

@@ -25,7 +25,8 @@ from ..query import ast
 from ..query.engine import CompiledQuery, QueryOptions, execute
 from ..query.parser import QueryParser
 from ..schema import FieldType, Schema
-from ..utils.errors import DocumentNotFound
+from ..utils.errors import (DocumentNotFound, IndexError_,
+                            TimeoutError_)
 from .builder import SegmentBuilder
 from .doctable import DocMeta, DocTable
 from .segment import Segment
@@ -60,6 +61,7 @@ class SearchResult:
         self.total = total
         self.hits = hits
         self.query_ast = query_ast
+        self.warnings: list[str] = []
 
     def __iter__(self):
         return iter(self.hits)
@@ -77,8 +79,15 @@ class SearchIndex:
         self.segments: list[Segment] = []
         self._builder = SegmentBuilder(schema, self.stopwords, self.synonyms)
         self.created_at = time.time()
-        # stats (reference: FT.INFO counters)
+        # stats (reference: FT.INFO counters + Index Errors section,
+        # src/info/index_error.c)
         self.stats = {"indexing_errors": 0, "queries": 0}
+        self.index_errors = {"count": 0, "last_error": None,
+                             "last_error_key": None, "by_field": {}}
+        # query timeout/OOM behavior (reference: ON_TIMEOUT/ON_OOM configs)
+        self.timeout_ms = 0          # 0 = unlimited
+        self.on_timeout = "return"   # return | fail | return_strict
+        self.on_oom = "ignore"       # ignore | return | fail
 
     # -- write path ---------------------------------------------------------
     def add_document(self, key: str, fields: dict[str, Any],
@@ -96,8 +105,32 @@ class SearchIndex:
             meta.expires_at = time.time() + ttl
         if old is not None:
             self._mark_deleted(old.gid)
-        self._builder.add(meta)
+        try:
+            self._builder.add(meta)
+        except Exception as e:
+            # reference behavior: the document is dropped, the error is
+            # recorded per-field, and indexing continues (index_error.c)
+            self.doctable.delete(key)
+            self.stats["indexing_errors"] += 1
+            self.index_errors["count"] += 1
+            self.index_errors["last_error"] = str(e)
+            self.index_errors["last_error_key"] = key
+            field = getattr(e, "field", None) or "_"
+            self.index_errors["by_field"][field] = (
+                self.index_errors["by_field"].get(field, 0) + 1)
+            # the builder may hold partial state for this doc; rebuild it
+            self._rebuild_builder()
+            return
         self.doctable.set_doclen(meta.gid, meta.doclen, meta.max_freq)
+
+    def _rebuild_builder(self):
+        keep = [g for g in self._builder._gids
+                if (m := self.doctable.get(g)) is not None
+                and not m.deleted]
+        b = SegmentBuilder(self.schema, self.stopwords, self.synonyms)
+        for g in keep:
+            b.add(self.doctable.get(g))
+        self._builder = b
 
     def add_documents(self, docs, commit: bool = True) -> int:
         """Bulk ingest via the native tokenizer (index/bulk.py); falls back
@@ -216,6 +249,9 @@ class SearchIndex:
         """FT.SEARCH analog."""
         self.commit()
         self.stats["queries"] += 1
+        oom = self._check_oom()
+        if oom is not None:
+            return oom
         root = self.parse_query(query, params, dialect)
         if scorer == "HAMMING":
             return self._search_hamming(root, payload, offset, num,
@@ -231,9 +267,20 @@ class SearchIndex:
         cq = self.compile(root, opts)
         k = max(offset + num, 1)
 
+        deadline = (time.perf_counter() + self.timeout_ms / 1e3
+                    if self.timeout_ms else None)
+        warnings: list[str] = []
         merged: list[tuple] = []   # (rank_key, seg_i, Hit-ish tuple)
         total = 0
         for seg in self.segments:
+            if deadline is not None and time.perf_counter() > deadline:
+                # reference ON_TIMEOUT policies (config.h TimeoutPolicy)
+                if self.on_timeout == "fail":
+                    raise TimeoutError_("Timeout limit was reached")
+                if self.on_timeout == "return_strict" and not merged:
+                    raise TimeoutError_("Timeout limit was reached")
+                warnings.append("Timeout limit was reached")
+                break
             res = execute(cq, seg, k)
             total += res.count
             gids = np.asarray(seg.gids)
@@ -284,7 +331,31 @@ class SearchIndex:
                             payload=meta.payload))
         if cq.knn is not None:
             total = min(total, cq.knn.k)
-        return SearchResult(total=total, hits=hits, query_ast=root)
+        out = SearchResult(total=total, hits=hits, query_ast=root)
+        out.warnings = warnings
+        return out
+
+    def _check_oom(self):
+        """Query OOM guardrail (reference: QueryMemoryGuard,
+        module.c:230-250): under device-memory pressure the query is let
+        through (ignore), answered empty (return), or failed (fail)."""
+        if self.on_oom == "ignore":
+            return None
+        try:
+            import jax
+            stats = jax.devices()[0].memory_stats()
+            in_use = stats.get("bytes_in_use", 0)
+            limit = stats.get("bytes_limit", 0)
+        except Exception:
+            return None
+        if not limit or in_use / limit < 0.9:
+            return None
+        if self.on_oom == "fail":
+            raise IndexError_("Not enough memory available to execute the "
+                              "query")
+        res = SearchResult(total=0, hits=[])
+        res.warnings = ["OOM: query returned empty result"]
+        return res
 
     def _search_hamming(self, root, payload: Optional[bytes], offset, num,
                         no_content, return_fields) -> SearchResult:
@@ -345,20 +416,35 @@ class SearchIndex:
         """FT.INFO analog."""
         self_mem = sum(seg.memory_bytes() for seg in self.segments)
         n_terms = sum(len(seg.terms) for seg in self.segments)
+        n_records = sum(seg.text.nnz for seg in self.segments)
+        vec_mem = sum(
+            (v.vecs.nbytes if hasattr(v.vecs, "nbytes") else 0)
+            + (v.ivf.memory_bytes() if v.ivf is not None else 0)
+            for seg in self.segments for v in seg.vectors.values())
         return {
             "index_name": self.schema.name,
+            "index_options": {"prefixes": list(self.schema.prefixes),
+                              "filter": self.schema.filter_expr,
+                              "language": self.schema.language},
             "num_docs": self.doctable.num_docs,
             "max_doc_id": self.doctable.max_gid,
             "num_terms": n_terms,
+            "num_records": n_records,
             "num_segments": len(self.segments),
             "pending_docs": len(self._builder),
             "avg_doc_length": self.doctable.avg_doclen,
             "inverted_sz_mb": self_mem / 1e6,
+            "vector_index_sz_mb": vec_mem / 1e6,
             "attributes": [
                 {"identifier": f.name, "attribute": f.attribute,
                  "type": f.type.value, "sortable": f.sortable,
-                 "weight": f.weight}
+                 "weight": f.weight,
+                 **({"algorithm": f.vector.algo.value,
+                     "dim": f.vector.dim,
+                     "metric": f.vector.metric.value}
+                    if f.vector else {})}
                 for f in self.schema.fields
             ],
+            "index_errors": dict(self.index_errors),
             "queries": self.stats["queries"],
         }

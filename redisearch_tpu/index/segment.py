@@ -107,6 +107,10 @@ class TextPostings:
     doc_ids: Any        # int32[nnz_pad] local doc ids (ascending per term)
     freqs: Any          # float32[nnz_pad] field-weighted term frequency
     field_masks: Any    # int32[nnz_pad] bitmask of TEXT fields (<=32 round1)
+    # per-posting doc length (the BM25/DOCNORM norm operand) — replicated
+    # into posting order so scoring windows slice it contiguously instead
+    # of paying an arbitrary-index doclen gather (~30M elem/s on TPU)
+    doclens: Any        # float32[nnz_pad]
     pos_offsets: Any    # int32[nnz_pad+1] into poskeys
     poskeys: Any        # int32[npos_pad] = local_doc * pos_stride + position
     pos_stride: int     # power of two >= max positions tracked per doc
@@ -236,6 +240,11 @@ class Segment:
     gid_to_local: dict[int, int]            # host-side for deletes
     # host-side geometry store: field attr -> list of parsed shapes or None
     geometries: dict[str, list] = dataclasses.field(default_factory=dict)
+    # fast-path flags: when a segment has no deletions, no TTLs and uniform
+    # doc scores, the engine skips per-candidate alive/TTL/docscore gathers
+    n_deleted: int = 0
+    has_ttl: bool = False
+    uniform_docscore: bool = True
 
     # -- mutation (the only two allowed: delete + ttl refresh) -----------
     def mark_deleted(self, gid: int) -> bool:
@@ -243,6 +252,7 @@ class Segment:
         if loc is None:
             return False
         self.alive = self.alive.at[loc].set(False)
+        self.n_deleted += 1
         return True
 
     @property

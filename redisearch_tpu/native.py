@@ -61,8 +61,42 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.float32),
             ctypes.POINTER(ctypes.c_int64)]
         lib.bulk_free.argtypes = [ctypes.c_void_p]
+        for scan in ("fuzzy_scan", "wildcard_scan", "affix_scan"):
+            fn = getattr(lib, scan)
+            fn.restype = ctypes.c_int64
+        lib.fuzzy_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int64]
+        lib.wildcard_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int64]
+        lib.affix_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def term_scan(kind: str, blob: bytes, arg: str, max_out: int,
+              max_dist: int = 1):
+    """Native term-dictionary scan.  kind: fuzzy | wildcard | suffix |
+    infix.  Returns int32 ordinals of matching terms (blob order)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(max_out, np.int32)
+    a = arg.encode("utf-8", "surrogatepass")
+    if kind == "fuzzy":
+        n = lib.fuzzy_scan(blob, len(blob), a, max_dist, out, max_out)
+    elif kind == "wildcard":
+        n = lib.wildcard_scan(blob, len(blob), a, out, max_out)
+    elif kind == "suffix":
+        n = lib.affix_scan(blob, len(blob), a, 0, out, max_out)
+    elif kind == "infix":
+        n = lib.affix_scan(blob, len(blob), a, 1, out, max_out)
+    else:
+        raise ValueError(kind)
+    return out[:n]
 
 
 def available() -> bool:

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 BIG = jnp.float32(3.4e38)
 
 
+def _fast_top_k(x, k):
+    from .text import fast_top_k
+    return fast_top_k(x, k)
+
+
 def _scores(vecs: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """<vecs, q> along d.  vecs [n, d] (f32/bf16), q [d] or [B, d] f32."""
     if q.ndim == 1:
@@ -59,7 +64,7 @@ def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
     d = distances_to(vecs, sq_norms, q, metric)
     valid = present if mask is None else (present & mask)
     dm = jnp.where(valid, d, BIG)
-    vals, idx = jax.lax.top_k(-dm, k)
+    vals, idx = _fast_top_k(-dm, k)
     return -vals, idx
 
 
@@ -74,7 +79,7 @@ def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
     d = distances_to(vecs, sq_norms, Q, metric)        # [B, n]
     valid = present if mask is None else (present & mask)
     dm = jnp.where(valid[None, :], d, BIG)
-    vals, idx = jax.lax.top_k(-dm, k)
+    vals, idx = _fast_top_k(-dm, k)
     return -vals, idx
 
 

@@ -341,14 +341,15 @@ class CompiledQuery:
     def bucket_size(n: int) -> int:
         """Quantize a window length to a coarse bucket.
 
-        Buckets are powers of 8 starting at 1024 (1k, 8k, 64k, 512k, 4M):
-        a handful of levels per segment keeps the compile universe tiny
-        (each distinct bucket vector is one XLA executable) while the
-        wasted gather work at the low end is negligible.
+        Powers of 4 starting at 8192 (8k, 32k, 131k, 524k, 2M): a handful
+        of levels keeps the compile universe tiny (each distinct bucket
+        vector is one XLA executable) while per-query window inflation is
+        bounded at 4x.  Small-side leaves keep small buckets, preserving
+        the pivot-on-smallest intersection advantage.
         """
-        b = 1024
+        b = 8192
         while b < n:
-            b *= 8
+            b *= 4
         return b
 
     def leaves(self) -> list[tuple[Any, int]]:
@@ -415,6 +416,7 @@ class CompiledQuery:
                 self.global_avgdl if self.global_avgdl
                 else float(np.asarray(seg.doclen).sum()) / N),
             "now": np.int32(opts.now),
+            "n_docs": np.int32(seg.n_docs),
         }
 
         # tags
@@ -660,7 +662,9 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}"
                f"|extra={extra_mask is not None}|mode={mode}"
-               f"|ivf={_knn_ivf_sig(cq, seg)}")
+               f"|ivf={_knn_ivf_sig(cq, seg)}"
+               f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
+               f"|u={seg.uniform_docscore}")
     sig = cq.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -701,11 +705,13 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
     cq0 = cqs[0]
     bindings = []
     P = 1
+    sigs = []
     buckets: dict[int, tuple] = {}
     for cq in cqs:
         b, p = cq.bind(seg)
         b.dyn.pop("_tagL", None)
         bk = b.dyn.pop("_buckets")
+        sigs.append(tuple(sorted(bk.items())) + (next_pow2(p),))
         for idx, t in bk.items():
             cur = buckets.get(idx)
             buckets[idx] = (t if cur is None else
@@ -713,10 +719,27 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
         bindings.append(b)
         P = max(P, p)
     P = next_pow2(P)
+
+    # Mixed window shapes: buckets are maxed across the batch, so one huge
+    # query would make every query pay its cost.  Sub-batch by exact bucket
+    # signature — coarse pow-4 buckets keep the number of groups small.
+    if len(set(sigs)) > 1:
+        order: dict[tuple, list[int]] = {}
+        for i, sg in enumerate(sigs):
+            order.setdefault(sg, []).append(i)
+        results: list = [None] * len(cqs)
+        for idxs in order.values():
+            sub = execute_batch([cqs[i] for i in idxs], seg, k)
+            for slot, r in zip(idxs, sub):
+                results[slot] = r
+        return results
+
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     B = len(cqs)
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
-               f"|ivf={_knn_ivf_sig(cq0, seg)}")
+               f"|ivf={_knn_ivf_sig(cq0, seg)}"
+               f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
+               f"|u={seg.uniform_docscore}")
     sig = cq0.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -757,6 +780,7 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         "doc_ids": seg.text.doc_ids,
         "freqs": seg.text.freqs,
         "field_masks": seg.text.field_masks,
+        "posting_dl": seg.text.doclens,
         "pos_offsets": seg.text.pos_offsets,
         "poskeys": seg.text.poskeys,
         "alive": seg.alive,
@@ -854,6 +878,17 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     knn_policy = (knn.hybrid_policy if knn is not None else None)
     dismax = scorer == "DISMAX"
     n_pad_static = seg_proto.n_pad
+    # segment fast-path flags: clean segments skip per-candidate
+    # alive/TTL/docscore gathers (exactness preserved — flags flip the
+    # compile-cache key when the segment gets deletions/TTLs)
+    seg_dirty = seg_proto.n_deleted > 0
+    seg_ttl = seg_proto.has_ttl
+    seg_uniform_ds = seg_proto.uniform_docscore
+    # BM25/DOCNORM read the norm operand from the per-posting doclens
+    # column (sliced, not gathered); TFIDF needs max_freq and keeps the
+    # gather path
+    norm_from_postings = scorer.startswith("BM25") or scorer == \
+        "TFIDF.DOCNORM"
 
     # ---- static analysis: which subtrees can generate, and how wide
     def can_gen(t) -> bool:
@@ -895,25 +930,48 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
         def clampdoc(docs):
             return jnp.minimum(docs, n_pad - 1)
 
-        # ---- per-slot scored windows
-        def slot_scored(slot: int, Wn: int):
-            docs, tf, valid = W.slot_window(
+        # the per-doc normalization column for the active scorer
+        normcol = (seg["max_freq"] if scorer in ("TFIDF", "DISMAX",
+                                                 "DOCSCORE")
+                   else seg["doclen"])
+
+        def transform(tf, nv, slot):
+            """Scorer math given tf and the norm-column values `nv` at the
+            same docs (reference formulas, ext/default.c)."""
+            w = dyn["tweight"][slot]
+            if scorer.startswith("BM25"):
+                norm = T.BM25_K1 * (1.0 - T.BM25_B
+                                    + T.BM25_B * nv
+                                    / jnp.maximum(dyn["avgdl"], 1e-9))
+                return w * tf * (T.BM25_K1 + 1.0) / (tf + norm)
+            return w * tf / jnp.maximum(nv, 1.0)
+
+        # ---- per-slot windows
+        def slot_raw(slot: int, Wn: int):
+            return W.slot_window(
                 seg["doc_ids"], seg["freqs"], seg["field_masks"],
                 dyn["tstarts"][slot], dyn["tlens"][slot],
                 dyn["tmasks"][slot], Wn)
-            w = dyn["tweight"][slot]
-            cd = clampdoc(docs)
-            if scorer.startswith("BM25"):
-                dl = seg["doclen"][cd]
-                norm = T.BM25_K1 * (1.0 - T.BM25_B
-                                    + T.BM25_B * dl
-                                    / jnp.maximum(dyn["avgdl"], 1e-9))
-                s = w * tf * (T.BM25_K1 + 1.0) / (tf + norm)
-            elif scorer == "TFIDF.DOCNORM":
-                s = w * tf / jnp.maximum(seg["doclen"][cd], 1.0)
-            else:
-                s = w * tf / jnp.maximum(seg["max_freq"][cd], 1.0)
-            return docs, jnp.where(valid, s, 0.0), valid
+
+        def slot_norms(slot: int, Wn: int):
+            """Norm operand aligned with the slot window: a contiguous
+            slice of the per-posting doclens (no gather) for BM25/DOCNORM;
+            a max_freq gather only for TFIDF."""
+            if norm_from_postings:
+                return W._slice(seg["posting_dl"], dyn["tstarts"][slot],
+                                Wn)
+            return None  # caller gathers normcol
+
+        def slot_scored(slot: int, Wn: int):
+            """Returns (docs, score, valid, nv): nv is the norm operand
+            aligned with the window, threaded out so AND predicates reuse
+            it instead of re-gathering normcol at pivot docs."""
+            docs, tf, valid = slot_raw(slot, Wn)
+            nv = slot_norms(slot, Wn)
+            if nv is None:
+                nv = normcol[clampdoc(docs)]
+            s = transform(tf, nv, slot)
+            return docs, jnp.where(valid, s, 0.0), valid, nv
 
         # ---- leaf generators
         def gen_leaf(leaf, idx):
@@ -923,7 +981,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 wins = [slot_scored(leaf.lo + j, Wn) for j in range(nu)]
                 if len(wins) == 1:
                     return wins[0]
-                return W.union_windows(wins, dismax=False)
+                d, sc, v = W.union_windows([w[:3] for w in wins],
+                                           dismax=False)
+                dl = jnp.concatenate([w[3] for w in wins])
+                return d, sc, v, dl
             if isinstance(leaf, LPhrase):
                 return gen_phrase(leaf, idx)
             if isinstance(leaf, LTag):
@@ -939,19 +1000,22 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     d, _, v = wins[0]
                 else:
                     d, _, v = W.union_windows(wins)
-                return d, jnp.where(v, const, 0.0), v
+                return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LNumeric):
                 (Wn,) = buckets[idx]
                 d, v = W.numeric_window(
                     seg[f"num{leaf.ord}_sd"], dyn["numw_start"][leaf.ord],
                     dyn["numw_len"][leaf.ord], Wn)
-                return d, jnp.where(v, const, 0.0), v
+                return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LAll):
                 d, v = W.iota_window(n_pad)
-                return d, jnp.where(v, const, 0.0), v
+                v = v & (d < dyn["n_docs"])  # exclude padding rows
+                # iota window: the norm column is already aligned
+                return d, jnp.where(v, const, 0.0), v, normcol
             if isinstance(leaf, LNone):
                 d = jnp.full((1,), W.INVALID, jnp.int32)
-                return d, jnp.zeros((1,), jnp.float32), d != W.INVALID
+                return (d, jnp.zeros((1,), jnp.float32), d != W.INVALID,
+                        None)
             raise AssertionError(leaf)
 
         def gen_phrase(leaf, idx):
@@ -965,27 +1029,59 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             alive_c = alive_c & anylen
             docs = jnp.where(alive_c, cand // pos_stride,
                              W.INVALID)
-            docs, valid = W.dedup_sorted(docs, alive_c)
+            docs, valid = W.dedup_adjacent(docs, alive_c)
             # score: sum of member-term contributions at the phrase docs
             score = jnp.zeros(docs.shape, jnp.float32)
             for s in range(leaf.score_lo, leaf.score_hi):
-                sd, ss, sv = slot_scored(s, Wn)
+                sd, ss, sv, _nv = slot_scored(s, Wn)
                 hit, add = W.member(sd, sv, ss, docs)
                 score = score + add
-            return docs, jnp.where(valid, score, 0.0), valid
+            return docs, jnp.where(valid, score, 0.0), valid, None
 
-        # ---- predicates: fn(docs) -> (match, score)
+        # ---- predicates: fn(docs, dl) -> (match, score); `dl` is the
+        # norm-column values at `docs`, computed once by the caller so
+        # membership-only term windows never pay their own N-gather
         def pred_leaf(leaf, idx):
             const = dyn["leaf_const"][idx]
-            if isinstance(leaf, (LTerms, LPhrase, LTag, LNone)):
-                win = gen_leaf(leaf, idx)
+            if isinstance(leaf, LTerms):
+                nu, Wn = buckets[idx]
+                wins = [slot_raw(leaf.lo + j, Wn) for j in range(nu)]
 
-                def f(docs, _w=win):
+                def f(docs, dl, _wins=wins, _lo=leaf.lo):
+                    m = jnp.zeros(docs.shape, jnp.bool_)
+                    s = jnp.zeros(docs.shape, jnp.float32)
+                    for j, (wd, wtf, wv) in enumerate(_wins):
+                        hit, tf = W.member(wd, wv, wtf, docs)
+                        m = m | hit
+                        s = s + jnp.where(hit,
+                                          transform(tf, dl, _lo + j), 0.0)
+                    return m, s
+                return f
+            if isinstance(leaf, LTag):
+                nu, Wn = buckets[idx]
+                wins = []
+                for j in range(nu):
+                    wins.append(W.tag_window(
+                        seg[f"tag{leaf.ord}_docs"],
+                        dyn[f"tag{leaf.ord}_starts"][j],
+                        dyn[f"tag{leaf.ord}_lens"][j], Wn))
+
+                def f(docs, dl, _wins=wins):
+                    m = jnp.zeros(docs.shape, jnp.bool_)
+                    for wd, wv in _wins:
+                        hit, _ = W.member(wd, wv, None, docs)
+                        m = m | hit
+                    return m, jnp.where(m, const, 0.0)
+                return f
+            if isinstance(leaf, (LPhrase, LNone)):
+                win = gen_leaf(leaf, idx)[:3]
+
+                def f(docs, dl, _w=win):
                     hit, s = W.member(_w[0], _w[2], _w[1], docs)
                     return hit, s
                 return f
             if isinstance(leaf, LNumeric):
-                def f(docs):
+                def f(docs, dl):
                     cd = clampdoc(docs)
                     v = seg[f"num{leaf.ord}_v"][cd]
                     p = seg[f"num{leaf.ord}_p"][cd]
@@ -997,7 +1093,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LGeo):
-                def f(docs):
+                def f(docs, dl):
                     cd = clampdoc(docs)
                     m = T.geo_radius_mask(
                         seg[f"geo{leaf.ord}_lon"][cd],
@@ -1010,7 +1106,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LVecRange):
-                def f(docs):
+                def f(docs, dl):
                     cd = clampdoc(docs)
                     rows = seg[f"vec{leaf.ord}"][cd].astype(jnp.float32)
                     q = dyn[f"vblob{leaf.ord}"]
@@ -1029,19 +1125,19 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LHostMask):
-                def f(docs):
+                def f(docs, dl):
                     m = dyn[f"hm{leaf.ord}"][clampdoc(docs)] \
                         & (docs != W.INVALID)
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LMissing):
-                def f(docs):
+                def f(docs, dl):
                     m = (~seg[f"has_{leaf.field}"][clampdoc(docs)]
                          & (docs != W.INVALID))
                     return m, jnp.zeros(docs.shape, jnp.float32)
                 return f
             if isinstance(leaf, LAll):
-                def f(docs):
+                def f(docs, dl):
                     m = docs != W.INVALID
                     return m, jnp.where(m, const, 0.0)
                 return f
@@ -1055,17 +1151,29 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             if tag == "and":
                 gens = [c for c in t[1] if can_gen(c)]
                 pivot = min(gens, key=gen_bucket)
-                docs, score, valid = eval_gen(pivot)
+                docs, score, valid, dl = eval_gen(pivot)
+                # the norm operand at pivot docs — the pivot's own sliced
+                # doclens when available; a gather only as fallback
+                needs_dl = any(_tree_has_terms(c) for c in t[1]
+                               if c is not pivot)
+                if dl is None:
+                    dl = (normcol[clampdoc(docs)] if needs_dl
+                          else jnp.zeros(docs.shape, jnp.float32))
                 for c in t[1]:
                     if c is pivot:
                         continue
-                    m, s = eval_pred(c)(docs)
+                    m, s = eval_pred(c)(docs, dl)
                     valid = valid & m
                     score = score + s
-                return docs, jnp.where(valid, score, 0.0), valid
+                return docs, jnp.where(valid, score, 0.0), valid, dl
             if tag in ("or", "dismax"):
                 wins = [eval_gen(c) for c in t[1]]
-                return W.union_windows(wins, dismax=(tag == "dismax"))
+                d, sc, v = W.union_windows([w[:3] for w in wins],
+                                           dismax=(tag == "dismax"))
+                dls = [w[3] for w in wins]
+                dl = (jnp.concatenate(dls) if all(x is not None
+                                                  for x in dls) else None)
+                return d, sc, v, dl
             raise AssertionError(tag)
 
         def eval_pred(t):
@@ -1075,11 +1183,11 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             if tag == "and":
                 preds = [eval_pred(c) for c in t[1]]
 
-                def f(docs):
+                def f(docs, dl):
                     m = docs != W.INVALID
                     s = jnp.zeros(docs.shape, jnp.float32)
                     for p in preds:
-                        mi, si = p(docs)
+                        mi, si = p(docs, dl)
                         m = m & mi
                         s = s + si
                     return m, jnp.where(m, s, 0.0)
@@ -1088,11 +1196,11 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 preds = [eval_pred(c) for c in t[1]]
                 mx = tag == "dismax"
 
-                def f(docs):
+                def f(docs, dl):
                     m = jnp.zeros(docs.shape, jnp.bool_)
                     s = jnp.zeros(docs.shape, jnp.float32)
                     for p in preds:
-                        mi, si = p(docs)
+                        mi, si = p(docs, dl)
                         m = m | mi
                         s = jnp.maximum(s, si) if mx else s + si
                     return m, s
@@ -1100,16 +1208,16 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             if tag == "not":
                 child = eval_pred(t[1])
 
-                def f(docs):
-                    mi, _ = child(docs)
+                def f(docs, dl):
+                    mi, _ = child(docs, dl)
                     return ~mi & (docs != W.INVALID), \
                         jnp.zeros(docs.shape, jnp.float32)
                 return f
             if tag == "opt":
                 child = eval_pred(t[1])
 
-                def f(docs):
-                    _, si = child(docs)
+                def f(docs, dl):
+                    _, si = child(docs, dl)
                     return docs != W.INVALID, si
                 return f
             raise AssertionError(tag)
@@ -1120,23 +1228,29 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                         or (tree[0] == "leaf"
                             and isinstance(tree[1], LAll)))
         if root_gen:
-            docs, score, valid = eval_gen(tree)
+            docs, score, valid, _dl = eval_gen(tree)
+            cd = clampdoc(docs)
+            valid = valid & (docs != W.INVALID)
+            # clean-segment fast path: skip per-candidate gathers
+            if seg_dirty:
+                valid = valid & seg["alive"][cd]
+            if seg_ttl:
+                exp = seg["expire_at"][cd]
+                valid = valid & ((exp == 0) | (exp > dyn["now"]))
         else:
             docs, valid0 = W.iota_window(n_pad)
-            m, score = eval_pred(tree)(docs)
-            valid = valid0 & m
-        cd = clampdoc(docs)
-
-        not_expired = ((seg["expire_at"][cd] == 0)
-                       | (seg["expire_at"][cd] > dyn["now"]))
-        valid = (valid & seg["alive"][cd] & not_expired
-                 & (docs != W.INVALID))
+            # iota window: columns are doc-aligned, no gathers
+            m, score = eval_pred(tree)(docs, normcol)
+            valid = valid0 & m & seg["alive"]
+            exp = seg["expire_at"]
+            valid = valid & ((exp == 0) | (exp > dyn["now"]))
+            cd = clampdoc(docs)
         if has_extra:
             valid = valid & dyn["extra_mask"][cd]
 
         if scorer == "DOCSCORE":
             score = seg["docscore"][cd]
-        else:
+        elif not seg_uniform_ds:
             score = score * seg["docscore"][cd]
         if scorer == "BM25STD.TANH":
             score = jnp.tanh(score)
@@ -1171,38 +1285,43 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 rows = seg["knn_vecs"][cd].astype(jnp.float32)
                 d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
                 dm = jnp.where(valid & seg["knn_present"][cd], d, 3.4e38)
-                vals, sel = jax.lax.top_k(-dm, k_eff)
+                vals, sel = T.fast_top_k(-dm, k_eff)
                 out["idx"] = docs[sel]
                 out["knn"] = -vals
                 out["scores"] = score[sel]
             elif knn_ivf:
                 from ..ops.ivf import ivf_probe_arrays
-                cand = (None, None) if root_is_iota else (docs, valid)
+                # BATCHES analog: over-fetch probe candidates, then apply
+                # the filter tree as a predicate on the probed doc ids
+                # (hybrid_reader.c batch-grow, bounded to one batch here)
+                kk = k_eff if root_is_iota else min(
+                    max(8 * k_eff, 64), n_pad)
                 dists, ids = ivf_probe_arrays(
                     seg["ivf_cent"], seg["ivf_csq"], seg["ivf_bv"],
-                    seg["ivf_bsq"], seg["ivf_bi"], knn_metric, q, k_eff,
-                    knn_nprobe, cand_docs=cand[0], cand_valid=cand[1])
+                    seg["ivf_bsq"], seg["ivf_bi"], knn_metric, q, kk,
+                    knn_nprobe)
+                cid = jnp.clip(ids, 0, n_pad - 1)
+                ok = (ids >= 0) & seg["alive"][cid]
+                sc = jnp.zeros(ids.shape, jnp.float32)
                 if root_is_iota:
-                    # still honor alive/TTL via the iota-aligned valid mask
-                    ok = valid[jnp.minimum(ids, n_pad - 1)] & (ids >= 0)
-                    dists = jnp.where(ok, dists, 3.4e38)
-                    sc = score[jnp.clip(ids, 0, n_pad - 1)]
+                    ok = ok & valid[cid]
+                    sc = score[cid]
                 else:
-                    # ids are local doc ids; resolve text scores through
-                    # the candidate window by binary search
-                    pos = jnp.clip(jnp.searchsorted(docs,
-                                                    jnp.maximum(ids, 0)),
-                                   0, Wc - 1)
-                    sc = jnp.where(docs[pos] == ids, score[pos], 0.0)
-                out["idx"] = jnp.maximum(ids, 0)
-                out["knn"] = dists
-                out["scores"] = sc
+                    dl_ids = normcol[cid]
+                    m, si = eval_pred(tree)(cid, dl_ids)
+                    ok = ok & m
+                    sc = si
+                dists = jnp.where(ok, dists, 3.4e38)
+                vals2, sel2 = T.fast_top_k(-dists, k_eff)
+                out["idx"] = cid[sel2]
+                out["knn"] = -vals2
+                out["scores"] = sc[sel2]
             else:
                 d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
                                    knn_metric)
                 # window is the iota ordering here, so valid aligns by doc
                 dm = jnp.where(valid & seg["knn_present"], d, 3.4e38)
-                vals, sel = jax.lax.top_k(-dm, k_eff)
+                vals, sel = T.fast_top_k(-dm, k_eff)
                 out["idx"] = sel
                 out["knn"] = -vals
                 out["scores"] = score[sel]
@@ -1221,12 +1340,21 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
 
         neg = jnp.float32(-3.4e38)
         masked = jnp.where(valid, score, neg)
-        vals, sel = jax.lax.top_k(masked, k_eff)
+        vals, sel = T.fast_top_k(masked, k_eff)
         out["idx"] = docs[sel]
         out["scores"] = vals
         return out
 
     return jax.jit(run) if jit else run
+
+
+def _tree_has_terms(t) -> bool:
+    tag = t[0]
+    if tag == "leaf":
+        return isinstance(t[1], (LTerms, LPhrase))
+    if tag in ("not", "opt"):
+        return _tree_has_terms(t[1])
+    return any(_tree_has_terms(c) for c in t[1])
 
 
 def _metric_dist(rows, sq, q, metric):
@@ -1256,7 +1384,8 @@ def _phrase_chain(poskeys, pos_offsets, starts, lens, pos_stride,
         else:
             lo_t = cand - slop
             hi_t = cand + 2 + slop
-        lo = jnp.minimum(jnp.searchsorted(keys_j, lo_t, side="left"), P - 1)
+        lo = jnp.minimum(W.block_searchsorted(keys_j, lo_t, side="left"),
+                         P - 1)
         found = keys_j[lo]
         same_doc = (found // pos_stride) == (cand // pos_stride)
         ok = (alive_c & (found >= lo_t) & (found < hi_t) & same_doc)

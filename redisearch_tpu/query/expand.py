@@ -22,6 +22,8 @@ from typing import Optional
 
 import numpy as np
 
+from .. import native as _native
+
 from ..analysis.phonetics import dm_code
 from ..analysis.stemmer import Stemmer
 from ..analysis.synonyms import SynonymMap
@@ -133,6 +135,20 @@ def expand_wildcard(sorted_terms: list[str], pattern: str,
     return out
 
 
+_blob_caches: dict[int, tuple] = {}
+
+
+def _term_blob(td: TermDict) -> bytes:
+    """NUL-separated term blob for native scans (cached per dictionary)."""
+    key = id(td)
+    c = _blob_caches.get(key)
+    if c is None or c[0] is not td.terms:
+        blob = "\0".join(td.terms).encode("utf-8", "surrogatepass") + b"\0"
+        c = (td.terms, blob)
+        _blob_caches[key] = c
+    return c[1]
+
+
 class _FuzzyCache:
     """Codepoint matrix over a TermDict for vectorized Levenshtein."""
 
@@ -168,6 +184,18 @@ def expand_fuzzy(td: TermDict, term: str, max_dist: int,
     Vectorized DP over all dictionary terms at once (the data-parallel
     replacement of the trie Levenshtein automaton, src/trie/levenshtein.c).
     """
+    if _native.available():
+        idx = _native.term_scan("fuzzy", _term_blob(td), term,
+                                max_expansions * 4, max_dist)
+        out = []
+        for i in idx.tolist():
+            t = td.terms[i]
+            if t and t[0] in (STEM_PREFIX, PHONETIC_PREFIX, "~"):
+                continue
+            out.append(t)
+            if len(out) >= max_expansions:
+                break
+        return out
     cache = _fuzzy_cache(td)
     n, Lmax = cache.mat.shape
     if n == 0:

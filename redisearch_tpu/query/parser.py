@@ -533,6 +533,16 @@ class QueryParser:
         norm = normalize_token(text)
         if norm in self.stopwords:
             return None
+        # CJK runs match the index-side bigram segmentation as an exact
+        # phrase (analysis/tokenizer.py cjk_segment)
+        from ..analysis.tokenizer import _is_cjk, cjk_segment
+        if any(_is_cjk(c) for c in norm):
+            grams = cjk_segment(norm)
+            if len(grams) == 1:
+                return ast.TokenNode(term=grams[0], verbatim=True)
+            return ast.PhraseNode(
+                terms=[ast.TokenNode(term=g, verbatim=True)
+                       for g in grams], exact=True, inorder=True)
         return ast.TokenNode(term=norm)
 
     # -- low-level readers -------------------------------------------------

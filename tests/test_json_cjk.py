@@ -1,0 +1,65 @@
+"""JSON-path indexes (ON JSON analog) + CJK bigram tokenization
+(reference: src/json.c JSONPath fields; src/tokenize_cn.c friso)."""
+
+import pytest
+
+import redisearch_tpu as rs
+
+
+def test_json_paths():
+    c = rs.Client()
+    c.ft_create("j", [
+        rs.Field("$.title", rs.FieldType.TEXT, alias="title"),
+        rs.Field("$.meta.price", rs.FieldType.NUMERIC, alias="price",
+                 sortable=True),
+        rs.Field("$.tags[*]", rs.FieldType.TAG, alias="tags"),
+    ], on_json=True)
+    c.hset("doc1", {"title": "nested json document",
+                    "meta": {"price": 42},
+                    "tags": ["red", "blue"]})
+    c.hset("doc2", {"title": "another entry",
+                    "meta": {"price": 7},
+                    "tags": ["green"]})
+    res = c.ft_search("j", "nested")
+    assert [h.key for h in res] == ["doc1"]
+    res = c.ft_search("j", "@price:[10 100]")
+    assert [h.key for h in res] == ["doc1"]
+    res = c.ft_search("j", "@tags:{blue}")
+    assert [h.key for h in res] == ["doc1"]
+    res = c.ft_search("j", "@tags:{green}")
+    assert [h.key for h in res] == ["doc2"]
+
+
+def test_json_array_index():
+    from redisearch_tpu.utils.jsonpath import resolve
+    doc = {"a": [{"b": 1}, {"b": 2}], "c": {"d": "x"}}
+    assert resolve(doc, "$.a[0].b") == 1
+    assert resolve(doc, "$.a[1].b") == 2
+    assert resolve(doc, "$.c.d") == "x"
+    assert resolve(doc, "$.missing") is None
+    assert resolve(doc, "$.a[*].b") == [1, 2]
+
+
+def test_cjk_bigram_search():
+    ix = rs.SearchIndex(rs.Schema(name="cn", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("d1", {"t": "我爱北京天安门"})
+    ix.add_document("d2", {"t": "上海浦东机场"})
+    ix.commit()
+    res = ix.search("北京")
+    assert [h.key for h in res] == ["d1"]
+    res = ix.search("天安门")
+    assert [h.key for h in res] == ["d1"]
+    res = ix.search("机场")
+    assert [h.key for h in res] == ["d2"]
+    assert ix.search("广州").total == 0
+
+
+def test_cjk_mixed_latin():
+    ix = rs.SearchIndex(rs.Schema(name="mix", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("d", {"t": "TPU 加速器 hardware"})
+    ix.commit()
+    assert ix.search("加速器").total == 1
+    assert ix.search("hardware").total == 1
+    assert ix.search("tpu").total == 1

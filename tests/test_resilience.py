@@ -1,0 +1,92 @@
+"""Failure handling: timeouts, OOM policies, indexing errors, warnings
+(reference: SURVEY.md §5.3 — timeout policies, OOM guardrail, index
+errors with per-field attribution)."""
+
+import pytest
+
+import redisearch_tpu as rs
+
+
+def _small_index():
+    ix = rs.SearchIndex(rs.Schema(name="r", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("n", rs.FieldType.NUMERIC)]))
+    for i in range(20):
+        ix.add_document(f"d{i}", {"t": f"tok{i % 3}", "n": i})
+    ix.commit()
+    return ix
+
+
+def test_indexing_error_recorded_and_skipped():
+    ix = _small_index()
+    ix.add_document("bad", {"t": "fine", "n": "not-a-number"})
+    ix.add_document("good", {"t": "fine", "n": 5})
+    ix.commit()
+    assert ix.index_errors["count"] == 1
+    assert ix.index_errors["last_error_key"] == "bad"
+    assert "bad" not in ix.doctable
+    res = ix.search("fine")
+    assert {h.key for h in res} == {"good"}
+    info = ix.info()
+    assert info["index_errors"]["count"] == 1
+
+
+def test_timeout_fail_policy():
+    ix = _small_index()
+    ix.timeout_ms = 0.000001  # immediately elapsed
+    ix.on_timeout = "fail"
+    # force a deadline in the past by monkeypatching the knob after commit
+    ix.timeout_ms = 1e-9
+    with pytest.raises(rs.errors.TimeoutError_):
+        # deadline check happens before the first segment executes
+        import time
+        ix.timeout_ms = 1e-12
+        time.sleep(0.001)
+        ix.search("tok1")
+
+
+def test_timeout_return_policy_partial():
+    ix = _small_index()
+    ix.timeout_ms = 1e-12
+    ix.on_timeout = "return"
+    res = ix.search("tok1")
+    assert "Timeout limit was reached" in res.warnings
+    assert res.total == 0  # no segment executed before the deadline
+
+
+def test_oom_return_policy(monkeypatch):
+    ix = _small_index()
+    ix.on_oom = "return"
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_in_use": 95, "bytes_limit": 100}
+
+    import jax
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+    res = ix.search("tok1")
+    assert res.total == 0
+    assert any("OOM" in w for w in res.warnings)
+
+
+def test_oom_fail_policy(monkeypatch):
+    ix = _small_index()
+    ix.on_oom = "fail"
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_in_use": 99, "bytes_limit": 100}
+
+    import jax
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+    with pytest.raises(rs.errors.IndexError_):
+        ix.search("tok1")
+
+
+def test_info_has_sections():
+    ix = _small_index()
+    info = ix.info()
+    for key in ("index_name", "num_docs", "num_terms", "num_records",
+                "inverted_sz_mb", "vector_index_sz_mb", "attributes",
+                "index_errors", "index_options"):
+        assert key in info, key
