@@ -41,7 +41,7 @@ from .aux.hybrid import HybridQuery, run_hybrid
 from .aux.spellcheck import Dictionary, spellcheck
 from .aux.suggest import SuggestionDictionary
 from .agg import expr as _expr
-from .index.index import SearchIndex, SearchResult
+from .index.index import Hit, SearchIndex, SearchResult
 from .schema import Field, Schema
 from .utils.config import Config
 from .utils.errors import (IndexError_, IndexExists, IndexNotFound)
@@ -180,7 +180,15 @@ class Client:
                   summarize: Optional[dict] = None,
                   **opts) -> SearchResult:
         ix = self._index(name)
+        opts.setdefault("max_expansions",
+                        self.config.get("MAXPREFIXEXPANSIONS"))
+        if "scorer" not in opts:
+            opts["scorer"] = self.config.get("DEFAULT_SCORER")
+        ix.timeout_ms = self.config.get("TIMEOUT")
+        ix.on_timeout = str(self.config.get("ON_TIMEOUT")).lower()
+        ix.on_oom = str(self.config.get("ON_OOM")).lower()
         res = ix.search(query, **opts)
+        self._drop_expired_fields(ix, res)
         if highlight is not None or summarize is not None:
             root = res.query_ast
             h_fields = (highlight or {}).get("fields")
@@ -208,6 +216,85 @@ class Client:
                         val = highlight_field(ix, val, root, h_opts)
                     hit.fields[fname] = val
         return res
+
+    def _drop_expired_fields(self, ix, res) -> None:
+        """Field-level TTL (HEXPIRE analog): expired fields are dropped
+        from returned documents (reference: ttl_table + expiration_checker
+        iterator; match-time filtering is doc-level here)."""
+        for hit in res.hits:
+            if hit.fields is None:
+                continue
+            meta = ix.doctable.get(hit.gid)
+            if meta is None or not meta.field_expiration:
+                continue
+            for f in list(hit.fields):
+                if meta.field_expired(f):
+                    del hit.fields[f]
+
+    # -- legacy document commands (FT.ADD/DEL/GET/MGET) -----------------------
+    def ft_add(self, name: str, key: str, score: float, fields: dict,
+               payload: Optional[bytes] = None, ttl: Optional[float] = None,
+               replace: bool = True) -> None:
+        """Legacy FT.ADD: index a doc into one index (and the keyspace)."""
+        self._keyspace[key] = dict(fields)
+        self._index(name).add_document(key, dict(fields), score=score,
+                                       payload=payload, ttl=ttl)
+
+    def ft_del(self, name: str, key: str,
+               delete_document: bool = False) -> bool:
+        ok = self._index(name).delete_document(key)
+        if delete_document:
+            self._keyspace.pop(key, None)
+        return ok
+
+    def ft_get(self, name: str, key: str) -> Optional[dict]:
+        meta = self._index(name).doctable.get_by_key(key)
+        return dict(meta.fields) if meta is not None else None
+
+    def ft_mget(self, name: str, *keys: str) -> list[Optional[dict]]:
+        return [self.ft_get(name, k) for k in keys]
+
+    def ft_search_many(self, name: str, queries: list[str],
+                       params: Optional[list] = None,
+                       k: int = 10, scorer: str = "BM25STD"
+                       ) -> list[SearchResult]:
+        """Batched search: all queries execute in grouped device batches
+        (the serving throughput path; see engine.execute_batch)."""
+        from .query.engine import execute_batch
+        ix = self._index(name)
+        ix.commit()
+        cqs = []
+        for i, q in enumerate(queries):
+            p = params[i] if params else None
+            root = ix.parse_query(q, p)
+            from .query.engine import QueryOptions
+            cqs.append(ix.compile(root, QueryOptions(scorer=scorer, k=k)))
+        out = []
+        import numpy as np
+        for i, cq in enumerate(cqs):
+            out.append(None)
+        for seg in ix.segments:
+            results = execute_batch(cqs, seg, k)
+            for i, res in enumerate(results):
+                hits = []
+                gids = np.asarray(seg.gids)
+                for j in range(res.local_idx.shape[0]):
+                    sc = float(res.scores[j])
+                    if sc <= -3.3e38:
+                        continue
+                    meta = ix.doctable.get(int(gids[int(res.local_idx[j])]))
+                    if meta is None or meta.deleted:
+                        continue
+                    hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
+                                    gid=meta.gid))
+                prev = out[i]
+                if prev is None:
+                    out[i] = SearchResult(total=res.count, hits=hits)
+                else:
+                    prev.total += res.count
+                    prev.hits = sorted(prev.hits + hits,
+                                       key=lambda h: -h.score)[:k]
+        return out
 
     def ft_aggregate(self, name: str, req: AggregateRequest
                      ) -> AggregateResult:
