@@ -45,7 +45,8 @@ def main(n_docs: int = 1_000_000, batch: int = 128, iters: int = 10):
         def make(it):
             return [ix.compile(ix.parse_query(qfn(i, it)),
                                QueryOptions(k=10)) for i in range(batch)]
-        execute_batch(make(0), seg, 10)  # compile
+        for it in range(iters):   # warm every bucket-shape combo
+            execute_batch(make(it), seg, 10)
         t0 = time.perf_counter()
         for it in range(iters):
             execute_batch(make(it), seg, 10)
