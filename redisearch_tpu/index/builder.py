@@ -315,6 +315,9 @@ class SegmentBuilder:
             return None
         vp = field.vector
         npdt = _VEC_NP_DTYPES[vp.dtype]
+        if isinstance(raw, str):
+            # RESP clients send vector blobs as binary-safe strings
+            raw = raw.encode("latin-1", "surrogateescape")
         if isinstance(raw, bytes):
             arr = np.frombuffer(raw, dtype=npdt).astype(np.float32)
         else:

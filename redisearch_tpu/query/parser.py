@@ -648,6 +648,9 @@ def _split_terms(text: str) -> list[str]:
 
 
 def _coerce_vector(val: Any) -> np.ndarray:
+    if isinstance(val, str):
+        # RESP clients pass binary blobs as binary-safe strings
+        val = val.encode("latin-1", "surrogateescape")
     if isinstance(val, bytes):
         return np.frombuffer(val, dtype=np.float32).copy()
     return np.asarray(val, dtype=np.float32).reshape(-1)

@@ -1,0 +1,892 @@
+"""RESP wire-protocol server: real Redis clients can talk to the engine.
+
+Reference: the module/API layer (src/module.c command handlers +
+commands.json argv schemas + src/reply.c RESP reply builder).  This is the
+standalone equivalent: an asyncio TCP server speaking RESP2, parsing the
+FT.* argv grammars into Client calls and rendering replies with the
+reference's shapes (FT.SEARCH -> [total, key, [field, value, ...], ...]).
+
+Usage:
+    from redisearch_tpu.server import Server
+    Server(port=6380).run()          # or await .serve() in an event loop
+
+Any RESP client works:  redis-cli -p 6380 FT.SEARCH idx "hello world"
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Optional
+
+import numpy as np
+
+from .agg.pipeline import AggregateRequest
+from .api import Client
+from .aux.hybrid import HybridQuery
+from .schema import Field, FieldType, VectorParams
+from .utils.errors import RSError
+
+CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# RESP2 codec
+# ---------------------------------------------------------------------------
+
+async def read_command(reader: asyncio.StreamReader) -> Optional[list]:
+    """Parse one RESP array-of-bulk-strings command (or inline)."""
+    line = await reader.readline()
+    if not line:
+        return None
+    line = line.rstrip()
+    if not line:
+        return []
+    if line[0:1] != b"*":
+        return [p.decode() for p in line.split()]  # inline command
+    n = int(line[1:])
+    argv = []
+    for _ in range(n):
+        hdr = (await reader.readline()).rstrip()
+        if hdr[0:1] != b"$":
+            raise ValueError("expected bulk string")
+        ln = int(hdr[1:])
+        data = await reader.readexactly(ln + 2)
+        argv.append(data[:-2])
+    return [a.decode("utf-8", "surrogateescape") for a in argv]
+
+
+def encode(obj: Any) -> bytes:
+    """Encode a python value as RESP2."""
+    if obj is None:
+        return b"$-1" + CRLF
+    if isinstance(obj, RSError):
+        return b"-" + type(obj).__name__.encode() + b" " + str(
+            obj).encode() + CRLF
+    if isinstance(obj, Exception):
+        return b"-ERR " + str(obj).encode()[:200] + CRLF
+    if isinstance(obj, bool):
+        return b":1" + CRLF if obj else b":0" + CRLF
+    if isinstance(obj, (int, np.integer)):
+        return b":" + str(int(obj)).encode() + CRLF
+    if isinstance(obj, (float, np.floating)):
+        s = repr(float(obj)).encode()
+        return b"$" + str(len(s)).encode() + CRLF + s + CRLF
+    if isinstance(obj, _Status):
+        return b"+" + obj.s.encode() + CRLF
+    if isinstance(obj, bytes):
+        return b"$" + str(len(obj)).encode() + CRLF + obj + CRLF
+    if isinstance(obj, str):
+        b = obj.encode("utf-8", "surrogateescape")
+        return b"$" + str(len(b)).encode() + CRLF + b + CRLF
+    if isinstance(obj, dict):
+        flat: list = []
+        for k, v in obj.items():
+            flat.extend([k, v])
+        return encode(flat)
+    if isinstance(obj, (list, tuple)):
+        out = b"*" + str(len(obj)).encode() + CRLF
+        return out + b"".join(encode(x) for x in obj)
+    return encode(str(obj))
+
+
+class _Status:
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+
+OK = _Status("OK")
+
+
+# ---------------------------------------------------------------------------
+# argv parsing helpers
+# ---------------------------------------------------------------------------
+
+class Argv:
+    def __init__(self, args: list[str]):
+        self.a = args
+        self.i = 0
+
+    def more(self) -> bool:
+        return self.i < len(self.a)
+
+    def peek(self) -> str:
+        return self.a[self.i].upper() if self.more() else ""
+
+    def next(self) -> str:
+        v = self.a[self.i]
+        self.i += 1
+        return v
+
+    def next_int(self) -> int:
+        return int(float(self.next()))
+
+    def next_float(self) -> float:
+        return float(self.next())
+
+    def take(self, n: int) -> list[str]:
+        out = self.a[self.i:self.i + n]
+        self.i += n
+        return out
+
+
+def _parse_schema(av: Argv) -> list[Field]:
+    fields = []
+    while av.more():
+        name = av.next()
+        alias = None
+        if av.peek() == "AS":
+            av.next()
+            alias = av.next()
+        ftype = av.next().upper()
+        kw: dict = {}
+        if ftype == "VECTOR":
+            algo = av.next()
+            nargs = av.next_int()
+            params = av.take(nargs)
+            vp: dict = {}
+            for j in range(0, len(params), 2):
+                vp[params[j].upper()] = params[j + 1]
+            kw["vector"] = VectorParams(
+                dim=int(vp.get("DIM", 0)), algo=algo,
+                metric=vp.get("DISTANCE_METRIC", "COSINE"),
+                dtype=vp.get("TYPE", "FLOAT32").upper(),
+                m=int(vp.get("M", 16)),
+                ef_construction=int(vp.get("EF_CONSTRUCTION", 200)),
+                ef_runtime=int(vp.get("EF_RUNTIME", 10)),
+                nlist=int(vp.get("NLIST", 0)),
+                nprobe=int(vp.get("NPROBE", 8)))
+        # field options
+        while av.more():
+            opt = av.peek()
+            if opt == "WEIGHT":
+                av.next()
+                kw["weight"] = av.next_float()
+            elif opt == "SEPARATOR":
+                av.next()
+                kw["separator"] = av.next()
+            elif opt == "NOSTEM":
+                av.next()
+                kw["nostem"] = True
+            elif opt == "SORTABLE":
+                av.next()
+                kw["sortable"] = True
+                if av.peek() == "UNF":
+                    av.next()
+                    kw["unf"] = True
+            elif opt == "NOINDEX":
+                av.next()
+                kw["noindex"] = True
+            elif opt == "CASESENSITIVE":
+                av.next()
+                kw["casesensitive"] = True
+            elif opt == "WITHSUFFIXTRIE":
+                av.next()
+                kw["withsuffixtrie"] = True
+            elif opt == "INDEXMISSING":
+                av.next()
+                kw["indexmissing"] = True
+            elif opt == "INDEXEMPTY":
+                av.next()
+                kw["indexempty"] = True
+            elif opt == "PHONETIC":
+                av.next()
+                kw["phonetic"] = av.next()
+            else:
+                break
+        fields.append(Field(name, FieldType(ftype), alias=alias, **kw))
+    return fields
+
+
+def _parse_params(av: Argv) -> dict:
+    n = av.next_int()
+    kv = av.take(n)
+    return {kv[i]: kv[i + 1] for i in range(0, len(kv), 2)}
+
+
+# ---------------------------------------------------------------------------
+# The server
+# ---------------------------------------------------------------------------
+
+class Server:
+    def __init__(self, client: Optional[Client] = None, host="127.0.0.1",
+                 port: int = 6380):
+        self.client = client or Client()
+        self.host = host
+        self.port = port
+
+    # -- command dispatch ---------------------------------------------------
+    def dispatch(self, argv: list[str]):
+        if not argv:
+            return RSError("empty command")
+        cmd = argv[0].upper()
+        av = Argv(argv[1:])
+        try:
+            handler = getattr(self, "_cmd_" + cmd.replace(".", "_")
+                              .replace("-", "_"), None)
+            if handler is None:
+                return RSError(f"unknown command '{argv[0]}'")
+            return handler(av)
+        except RSError as e:
+            return e
+        except Exception as e:  # command errors become RESP errors
+            return RSError(f"{type(e).__name__}: {e}")
+
+    # -- generic ----------------------------------------------------------
+    def _cmd_PING(self, av):
+        return _Status("PONG") if not av.more() else av.next()
+
+    def _cmd_HELLO(self, av):
+        return ["server", "redisearch_tpu", "proto", 2, "version", "0.1.0"]
+
+    def _cmd_COMMAND(self, av):
+        return []
+
+    def _cmd_HSET(self, av):
+        key = av.next()
+        fields = {}
+        while av.more():
+            f = av.next()
+            fields[f] = av.next()
+        existing = self.client.hget(key) or {}
+        n_new = sum(1 for f in fields if f not in existing)
+        existing.update(fields)
+        self.client.hset(key, existing)
+        return n_new
+
+    def _cmd_HGETALL(self, av):
+        d = self.client.hget(av.next())
+        return {k: str(v) for k, v in (d or {}).items()}
+
+    def _cmd_DEL(self, av):
+        n = 0
+        while av.more():
+            n += 1 if self.client.hdel(av.next()) else 0
+        return n
+
+    def _cmd_EXPIRE(self, av):
+        key = av.next()
+        self.client.expire(key, av.next_float())
+        return 1
+
+    def _cmd_JSON_SET(self, av):
+        import json as _json
+        key = av.next()
+        path = av.next()
+        doc = _json.loads(av.next())
+        if path not in ("$", "."):
+            return RSError("only root path supported")
+        self.client.hset(key, doc)
+        return OK
+
+    # -- index lifecycle ----------------------------------------------------
+    def _cmd_FT_CREATE(self, av):
+        name = av.next()
+        on_json = False
+        prefixes: list[str] = [""]
+        filter_expr = None
+        language = "english"
+        stopwords = None
+        score_field = None
+        while av.more():
+            opt = av.peek()
+            if opt == "ON":
+                av.next()
+                on_json = av.next().upper() == "JSON"
+            elif opt == "PREFIX":
+                av.next()
+                n = av.next_int()
+                prefixes = av.take(n)
+            elif opt == "FILTER":
+                av.next()
+                filter_expr = av.next()
+            elif opt == "LANGUAGE":
+                av.next()
+                language = av.next()
+            elif opt == "LANGUAGE_FIELD":
+                av.next()
+                av.next()
+            elif opt == "SCORE":
+                av.next()
+                av.next()
+            elif opt == "SCORE_FIELD":
+                av.next()
+                score_field = av.next()
+            elif opt == "STOPWORDS":
+                av.next()
+                n = av.next_int()
+                stopwords = av.take(n)
+            elif opt in ("NOOFFSETS", "NOHL", "NOFIELDS", "NOFREQS",
+                         "SKIPINITIALSCAN", "MAXTEXTFIELDS", "TEMPORARY",
+                         "NOTERMOFFSETS"):
+                av.next()
+                if opt == "TEMPORARY":
+                    av.next()
+            elif opt == "SCHEMA":
+                av.next()
+                fields = _parse_schema(av)
+                self.client.ft_create(
+                    name, fields, prefixes=prefixes,
+                    filter_expr=filter_expr, language=language,
+                    stopwords=stopwords, score_field=score_field,
+                    on_json=on_json)
+                return OK
+            else:
+                return RSError(f"Unknown argument `{av.next()}`")
+        return RSError("missing SCHEMA")
+
+    def _cmd_FT_DROPINDEX(self, av):
+        name = av.next()
+        dd = av.more() and av.peek() == "DD"
+        self.client.ft_dropindex(name, delete_docs=dd)
+        return OK
+
+    def _cmd_FT_ALTER(self, av):
+        name = av.next()
+        while av.more() and av.peek() in ("SCHEMA", "ADD"):
+            av.next()
+        fields = _parse_schema(av)
+        for f in fields:
+            self.client.ft_alter(name, f)
+        return OK
+
+    def _cmd_FT__LIST(self, av):
+        return self.client.ft_list()
+
+    def _cmd_FT_INFO(self, av):
+        info = self.client.ft_info(av.next())
+        return _deep_flatten(info)
+
+    # -- search ----------------------------------------------------------
+    def _cmd_FT_SEARCH(self, av):
+        name = av.next()
+        query = av.next()
+        opts: dict = {"offset": 0, "num": 10}
+        no_content = False
+        with_scores = False
+        return_fields = None
+        highlight = None
+        summarize = None
+        while av.more():
+            opt = av.peek()
+            if opt == "LIMIT":
+                av.next()
+                opts["offset"] = av.next_int()
+                opts["num"] = av.next_int()
+            elif opt == "NOCONTENT":
+                av.next()
+                no_content = True
+            elif opt == "WITHSCORES":
+                av.next()
+                with_scores = True
+            elif opt in ("WITHSORTKEYS", "WITHPAYLOADS"):
+                av.next()
+            elif opt == "SORTBY":
+                av.next()
+                opts["sort_by"] = av.next()
+                if av.peek() in ("ASC", "DESC"):
+                    opts["sort_asc"] = av.next().upper() == "ASC"
+            elif opt == "RETURN":
+                av.next()
+                n = av.next_int()
+                return_fields = []
+                j = 0
+                while j < n:
+                    f = av.next()
+                    j += 1
+                    if av.peek() == "AS":
+                        av.next()
+                        av.next()
+                        j += 2
+                    return_fields.append(f)
+            elif opt == "PARAMS":
+                av.next()
+                opts["params"] = _parse_params(av)
+            elif opt == "DIALECT":
+                av.next()
+                opts["dialect"] = av.next_int()
+            elif opt == "SCORER":
+                av.next()
+                opts["scorer"] = av.next().upper()
+            elif opt == "LANGUAGE":
+                av.next()
+                opts["language"] = av.next()
+            elif opt == "SLOP":
+                av.next()
+                opts["slop"] = av.next_int()
+            elif opt == "INORDER":
+                av.next()
+                opts["inorder"] = True
+            elif opt == "VERBATIM":
+                av.next()
+                opts["verbatim"] = True
+            elif opt == "TIMEOUT":
+                av.next()
+                av.next_int()
+            elif opt == "HIGHLIGHT":
+                av.next()
+                highlight = self._parse_hl(av)
+            elif opt == "SUMMARIZE":
+                av.next()
+                summarize = self._parse_sum(av)
+            elif opt == "PAYLOAD":
+                av.next()
+                opts["payload"] = av.next().encode()
+            else:
+                return RSError(f"Unknown argument `{av.next()}`")
+        res = self.client.ft_search(name, query, highlight=highlight,
+                                    summarize=summarize,
+                                    no_content=no_content,
+                                    return_fields=return_fields, **opts)
+        out: list = [res.total]
+        for h in res.hits:
+            out.append(h.key)
+            if with_scores:
+                out.append(h.score)
+            if not no_content:
+                row: list = []
+                for k, v in (h.fields or {}).items():
+                    row.extend([k, _tostr(v)])
+                out.append(row)
+        return out
+
+    def _parse_hl(self, av) -> dict:
+        hl: dict = {}
+        while av.more():
+            if av.peek() == "FIELDS":
+                av.next()
+                n = av.next_int()
+                hl["fields"] = av.take(n)
+            elif av.peek() == "TAGS":
+                av.next()
+                hl["open_tag"] = av.next()
+                hl["close_tag"] = av.next()
+            else:
+                break
+        return hl
+
+    def _parse_sum(self, av) -> dict:
+        sm: dict = {}
+        while av.more():
+            if av.peek() == "FIELDS":
+                av.next()
+                n = av.next_int()
+                sm["fields"] = av.take(n)
+            elif av.peek() == "FRAGS":
+                av.next()
+                sm["num_frags"] = av.next_int()
+            elif av.peek() == "LEN":
+                av.next()
+                sm["frag_len"] = av.next_int()
+            elif av.peek() == "SEPARATOR":
+                av.next()
+                sm["separator"] = av.next()
+            else:
+                break
+        return sm
+
+    # -- aggregate ----------------------------------------------------------
+    def _cmd_FT_AGGREGATE(self, av):
+        name = av.next()
+        query = av.next()
+        req = AggregateRequest(query)
+        while av.more():
+            opt = av.peek()
+            if opt == "LOAD":
+                av.next()
+                if av.peek() == "*":
+                    av.next()
+                    req.load_all()
+                else:
+                    n = av.next_int()
+                    fields = []
+                    j = 0
+                    while j < n:
+                        f = av.next()
+                        j += 1
+                        if av.peek() == "AS":
+                            av.next()
+                            av.next()
+                            j += 2
+                        fields.append(f.lstrip("@"))
+                    req.load(*fields)
+            elif opt == "GROUPBY":
+                av.next()
+                n = av.next_int()
+                by = [b.lstrip("@") for b in av.take(n)]
+                reducers = []
+                while av.more() and av.peek() == "REDUCE":
+                    av.next()
+                    fname = av.next().upper()
+                    na = av.next_int()
+                    fargs = av.take(na)
+                    alias = None
+                    if av.peek() == "AS":
+                        av.next()
+                        alias = av.next()
+                    reducers.append((fname, fargs, alias))
+                req.group_by(by, *reducers)
+            elif opt == "SORTBY":
+                av.next()
+                n = av.next_int()
+                raw = av.take(n)
+                keys = []
+                j = 0
+                while j < len(raw):
+                    prop = raw[j]
+                    asc = True
+                    if j + 1 < len(raw) and raw[j + 1].upper() in ("ASC",
+                                                                   "DESC"):
+                        asc = raw[j + 1].upper() == "ASC"
+                        j += 1
+                    keys.append((prop, asc))
+                    j += 1
+                mx = 0
+                if av.peek() == "MAX":
+                    av.next()
+                    mx = av.next_int()
+                req.sort_by(*keys, max=mx)
+            elif opt == "APPLY":
+                av.next()
+                expr = av.next()
+                alias = expr
+                if av.peek() == "AS":
+                    av.next()
+                    alias = av.next()
+                req.apply(expr, alias)
+            elif opt == "FILTER":
+                av.next()
+                req.filter(av.next())
+            elif opt == "LIMIT":
+                av.next()
+                off = av.next_int()
+                req.limit(off, av.next_int())
+            elif opt == "WITHCURSOR":
+                av.next()
+                count = 1000
+                if av.peek() == "COUNT":
+                    av.next()
+                    count = av.next_int()
+                req.cursor(count)
+            elif opt == "PARAMS":
+                av.next()
+                req.params = _parse_params(av)
+            elif opt == "DIALECT":
+                av.next()
+                req.dialect = av.next_int()
+            elif opt == "TIMEOUT":
+                av.next()
+                av.next_int()
+            elif opt == "VERBATIM":
+                av.next()
+                req.verbatim = True
+            else:
+                return RSError(f"Unknown argument `{av.next()}`")
+        res = self.client.ft_aggregate(name, req)
+        rows = [_row_flatten(r) for r in res.rows]
+        if req.with_cursor:
+            return [[len(rows)] + rows, res.cursor_id]
+        return [len(rows)] + rows
+
+    def _cmd_FT_CURSOR(self, av):
+        sub = av.next().upper()
+        name = av.next()
+        cid = av.next_int()
+        if sub == "READ":
+            count = None
+            if av.more() and av.peek() == "COUNT":
+                av.next()
+                count = av.next_int()
+            rows, next_cid = self.client.ft_cursor_read(name, cid, count)
+            return [[len(rows)] + [_row_flatten(r) for r in rows], next_cid]
+        if sub == "DEL":
+            return 1 if self.client.ft_cursor_del(name, cid) else 0
+        return RSError("unknown FT.CURSOR subcommand")
+
+    # -- the rest ----------------------------------------------------------
+    def _cmd_FT_EXPLAIN(self, av):
+        name = av.next()
+        query = av.next()
+        params = None
+        while av.more():
+            if av.peek() == "PARAMS":
+                av.next()
+                params = _parse_params(av)
+            elif av.peek() == "DIALECT":
+                av.next()
+                av.next()
+            else:
+                av.next()
+        return self.client.ft_explain(name, query, params)
+
+    _cmd_FT_EXPLAINCLI = _cmd_FT_EXPLAIN
+
+    def _cmd_FT_PROFILE(self, av):
+        name = av.next()
+        qtype = av.next().upper()
+        if av.peek() == "LIMITED":
+            av.next()
+        if av.peek() == "QUERY":
+            av.next()
+        rest = av.a[av.i:]
+        if qtype == "SEARCH":
+            res = self.dispatch(["FT.SEARCH", name] + rest)
+            _res2, prof = self.client.ft_profile(name, "SEARCH", rest[0])
+            return [res, _deep_flatten(prof)]
+        res = self.dispatch(["FT.AGGREGATE", name] + rest)
+        return [res, _deep_flatten({"profile": "see FT.PROFILE SEARCH"})]
+
+    def _cmd_FT_ALIASADD(self, av):
+        self.client.ft_aliasadd(av.next(), av.next())
+        return OK
+
+    def _cmd_FT_ALIASUPDATE(self, av):
+        self.client.ft_aliasupdate(av.next(), av.next())
+        return OK
+
+    def _cmd_FT_ALIASDEL(self, av):
+        self.client.ft_aliasdel(av.next())
+        return OK
+
+    def _cmd_FT_SYNUPDATE(self, av):
+        name = av.next()
+        gid = av.next()
+        skip = False
+        if av.peek() == "SKIPINITIALSCAN":
+            av.next()
+            skip = True
+        self.client.ft_synupdate(name, gid, av.a[av.i:],
+                                 skip_initial_scan=skip)
+        return OK
+
+    def _cmd_FT_SYNDUMP(self, av):
+        return _deep_flatten(self.client.ft_syndump(av.next()))
+
+    def _cmd_FT_DICTADD(self, av):
+        name = av.next()
+        return self.client.ft_dictadd(name, *av.a[av.i:])
+
+    def _cmd_FT_DICTDEL(self, av):
+        name = av.next()
+        return self.client.ft_dictdel(name, *av.a[av.i:])
+
+    def _cmd_FT_DICTDUMP(self, av):
+        return self.client.ft_dictdump(av.next())
+
+    def _cmd_FT_SPELLCHECK(self, av):
+        name = av.next()
+        query = av.next()
+        distance = 1
+        include: list = []
+        exclude: list = []
+        while av.more():
+            if av.peek() == "DISTANCE":
+                av.next()
+                distance = av.next_int()
+            elif av.peek() == "TERMS":
+                av.next()
+                mode = av.next().upper()
+                dname = av.next()
+                (include if mode == "INCLUDE" else exclude).append(dname)
+            else:
+                av.next()
+        out = self.client.ft_spellcheck(name, query, distance, include,
+                                        exclude)
+        return [["TERM", o["term"],
+                 [[s, t] for s, t in o["suggestions"]]] for o in out]
+
+    def _cmd_FT_SUGADD(self, av):
+        key = av.next()
+        term = av.next()
+        score = av.next_float()
+        incr = False
+        payload = None
+        while av.more():
+            if av.peek() == "INCR":
+                av.next()
+                incr = True
+            elif av.peek() == "PAYLOAD":
+                av.next()
+                payload = av.next()
+            else:
+                av.next()
+        return self.client.ft_sugadd(key, term, score, incr, payload)
+
+    def _cmd_FT_SUGGET(self, av):
+        key = av.next()
+        prefix = av.next()
+        fuzzy = False
+        n = 5
+        ws = False
+        wp = False
+        while av.more():
+            opt = av.peek()
+            if opt == "FUZZY":
+                av.next()
+                fuzzy = True
+            elif opt == "MAX":
+                av.next()
+                n = av.next_int()
+            elif opt == "WITHSCORES":
+                av.next()
+                ws = True
+            elif opt == "WITHPAYLOADS":
+                av.next()
+                wp = True
+            else:
+                av.next()
+        res = self.client.ft_sugget(key, prefix, fuzzy, n, ws, wp)
+        out: list = []
+        for r in res:
+            if isinstance(r, tuple):
+                out.extend(list(r))
+            else:
+                out.append(r)
+        return out
+
+    def _cmd_FT_SUGDEL(self, av):
+        return 1 if self.client.ft_sugdel(av.next(), av.next()) else 0
+
+    def _cmd_FT_SUGLEN(self, av):
+        return self.client.ft_suglen(av.next())
+
+    def _cmd_FT_TAGVALS(self, av):
+        return self.client.ft_tagvals(av.next(), av.next())
+
+    def _cmd_FT_CONFIG(self, av):
+        sub = av.next().upper()
+        if sub == "GET":
+            name = av.next()
+            val = self.client.ft_config_get(name)
+            if isinstance(val, dict):
+                return [[k, _tostr(v)] for k, v in val.items()]
+            return [[name, _tostr(val)]]
+        if sub == "SET":
+            self.client.ft_config_set(av.next(), av.next())
+            return OK
+        if sub == "HELP":
+            return []
+        return RSError("unknown FT.CONFIG subcommand")
+
+    def _cmd_FT_HYBRID(self, av):
+        name = av.next()
+        hq = HybridQuery()
+        params: dict = {}
+        while av.more():
+            opt = av.peek()
+            if opt == "SEARCH":
+                av.next()
+                hq.search = av.next()
+            elif opt == "VSIM":
+                av.next()
+                hq.vsim_field = av.next().lstrip("@")
+                blob = av.next()
+                if blob.startswith("$"):
+                    hq.vsim_vector = None
+                    hq._vec_param = blob[1:]
+                else:
+                    hq.vsim_vector = np.frombuffer(
+                        blob.encode("latin-1"), dtype=np.float32)
+            elif opt == "COMBINE":
+                av.next()
+                hq.combine = av.next().upper()
+                n = av.next_int()
+                kv = av.take(n)
+                for j in range(0, len(kv), 2):
+                    k = kv[j].upper()
+                    if k == "K":
+                        hq.rrf_constant = float(kv[j + 1])
+                    elif k == "WINDOW":
+                        hq.window = int(kv[j + 1])
+                    elif k == "ALPHA":
+                        hq.alpha = float(kv[j + 1])
+                    elif k == "BETA":
+                        hq.beta = float(kv[j + 1])
+            elif opt == "LIMIT":
+                av.next()
+                av.next_int()
+                hq.limit = av.next_int()
+            elif opt == "PARAMS":
+                av.next()
+                params = _parse_params(av)
+            else:
+                av.next()
+        if getattr(hq, "_vec_param", None):
+            raw = params[hq._vec_param]
+            hq.vsim_vector = (np.frombuffer(raw.encode("latin-1"),
+                                            dtype=np.float32)
+                              if isinstance(raw, str) else np.asarray(raw))
+        hq.search_params = params
+        rows = self.client.ft_hybrid(name, hq)
+        return [len(rows)] + [_row_flatten(r) for r in rows]
+
+    # -- lifecycle ----------------------------------------------------------
+    async def handle(self, reader: asyncio.StreamReader,
+                     writer: asyncio.StreamWriter):
+        try:
+            while True:
+                argv = await read_command(reader)
+                if argv is None:
+                    break
+                if not argv:
+                    continue
+                if argv[0].upper() == "QUIT":
+                    writer.write(encode(OK))
+                    break
+                reply = self.dispatch(argv)
+                writer.write(encode(reply))
+                await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        finally:
+            writer.close()
+
+    async def serve(self):
+        server = await asyncio.start_server(self.handle, self.host,
+                                            self.port)
+        return server
+
+    def run(self):
+        async def main():
+            server = await self.serve()
+            async with server:
+                await server.serve_forever()
+        asyncio.run(main())
+
+
+def _tostr(v) -> str:
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    if isinstance(v, (dict, list)):
+        import json as _json
+        return _json.dumps(v)
+    return str(v)
+
+
+def _row_flatten(row: dict) -> list:
+    out: list = []
+    for k, v in row.items():
+        out.extend([k, _tostr(v) if not isinstance(v, (int, float))
+                    else v])
+    return out
+
+
+def _deep_flatten(d: dict) -> list:
+    out: list = []
+    for k, v in d.items():
+        out.append(k)
+        if isinstance(v, dict):
+            out.append(_deep_flatten(v))
+        elif isinstance(v, list) and v and isinstance(v[0], dict):
+            out.append([_deep_flatten(x) for x in v])
+        else:
+            out.append(v if isinstance(v, (int, float, list)) else _tostr(v))
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 6380
+    print(f"redisearch_tpu server listening on :{port}")
+    Server(port=port).run()

@@ -1,0 +1,177 @@
+"""RESP wire-protocol server tests using a raw-socket Redis client
+(reference analog: tests/pytests running against redis-server+module)."""
+
+import asyncio
+
+import pytest
+
+from redisearch_tpu.server import Server, encode, OK
+
+
+class MiniRedis:
+    """Tiny RESP2 client (redis-py isn't in this image)."""
+
+    def __init__(self, reader, writer):
+        self.r = reader
+        self.w = writer
+
+    @classmethod
+    async def connect(cls, host, port):
+        r, w = await asyncio.open_connection(host, port)
+        return cls(r, w)
+
+    async def cmd(self, *argv):
+        out = [f"*{len(argv)}\r\n".encode()]
+        for a in argv:
+            b = str(a).encode()
+            out.append(b"$" + str(len(b)).encode() + b"\r\n" + b + b"\r\n")
+        self.w.write(b"".join(out))
+        await self.w.drain()
+        return await self._read()
+
+    async def _read(self):
+        line = (await self.r.readline()).rstrip()
+        t, rest = line[:1], line[1:]
+        if t == b"+":
+            return rest.decode()
+        if t == b"-":
+            raise RuntimeError(rest.decode())
+        if t == b":":
+            return int(rest)
+        if t == b"$":
+            n = int(rest)
+            if n < 0:
+                return None
+            data = await self.r.readexactly(n + 2)
+            return data[:-2].decode()
+        if t == b"*":
+            n = int(rest)
+            return [await self._read() for _ in range(n)]
+        raise ValueError(f"bad RESP type {t}")
+
+
+@pytest.fixture()
+def loop():
+    loop = asyncio.new_event_loop()
+    yield loop
+    loop.close()
+
+
+def run_session(loop, coro_fn):
+    async def main():
+        srv = Server(port=0)
+        server = await srv.serve()
+        port = server.sockets[0].getsockname()[1]
+        c = await MiniRedis.connect("127.0.0.1", port)
+        try:
+            return await coro_fn(c)
+        finally:
+            c.w.close()
+            server.close()
+            await server.wait_closed()
+    return loop.run_until_complete(main())
+
+
+def test_end_to_end_search(loop):
+    async def flow(c):
+        assert await c.cmd("PING") == "PONG"
+        assert await c.cmd(
+            "FT.CREATE", "idx", "PREFIX", 1, "doc:", "SCHEMA",
+            "title", "TEXT", "WEIGHT", 2, "body", "TEXT",
+            "price", "NUMERIC", "SORTABLE",
+            "tags", "TAG", "SEPARATOR", ",") == "OK"
+        assert await c.cmd("HSET", "doc:1", "title", "hello world",
+                           "body", "lorem ipsum", "price", 10,
+                           "tags", "a,b") == 4
+        await c.cmd("HSET", "doc:2", "title", "goodbye world",
+                    "body", "hello again", "price", 25, "tags", "b")
+        res = await c.cmd("FT.SEARCH", "idx", "hello")
+        assert res[0] == 2
+        assert set(res[1::2]) == {"doc:1", "doc:2"}
+        res = await c.cmd("FT.SEARCH", "idx", "@title:hello", "NOCONTENT")
+        assert res == [1, "doc:1"]
+        res = await c.cmd("FT.SEARCH", "idx", "@tags:{a}", "NOCONTENT")
+        assert res == [1, "doc:1"]
+        res = await c.cmd("FT.SEARCH", "idx", "*", "SORTBY", "price",
+                          "DESC", "NOCONTENT")
+        assert res == [2, "doc:2", "doc:1"]
+        res = await c.cmd("FT.SEARCH", "idx", "@price:[20 30]", "NOCONTENT")
+        assert res == [1, "doc:2"]
+        # RETURN + WITHSCORES
+        res = await c.cmd("FT.SEARCH", "idx", "hello", "WITHSCORES",
+                          "RETURN", 1, "title")
+        assert res[0] == 2 and float(res[2]) > 0
+        return True
+    assert run_session(loop, flow)
+
+
+def test_aggregate_and_cursor(loop):
+    async def flow(c):
+        await c.cmd("FT.CREATE", "ag", "SCHEMA", "cat", "TAG", "SORTABLE",
+                    "price", "NUMERIC", "SORTABLE")
+        for i in range(10):
+            await c.cmd("HSET", f"p{i}", "cat", ["x", "y"][i % 2],
+                        "price", i * 10)
+        res = await c.cmd("FT.AGGREGATE", "ag", "*",
+                          "GROUPBY", 1, "@cat",
+                          "REDUCE", "SUM", 1, "@price", "AS", "total",
+                          "SORTBY", 2, "@total", "DESC")
+        assert res[0] == 2
+        first = dict(zip(res[1][::2], res[1][1::2]))
+        assert first["cat"] == "y" and float(first["total"]) == 250
+        # cursor
+        res = await c.cmd("FT.AGGREGATE", "ag", "*", "LOAD", 1, "@price",
+                          "SORTBY", 1, "@price", "WITHCURSOR", "COUNT", 4)
+        body, cid = res
+        assert body[0] == 4 and cid != 0
+        res2 = await c.cmd("FT.CURSOR", "READ", "ag", cid)
+        assert res2[0][0] == 4
+        return True
+    assert run_session(loop, flow)
+
+
+def test_misc_commands(loop):
+    async def flow(c):
+        await c.cmd("FT.CREATE", "m", "SCHEMA", "t", "TEXT")
+        await c.cmd("HSET", "k1", "t", "searching stuff")
+        out = await c.cmd("FT.EXPLAIN", "m", "hello world")
+        assert "INTERSECT" in out
+        await c.cmd("FT.SUGADD", "sug", "hello world", 1)
+        assert await c.cmd("FT.SUGLEN", "sug") == 1
+        assert await c.cmd("FT.SUGGET", "sug", "he") == ["hello world"]
+        assert await c.cmd("FT.DICTADD", "d1", "foo", "bar") == 2
+        assert await c.cmd("FT.DICTDUMP", "d1") == ["bar", "foo"]
+        sp = await c.cmd("FT.SPELLCHECK", "m", "serching")
+        assert sp[0][1] == "serching"
+        assert any(t == "searching" for _s, t in sp[0][2])
+        cfg = await c.cmd("FT.CONFIG", "GET", "MAXPREFIXEXPANSIONS")
+        assert cfg[0][0] == "MAXPREFIXEXPANSIONS"
+        assert await c.cmd("FT._LIST") == ["m"]
+        info = await c.cmd("FT.INFO", "m")
+        d = {info[i]: info[i + 1] for i in range(0, len(info), 2)}
+        assert d["index_name"] == "m"
+        # vector via PARAMS blob (binary-safe through latin-1 string)
+        await c.cmd("FT.CREATE", "v", "SCHEMA", "emb", "VECTOR", "FLAT",
+                    6, "TYPE", "FLOAT32", "DIM", 2, "DISTANCE_METRIC", "L2")
+        import numpy as np
+        for i in range(4):
+            vec = np.asarray([i, i], np.float32).tobytes().decode("latin-1")
+            await c.cmd("HSET", f"e{i}", "emb", vec)
+        q = np.asarray([2.1, 2.1], np.float32).tobytes().decode("latin-1")
+        res = await c.cmd("FT.SEARCH", "v", "*=>[KNN 2 @emb $b]",
+                          "PARAMS", 2, "b", q, "NOCONTENT", "DIALECT", 2)
+        assert res[0] == 2 and res[1] == "e2"
+        return True
+    assert run_session(loop, flow)
+
+
+def test_json_set(loop):
+    async def flow(c):
+        await c.cmd("FT.CREATE", "j", "ON", "JSON", "SCHEMA",
+                    "$.name", "AS", "name", "TEXT")
+        await c.cmd("JSON.SET", "jd1", "$",
+                    '{"name": "deep learning", "extra": 1}')
+        res = await c.cmd("FT.SEARCH", "j", "deep", "NOCONTENT")
+        assert res == [1, "jd1"]
+        return True
+    assert run_session(loop, flow)
