@@ -160,6 +160,10 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
     opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
     cq = index.compile(root, opts)
 
+    fast = _try_device_group(index, req, cq)
+    if fast is not None:
+        return fast
+
     rows: list[dict] = []
     total = 0
     for seg in index.segments:
@@ -185,6 +189,116 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
             rows.append(row)
 
     rows = _run_steps(index, req, rows)
+    return AggregateResult(total=total, rows=rows)
+
+
+def _try_device_group(index, req: AggregateRequest, cq) -> \
+        "Optional[AggregateResult]":
+    """Device GROUPBY fast path (ops/groupby.py): single dictionary-encoded
+    group key + algebraic reducers compute as one-hot MXU contractions;
+    any other shape returns None and the host pipeline runs."""
+    from ..ops.groupby import DEVICE_REDUCERS, groupby_aggregate
+    import jax.numpy as jnp
+
+    if cq.knn is not None or not req.steps:
+        return None
+    if not isinstance(req.steps[0], GroupStep):
+        return None
+    group = req.steps[0]
+    tail = req.steps[1:]
+    if len(group.by) != 1:
+        return None
+    if not all(isinstance(s, (SortStep, LimitStep)) for s in tail):
+        return None
+    key = group.by[0]
+    f = index.schema.try_field(key)
+    if f is None or f.type != FieldType.TAG or not f.sortable:
+        return None
+    operands = set()
+    for name, args, _alias in group.reducers:
+        if name.upper() not in DEVICE_REDUCERS:
+            return None
+        if name.upper() != "COUNT":
+            if len(args) != 1:
+                return None
+            op = args[0].lstrip("@")
+            opf = index.schema.try_field(op)
+            if opf is None or opf.type != FieldType.NUMERIC:
+                return None
+            operands.add(op)
+    want_minmax = any(n.upper() in ("MIN", "MAX")
+                      for n, _a, _al in group.reducers)
+
+    # accumulate per group VALUE (string) across segments
+    acc: dict[str, dict[str, dict[str, float]]] = {}
+    total = 0
+    for seg in index.segments:
+        sc = seg.strcols.get(f.attribute)
+        if sc is None:
+            return None
+        res = execute(cq, seg, 1, mode="window")
+        total += res.count
+        docs = jnp.asarray(res.local_idx)
+        valid = jnp.asarray(res.valid)
+        cd = jnp.minimum(docs, seg.n_pad - 1)
+        gids = sc.value_ids[cd]
+        G = max(len(sc.table), 1)
+        per_op = {}
+        ops = set(operands) | {None}  # None = plain row count
+        for op in ops:
+            vals = (seg.numerics[op].values[cd] if op is not None
+                    else jnp.zeros(docs.shape, jnp.float32))
+            vmask = (valid & seg.numerics[op].present[cd]
+                     if op is not None else valid)
+            per_op[op] = groupby_aggregate(gids, vmask, vals, G,
+                                           want_minmax=want_minmax)
+        counts0 = np.asarray(per_op[next(iter(ops))]["count"])
+        for g in np.nonzero(counts0 > 0)[0]:
+            val = sc.table[int(g)]
+            slot = acc.setdefault(val, {})
+            for op in ops:
+                stats = slot.setdefault(str(op), {
+                    "count": 0.0, "sum": 0.0, "sumsq": 0.0,
+                    "min": 3.4e38, "max": -3.4e38})
+                dev = per_op[op]
+                stats["count"] += float(dev["count"][g])
+                stats["sum"] += float(dev["sum"][g])
+                stats["sumsq"] += float(dev["sumsq"][g])
+                if want_minmax:
+                    stats["min"] = min(stats["min"], float(dev["min"][g]))
+                    stats["max"] = max(stats["max"], float(dev["max"][g]))
+
+    rows = []
+    for val, slot in acc.items():
+        row = {key: val}
+        for name, args, alias in group.reducers:
+            nm = name.upper()
+            alias = alias or make_reducer(name, list(args)).default_alias()
+            op = "None" if nm == "COUNT" else str(args[0].lstrip("@"))
+            st = slot.get(op) or next(iter(slot.values()))
+            c = st["count"]
+            if nm == "COUNT":
+                row[alias] = c
+            elif nm == "SUM":
+                row[alias] = st["sum"]
+            elif nm == "AVG":
+                row[alias] = st["sum"] / c if c else E.NULL
+            elif nm == "MIN":
+                row[alias] = st["min"] if c else E.NULL
+            elif nm == "MAX":
+                row[alias] = st["max"] if c else E.NULL
+            elif nm == "STDDEV":
+                if c < 2:
+                    row[alias] = 0.0 if c else E.NULL
+                else:
+                    var = (st["sumsq"] - st["sum"] ** 2 / c) / (c - 1)
+                    row[alias] = max(var, 0.0) ** 0.5
+        rows.append(row)
+    for step in tail:
+        if isinstance(step, SortStep):
+            rows = _sort(rows, step)
+        elif isinstance(step, LimitStep):
+            rows = rows[step.offset:step.offset + step.num]
     return AggregateResult(total=total, rows=rows)
 
 
