@@ -230,33 +230,73 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
                       for n, _a, _al in group.reducers)
 
     # accumulate per group VALUE (string) across segments
+    import jax as _jax
+    from ..index.segment import next_pow2 as _np2
+    from ..query.engine import (_COMPILE_CACHE, _build_fn, _segment_args)
+
+    op_list = sorted(operands)
     acc: dict[str, dict[str, dict[str, float]]] = {}
     total = 0
     for seg in index.segments:
         sc = seg.strcols.get(f.attribute)
         if sc is None:
             return None
-        res = execute(cq, seg, 1, mode="window")
-        total += res.count
-        docs = jnp.asarray(res.local_idx)
-        valid = jnp.asarray(res.valid)
-        cd = jnp.minimum(docs, seg.n_pad - 1)
-        gids = sc.value_ids[cd]
         G = max(len(sc.table), 1)
-        per_op = {}
-        ops = set(operands) | {None}  # None = plain row count
-        for op in ops:
-            vals = (seg.numerics[op].values[cd] if op is not None
-                    else jnp.zeros(docs.shape, jnp.float32))
-            vmask = (valid & seg.numerics[op].present[cd]
-                     if op is not None else valid)
-            per_op[op] = groupby_aggregate(gids, vmask, vals, G,
-                                           want_minmax=want_minmax)
-        counts0 = np.asarray(per_op[next(iter(ops))]["count"])
+
+        # ONE fused jitted program per (query shape, segment, G, ops):
+        # window eval -> key/operand gathers -> one-hot aggregation.
+        # Eager composition costs a device round trip per op on a remote
+        # link; fused it's one dispatch, one h2d, one d2h.
+        binding, P = cq.bind(seg)
+        dyn = binding.dyn
+        dyn.pop("_tagL", None)
+        buckets = dyn.pop("_buckets")
+        sig = ("devgroup|" + cq.signature(
+            f"n={seg.n_pad}|G={G}|ops={op_list}|mm={want_minmax}",
+            buckets, P, 1))
+        fn = _COMPILE_CACHE.get(sig)
+        if fn is None:
+            raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
+                            mode="window", jit=False)
+
+            def fused(seg_args, dyn_args, value_ids, num_vals, num_pres,
+                      _raw=raw, _G=G):
+                out = _raw(seg_args, dyn_args)
+                docs, valid = out["docs"], out["valid"]
+                cd = jnp.minimum(docs, value_ids.shape[0] - 1)
+                gids = value_ids[cd]
+                res = {"count": out["count"]}
+                res["grp"] = {}
+                base = groupby_aggregate(gids, valid,
+                                         jnp.zeros(docs.shape, jnp.float32),
+                                         _G, want_minmax=False)
+                res["grp"]["None"] = base
+                for j in range(num_vals.shape[0]):
+                    vm = valid & num_pres[j][cd]
+                    res["grp"][str(j)] = groupby_aggregate(
+                        gids, vm, num_vals[j][cd], _G,
+                        want_minmax=want_minmax)
+                return res
+
+            fn = _jax.jit(fused)
+            _COMPILE_CACHE[sig] = fn
+        num_vals = (jnp.stack([seg.numerics[o].values for o in op_list])
+                    if op_list else jnp.zeros((0, seg.n_pad), jnp.float32))
+        num_pres = (jnp.stack([seg.numerics[o].present for o in op_list])
+                    if op_list else jnp.zeros((0, seg.n_pad), bool))
+        out = fn(_segment_args(cq, seg),
+                 {k_: jnp.asarray(v) for k_, v in dyn.items()},
+                 sc.value_ids, num_vals, num_pres)
+        out = _jax.device_get(out)
+        total += int(out["count"])
+        per_op = {None: out["grp"]["None"]}
+        for j, o in enumerate(op_list):
+            per_op[o] = out["grp"][str(j)]
+        counts0 = np.asarray(per_op[None]["count"])
         for g in np.nonzero(counts0 > 0)[0]:
             val = sc.table[int(g)]
             slot = acc.setdefault(val, {})
-            for op in ops:
+            for op in [None] + op_list:
                 stats = slot.setdefault(str(op), {
                     "count": 0.0, "sum": 0.0, "sumsq": 0.0,
                     "min": 3.4e38, "max": -3.4e38})
@@ -264,7 +304,7 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
                 stats["count"] += float(dev["count"][g])
                 stats["sum"] += float(dev["sum"][g])
                 stats["sumsq"] += float(dev["sumsq"][g])
-                if want_minmax:
+                if want_minmax and "min" in dev:  # base COUNT op has none
                     stats["min"] = min(stats["min"], float(dev["min"][g]))
                     stats["max"] = max(stats["max"], float(dev["max"][g]))
 
