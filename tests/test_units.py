@@ -1,0 +1,260 @@
+"""Unit tests for host-side components (reference analog: Rust in-crate
+unit tests + tests/ctests data-structure tests, SURVEY.md §4.1-4.2)."""
+
+import numpy as np
+import pytest
+
+from redisearch_tpu.analysis.porter import porter_stem
+from redisearch_tpu.analysis.stemmer import Stemmer, is_supported_language
+from redisearch_tpu.analysis.stopwords import StopWordList
+from redisearch_tpu.analysis.tokenizer import Tokenizer
+from redisearch_tpu.analysis.phonetics import dm_code
+from redisearch_tpu.analysis.synonyms import SynonymMap
+from redisearch_tpu.agg import expr as E
+from redisearch_tpu.utils import wkt
+from redisearch_tpu.utils.hll import HLL
+from redisearch_tpu.utils.jsonpath import resolve
+from redisearch_tpu.query.parser import QueryParser
+from redisearch_tpu.query import ast
+
+
+# -- porter ---------------------------------------------------------------
+@pytest.mark.parametrize("word,stem", [
+    ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+    ("troubling", "troubl"), ("sized", "size"), ("hopping", "hop"),
+    ("falling", "fall"), ("hissing", "hiss"), ("fizzed", "fizz"),
+    ("failing", "fail"), ("filing", "file"), ("happy", "happi"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("digitizer", "digit"),
+    ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("formaliti", "formal"), ("formative", "form"),
+    ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"),
+    ("replacement", "replac"), ("adjustment", "adjust"),
+    ("dependent", "depend"), ("adoption", "adopt"), ("communism", "commun"),
+    ("activate", "activ"), ("angulariti", "angular"),
+    ("homologous", "homolog"), ("effective", "effect"), ("bowdlerize",
+                                                         "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+])
+def test_porter_published_vectors(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_stemmer_languages():
+    assert is_supported_language("FRENCH")
+    assert not is_supported_language("klingon")
+    assert Stemmer("french").stem("chanteuses") is not None
+    assert Stemmer("none").stem("running") is None
+
+
+# -- tokenizer --------------------------------------------------------------
+def test_tokenizer_positions_and_offsets():
+    toks = list(Tokenizer().tokenize("Hello, the World!"))
+    assert [t.tok for t in toks] == ["hello", "the", "world"]
+    assert [t.pos for t in toks] == [1, 2, 3]
+    assert toks[1].is_stopword
+    text = "Hello, the World!"
+    t0 = toks[0]
+    assert text.encode()[t0.start_byte:t0.end_byte] == b"Hello"
+
+
+def test_tokenizer_escapes():
+    toks = list(Tokenizer().tokenize(r"hello\-world foo"))
+    assert [t.tok for t in toks] == ["hello-world", "foo"]
+
+
+def test_tokenizer_unicode():
+    toks = list(Tokenizer().tokenize("Straße CAFÉ"))
+    assert [t.tok for t in toks] == ["strasse", "café"]
+
+
+# -- phonetics ---------------------------------------------------------------
+def test_double_metaphone_sounds_alike():
+    assert dm_code("smith") == dm_code("smyth")
+    assert dm_code("phone") == dm_code("fone")
+    assert dm_code("night") == dm_code("nite")
+    assert dm_code("cat") != dm_code("dog")
+
+
+# -- synonyms ----------------------------------------------------------------
+def test_synonym_groups():
+    sm = SynonymMap()
+    sm.update("1", ["car", "automobile"])
+    sm.update("2", ["car", "vehicle"])
+    assert sm.group_ids("car") == {"1", "2"}
+    assert sm.group_terms("automobile") == ["~1"]
+    assert sm.dump()["car"] == ["1", "2"]
+
+
+# -- expression engine ---------------------------------------------------------
+@pytest.mark.parametrize("expr,row,expected", [
+    ("1 + 2 * 3", {}, 7.0),
+    ("(1 + 2) * 3", {}, 9.0),
+    ("2 ^ 10", {}, 1024.0),
+    ("@x % 3", {"x": 10}, 1.0),
+    ("@a > 5 && @b < 2", {"a": 6, "b": 1}, 1.0),
+    ("!exists(@nope)", {}, 1.0),
+    ("upper(@s)", {"s": "abc"}, "ABC"),
+    ("substr(@s, 1, 2)", {"s": "abcdef"}, "bc"),
+    ("strlen(@s)", {"s": "hello"}, 5.0),
+    ("contains(@s, 'l')", {"s": "hello"}, 2.0),
+    ("startswith(@s, 'he')", {"s": "hello"}, 1.0),
+    ("to_number(@s) + 1", {"s": "41"}, 42.0),
+    ("case(@x > 0, 'pos', 'neg')", {"x": 1}, "pos"),
+    ("floor(log2(@x))", {"x": 1000}, 9.0),
+    ("sqrt(@x)", {"x": 144}, 12.0),
+    ("abs(0 - @x)", {"x": 5}, 5.0),
+    ("format('%s-%d', @s, @n)", {"s": "a", "n": 3}, "a-3"),
+    ("hour(@t)", {"t": 3600 * 5 + 60}, 5.0),
+    ("year(@t)", {"t": 0}, 1970.0),
+])
+def test_expressions(expr, row, expected):
+    out = E.evaluate(E.parse(expr), row)
+    if isinstance(expected, float):
+        assert float(out) == pytest.approx(expected)
+    else:
+        assert out == expected
+
+
+def test_expr_null_propagation():
+    assert E.evaluate(E.parse("@missing + 1"), {}) is None
+    assert E.evaluate(E.parse("exists(@missing)"), {}) == 0.0
+
+
+def test_geodistance():
+    # Paris -> London ~ 344 km
+    d = E.evaluate(E.parse('geodistance(@a, @b)'),
+                   {"a": "2.3522,48.8566", "b": "-0.1276,51.5072"})
+    assert 330_000 < d < 360_000
+
+
+# -- WKT ------------------------------------------------------------------------
+def test_wkt_parse_and_predicates():
+    sq = wkt.parse("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    inner = wkt.parse("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
+    pt = wkt.parse("POINT(3 3)")
+    far = wkt.parse("POINT(10 10)")
+    assert wkt.within(inner, sq)
+    assert not wkt.within(sq, inner)
+    assert wkt.contains(sq, pt)
+    assert wkt.intersects(inner, sq)
+    assert wkt.disjoint(far, sq)
+
+
+def test_wkt_polygon_with_hole():
+    donut = wkt.parse(
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert wkt.contains(donut, wkt.parse("POINT(1 1)"))
+    assert not wkt.contains(donut, wkt.parse("POINT(5 5)"))  # in the hole
+
+
+# -- HLL --------------------------------------------------------------------------
+def test_hll_accuracy():
+    h = HLL()
+    for i in range(50_000):
+        h.add(f"item-{i}")
+    est = h.count()
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # merge
+    h2 = HLL()
+    for i in range(25_000, 75_000):
+        h2.add(f"item-{i}")
+    h.merge(h2)
+    est = h.count()
+    assert abs(est - 75_000) / 75_000 < 0.05
+
+
+# -- jsonpath ----------------------------------------------------------------------
+def test_jsonpath_edge_cases():
+    assert resolve({"a": 1}, "$.a") == 1
+    assert resolve({"a": {"b": [10, 20]}}, "$.a.b[1]") == 20
+    assert resolve([], "$.x") is None
+    assert resolve({"a": [1, 2, 3]}, "$.a[*]") == [1, 2, 3]
+
+
+# -- query parser -------------------------------------------------------------------
+def _parse(q, **kw):
+    return QueryParser(**kw).parse(q)
+
+
+def test_parser_tree_shapes():
+    t = _parse("aa bb | cc")
+    assert isinstance(t, ast.UnionNode)
+    assert isinstance(t.kids[0], ast.IntersectNode)
+    t = _parse("-bad ~maybe good")
+    kinds = [type(k).__name__ for k in t.kids]
+    assert kinds == ["NotNode", "OptionalNode", "TokenNode"]
+
+
+def test_parser_field_scoping():
+    t = _parse("@title:(hello world)")
+    assert all(n.fieldmask_attrs == ["title"]
+               for n in ast.walk(t) if isinstance(n, ast.TokenNode))
+    t = _parse("@a|b:term")
+    tok = next(n for n in ast.walk(t) if isinstance(n, ast.TokenNode))
+    assert tok.fieldmask_attrs == ["a", "b"]
+
+
+def test_parser_numeric_operators():
+    t = _parse("@price>=100")
+    assert isinstance(t, ast.NumericNode) and t.lo == 100
+    t = _parse("@price!=5")
+    assert isinstance(t, ast.NotNode)
+    t = _parse("@price:[(10 (20]")
+    assert t.lo_excl and t.hi_excl
+
+
+def test_parser_params():
+    t = _parse("@n:[$lo $hi]", params={"lo": 1, "hi": 9})
+    assert t.lo == 1 and t.hi == 9
+    t = _parse("$term", params={"term": "hello"})
+    assert isinstance(t, ast.TokenNode) and t.term == "hello"
+
+
+def test_parser_vector_syntax():
+    t = _parse("(@cat:{x})=>[KNN $k @v $b EF_RUNTIME 64 AS dist]",
+               params={"k": 7, "b": np.zeros(4, np.float32)})
+    assert isinstance(t, ast.VectorNode)
+    assert t.k == 7 and t.ef_runtime == 64 and t.score_alias == "dist"
+    assert isinstance(t.child, ast.TagNode)
+    t = _parse("@v:[VECTOR_RANGE 0.5 $b]", params={"b": [0, 0]})
+    assert t.mode == "RANGE" and t.radius == 0.5
+
+
+def test_parser_attributes():
+    t = _parse('"big apple"=>{$slop: 2; $inorder: true;}')
+    assert isinstance(t, ast.PhraseNode)
+    assert t.slop == 2 and t.inorder
+
+
+def test_parser_affixes_fuzzy_wildcard():
+    assert isinstance(_parse("hel*"), ast.AffixNode)
+    t = _parse("*llo")
+    assert t.suffix and not t.prefix
+    t = _parse("%%hxllo%%")
+    assert isinstance(t, ast.FuzzyNode) and t.max_dist == 2
+    t = _parse("w'he?lo*'")
+    assert isinstance(t, ast.WildcardQueryNode)
+
+
+def test_parser_errors():
+    from redisearch_tpu.utils.errors import ParamError, QuerySyntaxError
+    with pytest.raises(QuerySyntaxError):
+        _parse("(unclosed")
+    with pytest.raises(QuerySyntaxError):
+        _parse("@f:[1 2 3]")
+    with pytest.raises(ParamError):
+        _parse("$nope")
+
+
+def test_stopword_only_query():
+    t = _parse("the an is")
+    assert isinstance(t, ast.EmptyNode)
