@@ -151,6 +151,8 @@ def load(path: str):
             pos_stride=sm["pos_stride"], nnz=sm["nnz"],
             max_postings=sm["max_postings"],
             term_offsets_np=np.asarray(npz[f"{p}.text.term_offsets"]),
+            pos_offsets_np=np.asarray(
+                npz[f"{p}.text.pos_offsets"]).astype(np.int64),
         )
         tags = {}
         for attr in sm["tag_fields"]:

@@ -415,6 +415,7 @@ class SegmentBuilder:
             nnz=nnz,
             max_postings=max_postings,
             term_offsets_np=term_offsets.astype(np.int32),
+            pos_offsets_np=pos_offsets.astype(np.int64),
         )
 
         # ---- tag postings

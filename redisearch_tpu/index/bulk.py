@@ -170,7 +170,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         pos_offsets=jnp.asarray(po.astype(np.int32)),
         poskeys=jnp.asarray(tail_pad(pk, POS_SLICE_PAD, 2**31 - 1)),
         pos_stride=pos_stride, nnz=int(nnz),
-        max_postings=int(max_postings), term_offsets_np=term_offsets)
+        max_postings=int(max_postings), term_offsets_np=term_offsets,
+        pos_offsets_np=pos_offsets.astype(np.int64))
 
     gids = np.zeros(n_pad, np.int32)
     gids[:n] = [m.gid for m in metas]

@@ -117,6 +117,7 @@ class TextPostings:
     nnz: int
     max_postings: int   # longest posting list (gather bucket upper bound)
     term_offsets_np: Optional[np.ndarray] = None  # host mirror for planning
+    pos_offsets_np: Optional[np.ndarray] = None   # host mirror for planning
 
 
 @dataclasses.dataclass

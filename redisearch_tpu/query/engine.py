@@ -497,7 +497,21 @@ class CompiledQuery:
             elif isinstance(leaf, LPhrase):
                 W = min(self.bucket_size(
                     max((int(lens[s]) for s in leaf.slots), default=1)), cap)
-                buckets[idx] = (W, P)
+                # per-slot position counts -> pivot on the rarest term so
+                # the candidate set is the smallest position list
+                po = seg.text.pos_offsets_np
+                ncounts = []
+                for s_ in leaf.slots:
+                    a = int(starts[s_])
+                    b = a + int(lens[s_])
+                    ncounts.append(int(po[b] - po[a]) if lens[s_] > 0
+                                   else 0)
+                pos_counts = [c if c > 0 else 10**9 for c in ncounts]
+                pivot_j = int(np.argmin(pos_counts))
+                from ..index.segment import POS_SLICE_PAD as _PSP
+                Pc = min(self.bucket_size(max(ncounts[pivot_j], 1)), _PSP)
+                Pm = min(self.bucket_size(max(max(ncounts), 1)), _PSP)
+                buckets[idx] = (W, Pc, Pm, pivot_j)
             elif isinstance(leaf, LTag):
                 ts = dyn[f"tag{leaf.ord}_starts"]
                 tl = dyn[f"tag{leaf.ord}_lens"]
@@ -1019,12 +1033,12 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             raise AssertionError(leaf)
 
         def gen_phrase(leaf, idx):
-            Wn, Pn = buckets[idx]
+            Wn, Pc, Pm, pivot_j = buckets[idx]
             starts = jnp.stack([dyn["tstarts"][s] for s in leaf.slots])
             lens = jnp.stack([dyn["tlens"][s] for s in leaf.slots])
-            cand, alive_c = _phrase_chain(
+            cand, alive_c = _phrase_chain_pivot(
                 seg["poskeys"], seg["pos_offsets"], starts, lens,
-                pos_stride, leaf.slop, leaf.inorder, Pn)
+                pos_stride, leaf.slop, leaf.inorder, Pc, Pm, pivot_j)
             anylen = jnp.all(lens > 0)
             alive_c = alive_c & anylen
             docs = jnp.where(alive_c, cand // pos_stride,
@@ -1365,6 +1379,67 @@ def _metric_dist(rows, sq, q, metric):
         return 1.0 - dots
     return 1.0 - dots / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30))
                                     * jnp.linalg.norm(q), 1e-30)
+
+
+def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
+                        slop, inorder, Pc, Pm, pivot_j):
+    """Phrase chain anchored at the rarest member term (the reference's
+    intersection orders children by cardinality; same idea for offsets).
+
+    Candidates are the pivot term's position keys (window Pc — small);
+    the chain walks forward from the pivot and then backward to term 0,
+    each step a block_searchsorted into that term's keys (window Pm).
+    Greedy-nearest in each direction is optimal for in-order windows.
+    Returns (candidate keys, alive mask) — keys of the PIVOT term."""
+    Tn = starts.shape[0]
+    cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[pivot_j],
+                               lens[pivot_j], Pc)
+    alive_c = cand != 2**31 - 1
+    anchor = cand  # per-direction moving position; doc fixed per candidate
+
+    # forward: terms pivot+1 .. Tn-1
+    for j in range(pivot_j + 1, Tn):
+        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
+                                     lens[j], Pm)
+        if inorder or slop == 0:
+            lo_t = anchor + 1
+            hi_t = anchor + 2 + slop
+        else:
+            lo_t = anchor - slop
+            hi_t = anchor + 2 + slop
+        lo = jnp.minimum(W.block_searchsorted(keys_j, lo_t, side="left"),
+                         Pm - 1)
+        found = keys_j[jnp.clip(lo, 0, Pm - 1)]
+        same_doc = (found // pos_stride) == (anchor // pos_stride)
+        ok = (alive_c & (found >= lo_t) & (found < hi_t) & same_doc)
+        if not inorder and slop > 0:
+            ok = ok & (found != anchor)
+        anchor = jnp.where(ok, jnp.maximum(found, anchor), anchor)
+        alive_c = ok
+
+    # backward: terms pivot-1 .. 0 (greedy-largest predecessor)
+    anchor_b = cand
+    for j in range(pivot_j - 1, -1, -1):
+        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
+                                     lens[j], Pm)
+        if inorder or slop == 0:
+            lo_t = anchor_b - 1 - slop
+            hi_t = anchor_b - 1
+        else:
+            lo_t = anchor_b - 1 - slop
+            hi_t = anchor_b + 1 + slop
+        # largest key <= hi_t: upper_bound - 1
+        ub = W.block_searchsorted(keys_j, hi_t, side="right") - 1
+        found = keys_j[jnp.clip(ub, 0, Pm - 1)]
+        same_doc = (found // pos_stride) == (anchor_b // pos_stride)
+        ok = (alive_c & (ub >= 0) & (found >= lo_t) & (found <= hi_t)
+              & same_doc)
+        if not inorder and slop > 0:
+            ok = ok & (found != anchor_b)
+        anchor_b = jnp.where(ok, jnp.minimum(found, anchor_b), anchor_b)
+        alive_c = ok
+
+    return cand, alive_c
 
 
 def _phrase_chain(poskeys, pos_offsets, starts, lens, pos_stride,
