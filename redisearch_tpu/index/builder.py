@@ -491,8 +491,10 @@ class SegmentBuilder:
                     present[i] = True
             if vp.dtype == "BFLOAT16":
                 dev = jnp.asarray(mat, dtype=jnp.bfloat16)
-            elif vp.dtype in ("INT8", "UINT8"):
-                dev = jnp.asarray(mat, dtype=jnp.float32)  # keep f32 math
+            elif vp.dtype == "INT8":
+                dev = jnp.asarray(mat, dtype=jnp.int8)   # 4x memory saving
+            elif vp.dtype == "UINT8":
+                dev = jnp.asarray(mat, dtype=jnp.uint8)
             elif vp.dtype == "FLOAT16":
                 dev = jnp.asarray(mat, dtype=jnp.float16)
             else:

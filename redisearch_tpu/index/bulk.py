@@ -243,6 +243,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
                 pres[i] = True
         dt = (jnp.bfloat16 if f.vector.dtype == "BFLOAT16"
               else jnp.float16 if f.vector.dtype == "FLOAT16"
+              else jnp.int8 if f.vector.dtype == "INT8"
+              else jnp.uint8 if f.vector.dtype == "UINT8"
               else jnp.float32)
         vectors[attr] = VectorColumn(
             vecs=jnp.asarray(mat, dtype=dt), present=jnp.asarray(pres),

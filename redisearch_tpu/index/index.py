@@ -174,6 +174,7 @@ class SearchIndex:
             self._build_ann(seg)
         self._builder = SegmentBuilder(self.schema, self.stopwords,
                                        self.synonyms)
+        self.maybe_compact()
 
     def _build_ann(self, seg: Segment) -> None:
         """Build partitioned (IVF) ANN structures for qualifying vector
@@ -197,6 +198,17 @@ class SearchIndex:
                 np.asarray(col.vecs, np.float32),
                 np.asarray(col.present), vp.metric.value,
                 nlist=vp.nlist)
+
+    def maybe_compact(self, dead_ratio: float = 0.25) -> None:
+        """GC-policy analog (reference: fork-GC cycles): rebuild once the
+        deleted fraction crosses `dead_ratio` — restores the clean-segment
+        fast paths (see segment flags) and reclaims memory."""
+        if not self.segments:
+            return
+        dead = sum(s.n_deleted for s in self.segments)
+        live = max(self.doctable.num_docs, 1)
+        if dead / (dead + live) >= dead_ratio:
+            self.compact()
 
     def compact(self) -> None:
         """Rebuild all segments dropping deleted docs (replaces fork-GC)."""

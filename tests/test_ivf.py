@@ -117,3 +117,35 @@ def test_tiered_small_segment_stays_flat():
     q = np.zeros(8, np.float32)
     res = ix.search("*=>[KNN 3 @v $q]", params={"q": q})
     assert len(res.hits) == 3
+
+
+def test_int8_vectors_device_dtype():
+    rng = np.random.default_rng(5)
+    vecs = rng.integers(-127, 127, size=(50, 8)).astype(np.int8)
+    schema = rs.Schema(name="i8", fields=[
+        rs.Field("v", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=8, dtype="INT8",
+                                        metric=rs.VectorMetric.L2))])
+    ix = rs.SearchIndex(schema)
+    for i in range(50):
+        ix.add_document(f"d{i}", {"v": vecs[i]})
+    ix.commit()
+    col = ix.segments[0].vectors["v"]
+    assert str(col.vecs.dtype) == "int8"
+    q = vecs[13].astype(np.float32)
+    res = ix.search("*=>[KNN 3 @v $q]", params={"q": q})
+    assert res.hits[0].key == "d13"
+
+
+def test_auto_compaction():
+    ix = rs.SearchIndex(rs.Schema(name="cmp", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    for i in range(40):
+        ix.add_document(f"d{i}", {"t": f"tok{i % 4}"})
+    ix.commit()
+    for i in range(20):  # delete half -> above the 25% dead threshold
+        ix.delete_document(f"d{i}")
+    ix.add_document("fresh", {"t": "tok1"})
+    ix.commit()   # triggers maybe_compact
+    assert sum(s.n_deleted for s in ix.segments) == 0
+    assert ix.search("tok1").total == 6  # 5 survivors + fresh
