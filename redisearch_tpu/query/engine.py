@@ -462,16 +462,16 @@ class CompiledQuery:
         for i, node in enumerate(self.host_nodes):
             dyn[f"hm{i}"] = self._host_mask(node, seg)
 
-        # position window bucket for phrase leaves
+        # position window bucket for phrase leaves (host mirror — indexing
+        # the device array here would cost a transfer round trip per slot)
         P = 1
+        po_np = seg.text.pos_offsets_np
         for leaf in self._phrase_leaves(self.tree):
             for s in leaf.slots:
-                if lens[s] > 0:
+                if lens[s] > 0 and po_np is not None:
                     a = int(starts[s])
                     b = a + int(lens[s])
-                    po = np.asarray(seg.text.pos_offsets[a]), np.asarray(
-                        seg.text.pos_offsets[b])
-                    P = max(P, int(po[1]) - int(po[0]))
+                    P = max(P, int(po_np[b]) - int(po_np[a]))
         from ..index.segment import POS_SLICE_PAD
         P = min(int(self.bucket_size(P)), POS_SLICE_PAD) if P > 1 else 1
 
