@@ -178,7 +178,7 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
             sel = res.local_idx[res.valid]   # window docs, valid only
             scores = res.scores[res.valid]
             total += res.count
-        gids = np.asarray(seg.gids)
+        gids = seg.gids_host
         for j, li in enumerate(sel):
             gid = int(gids[li])
             meta = index.doctable.get(gid)

@@ -216,7 +216,7 @@ class SearchIndex:
         builder = SegmentBuilder(self.schema, self.stopwords, self.synonyms)
         for seg in self.segments:
             alive = np.asarray(seg.alive)
-            gids = np.asarray(seg.gids)
+            gids = seg.gids_host
             for i in range(seg.n_docs):
                 if alive[i]:
                     meta = self.doctable.get(int(gids[i]))
@@ -295,7 +295,7 @@ class SearchIndex:
                 break
             res = execute(cq, seg, k)
             total += res.count
-            gids = np.asarray(seg.gids)
+            gids = seg.gids_host
             n_valid = min(k, res.local_idx.shape[0])
             for j in range(n_valid):
                 li = int(res.local_idx[j])
@@ -381,7 +381,7 @@ class SearchIndex:
         for seg in self.segments:
             res = execute(cq, seg, 1, mode="window")
             total += res.count
-            gids = np.asarray(seg.gids)
+            gids = seg.gids_host
             for li in res.local_idx[res.valid]:
                 meta = self.doctable.get(int(gids[int(li)]))
                 if meta is None or meta.deleted:

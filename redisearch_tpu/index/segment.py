@@ -246,6 +246,15 @@ class Segment:
     n_deleted: int = 0
     has_ttl: bool = False
     uniform_docscore: bool = True
+    _gids_np: Any = None
+
+    @property
+    def gids_host(self) -> np.ndarray:
+        """Host mirror of the gid map (fetching the device array per query
+        costs a full n_pad transfer)."""
+        if self._gids_np is None:
+            self._gids_np = np.asarray(self.gids)
+        return self._gids_np
 
     # -- mutation (the only two allowed: delete + ttl refresh) -----------
     def mark_deleted(self, gid: int) -> bool:
