@@ -268,6 +268,11 @@ class SearchIndex:
         if scorer == "HAMMING":
             return self._search_hamming(root, payload, offset, num,
                                         no_content, return_fields)
+        from .. import ext as _ext
+        if _ext.is_custom_scorer(scorer):
+            return self._search_custom_scorer(
+                root, _ext.get_scorer(scorer), offset, num, no_content,
+                return_fields)
         opts = QueryOptions(
             scorer=scorer, k=offset + num, sort_field=sort_by,
             sort_asc=sort_asc, slop=slop, inorder=inorder,
@@ -368,6 +373,40 @@ class SearchIndex:
         res = SearchResult(total=0, hits=[])
         res.warnings = ["OOM: query returned empty result"]
         return res
+
+    def _search_custom_scorer(self, root, fn, offset, num, no_content,
+                              return_fields) -> SearchResult:
+        """EXTLOAD-analog custom scorer: over-fetch by BM25STD, re-rank
+        on the host via the registered callable (ext.py)."""
+        from .. import ext as _ext
+        cq = self.compile(root, QueryOptions(
+            scorer="BM25STD", k=max((offset + num) * _ext.RESCORE_FACTOR,
+                                    64)))
+        scored = []
+        total = 0
+        for seg in self.segments:
+            res = execute(cq, seg, cq.opts.k)
+            total += res.count
+            gids = seg.gids_host
+            for j in range(res.local_idx.shape[0]):
+                base = float(res.scores[j])
+                if base <= -3.3e38:
+                    continue
+                meta = self.doctable.get(int(gids[int(res.local_idx[j])]))
+                if meta is None or meta.deleted:
+                    continue
+                scored.append((fn(meta.key, meta.fields, base), meta))
+        scored.sort(key=lambda x: (-x[0], x[1].key))
+        hits = []
+        for score, meta in scored[offset:offset + num]:
+            fields = None
+            if not no_content:
+                fields = ({f: meta.fields.get(f) for f in return_fields
+                           if f in meta.fields} if return_fields
+                          else dict(meta.fields))
+            hits.append(Hit(meta.key, float(score), fields=fields,
+                            gid=meta.gid, payload=meta.payload))
+        return SearchResult(total=total, hits=hits, query_ast=root)
 
     def _search_hamming(self, root, payload: Optional[bytes], offset, num,
                         no_content, return_fields) -> SearchResult:

@@ -134,6 +134,7 @@ class QueryOptions:
     language: str = "english"
     verbatim: bool = False         # disable stemming expansion
     with_vector_scores: bool = True
+    expander: str = ""             # custom expander name (ext.py), "" = default
 
 
 @dataclasses.dataclass
@@ -208,9 +209,15 @@ class CompiledQuery:
                 if self.schema.try_field(a)
             ) if node.fieldmask_attrs else any(
                 f.phonetic for f in self.schema.text_fields())
-            terms = expand.expand_token(
-                node.term, node.verbatim or self.opts.verbatim,
-                self._stemmer, self._syn, phonetic)
+            from .. import ext as _ext
+            custom = _ext.get_expander(self.opts.expander)
+            if custom is not None and not (node.verbatim
+                                           or self.opts.verbatim):
+                terms = list(dict.fromkeys(custom(node.term)))
+            else:
+                terms = expand.expand_token(
+                    node.term, node.verbatim or self.opts.verbatim,
+                    self._stemmer, self._syn, phonetic)
             lo = len(self.term_strings)
             for t in terms:
                 self._add_term_slot(t, qmask, w)

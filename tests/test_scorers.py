@@ -88,3 +88,35 @@ def test_profile_iterators():
     assert counts["alpha"] == 15
     assert counts["Numeric"] == 10
     assert it["counter"] == 5
+
+
+def test_extension_api():
+    import redisearch_tpu.ext as ext
+
+    @ext.scorer("BOOSTER")
+    def booster(key, fields, base):
+        return base * float(fields.get("boost", 1))
+
+    @ext.expander("REVEXP")
+    def revexp(token):
+        return [token, token[::-1]]
+
+    ix = rs.SearchIndex(rs.Schema(name="ext", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("boost", rs.FieldType.NUMERIC)]))
+    ix.add_document("plain", {"t": "target word", "boost": 1})
+    ix.add_document("boosted", {"t": "target word", "boost": 50})
+    ix.add_document("rev", {"t": "tegrat only"})
+    ix.commit()
+    res = ix.search("target", scorer="BOOSTER")
+    assert res.hits[0].key == "boosted"
+    # custom expander matches the reversed form too
+    from redisearch_tpu.query.engine import QueryOptions
+    from redisearch_tpu.query.engine import execute
+    cq = ix.compile(ix.parse_query("target"),
+                    QueryOptions(expander="REVEXP"))
+    r = execute(cq, ix.segments[0], 10)
+    import numpy as np
+    keys = {ix.doctable.get(int(ix.segments[0].gids_host[i])).key
+            for i, s in zip(r.local_idx, r.scores) if s > -3.3e38}
+    assert keys == {"plain", "boosted", "rev"}
