@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 
-def main(n_docs: int = 1_000_000, batch: int = 128, iters: int = 10):
+def main(n_docs: int = 1_000_000, batch: int = 256, iters: int = 10):
     import redisearch_tpu as rs
     from redisearch_tpu.query.engine import QueryOptions, execute_batch
 
