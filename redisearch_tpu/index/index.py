@@ -314,7 +314,16 @@ class SearchIndex:
                     kv = float(res.sortkeys[j])
                     if abs(kv) >= 3.3e38:
                         continue
-                    rank = kv if sort_asc else -kv
+                    # string sort keys are per-segment dictionary ranks —
+                    # incomparable across segments; rank on the resolved
+                    # string instead (the reference merges WITHSORTKEYS
+                    # values the same way, module.c:2453)
+                    resolved = self._resolve_sortkey(seg, sort_by, kv)
+                    if isinstance(resolved, str):
+                        rank = (resolved if sort_asc
+                                else tuple(-ord(c) for c in resolved))
+                    else:
+                        rank = kv if sort_asc else -kv
                 else:
                     if sc <= -3.3e38:
                         continue

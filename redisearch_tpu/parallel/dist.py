@@ -194,6 +194,32 @@ class ShardedIndex:
 
         return dist
 
+    def _search_host_merge(self, query, params, offset, num, scorer,
+                           sort_by, sort_asc):
+        """Host-merged sharded search (string sort keys, odd shapes): a
+        temporary multi-segment index view over the shard segments reuses
+        SearchIndex.search's merge semantics exactly."""
+        from ..index.index import SearchIndex
+        view = SearchIndex(self.index.schema)
+        view.doctable = self.index.doctable
+        view.synonyms = self.index.synonyms
+        view.segments = list(self.shards)
+        return view.search(query, params=params, offset=offset, num=num,
+                           scorer=scorer, sort_by=sort_by,
+                           sort_asc=sort_asc)
+
+    def hybrid(self, hq, tail=None):
+        """Distributed FT.HYBRID: both branches fan out over the shards
+        (reference: coord/hybrid/dist_hybrid.c runs branch cursor sets);
+        fusion happens on the merged per-branch rankings."""
+        from ..aux.hybrid import run_hybrid
+        from ..index.index import SearchIndex
+        view = SearchIndex(self.index.schema)
+        view.doctable = self.index.doctable
+        view.synonyms = self.index.synonyms
+        view.segments = list(self.shards)
+        return run_hybrid(view, hq, tail)
+
     def aggregate(self, req):
         """Distributed FT.AGGREGATE with DISTRIBUTE-step plan splitting
         (see parallel/dist_agg.py)."""
@@ -205,6 +231,16 @@ class ShardedIndex:
                scorer: str = "BM25STD", sort_by=None, sort_asc=True,
                shard_k_ratio: float = 1.0, **kw):
         from ..query.engine import QueryOptions
+        from ..schema import FieldType
+        if sort_by is not None:
+            f = self.index.schema.field(sort_by)
+            if f.type != FieldType.NUMERIC:
+                # string sort keys are per-shard dictionary ranks — the
+                # in-graph merge can't compare them; use the host merge
+                # over the shard segments (reference: coordinator merges
+                # WITHSORTKEYS string values host-side too)
+                return self._search_host_merge(query, params, offset, num,
+                                               scorer, sort_by, sort_asc)
         root = self.index.parse_query(query, params)
         opts = QueryOptions(scorer=scorer, k=offset + num,
                             sort_field=sort_by, sort_asc=sort_asc)
@@ -234,6 +270,15 @@ class ShardedIndex:
             hits = hits[:cq.knn.k]
             total = min(total, cq.knn.k)
         return SearchResult(total=total, hits=hits[offset:offset + num])
+
+
+def _shard_index_view(sharded, seg):
+    from ..index.index import SearchIndex
+    ix = SearchIndex(sharded.index.schema)
+    ix.doctable = sharded.index.doctable
+    ix.synonyms = sharded.index.synonyms
+    ix.segments = [seg]
+    return ix
 
 
 def _tree_stack(dicts: list[dict]) -> dict:

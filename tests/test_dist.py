@@ -91,3 +91,20 @@ def test_entry_compiles(eight_devices):
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert "idx" in out and "scores" in out
+
+
+def test_dist_string_sortby(sharded):
+    sh, ix, _ = sharded
+    # TAG field "cat" is sortable; string keys must merge correctly
+    res = sh.search("*", num=6, sort_by="cat", sort_asc=True)
+    keys = [h.sortkey for h in res]
+    assert keys == sorted(keys)
+
+
+def test_dist_hybrid(sharded):
+    sh, ix, vecs = sharded
+    from redisearch_tpu import HybridQuery
+    hq = HybridQuery(search="apple", vsim_field="v", vsim_vector=vecs[10],
+                     combine="RRF", limit=5)
+    rows = sh.hybrid(hq)
+    assert rows and rows[0]["__key"] == "d10"

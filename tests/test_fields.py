@@ -159,3 +159,21 @@ def test_payload_roundtrip():
     ix.commit()
     res = ix.search("x")
     assert res.hits[0].payload == b"\x01\x02"
+
+
+def test_string_sortby_across_segments():
+    """Per-segment dictionary ids are incomparable; the merge must rank on
+    resolved strings (reference: WITHSORTKEYS merge, module.c:2453)."""
+    ix = rs.SearchIndex(rs.Schema(name="ss", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("name", rs.FieldType.TAG, sortable=True)]))
+    ix.add_document("d1", {"t": "x", "name": "zebra"})
+    ix.add_document("d2", {"t": "x", "name": "mango"})
+    ix.commit()  # segment 1
+    ix.add_document("d3", {"t": "x", "name": "apple"})
+    ix.add_document("d4", {"t": "x", "name": "peach"})
+    ix.commit()  # segment 2
+    res = ix.search("x", sort_by="name", sort_asc=True)
+    assert [h.sortkey for h in res] == ["apple", "mango", "peach", "zebra"]
+    res = ix.search("x", sort_by="name", sort_asc=False)
+    assert [h.sortkey for h in res] == ["zebra", "peach", "mango", "apple"]
