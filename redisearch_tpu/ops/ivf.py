@@ -208,6 +208,8 @@ def ivf_probe(ivf: IVFIndex, q: jnp.ndarray, k: int, nprobe: int,
 
 
 def ivf_probe_batch(ivf: IVFIndex, Q: jnp.ndarray, k: int, nprobe: int):
-    """Batched probe via vmap (throughput path)."""
+    """Batched probe via lax.map: sequential per query so the gathered
+    [nprobe, list_pad, d] tiles stay bounded (vmap would materialize them
+    for the whole batch — OOM at 1M-scale indexes)."""
     fn = lambda q: ivf_probe(ivf, q, k, nprobe)
-    return jax.vmap(fn)(Q)
+    return jax.lax.map(fn, Q)
