@@ -1,24 +1,9 @@
-"""Device-side text search primitives: dense-accumulator scoring.
+"""Text scoring transforms, position-key windows, filters, top-k.
 
-This replaces the reference's document-at-a-time QueryIterator tree
-(src/iterators/iterator_api.h:41-114, src/redisearch_rs/rqe_iterators) with
-batch-at-a-time vectorized set algebra (SURVEY.md §7.1):
-
-  * a TERM leaf gathers its posting window from the segment CSR and
-    scatter-adds (match, tf) into dense per-doc accumulators of shape
-    [n_pad] — the whole posting list in one XLA scatter, no Read/SkipTo;
-  * AND/OR/NOT combine dense boolean masks (`&`, `|`, `&~`) — the
-    intersection leapfrog, union heap, and NOT complement iterators all
-    collapse into elementwise VPU ops;
-  * phrase/slop matching intersects sorted `doc*stride+pos` key arrays with
-    `searchsorted` (replacing offset-vector slop checks in
-    src/aggregate/..., index_result offsets);
-  * scoring (BM25STD/TFIDF/...) is a per-term dense transform of the tf
-    accumulator (reference: src/ext/default.c:142-475), summed up the tree.
-
-Everything here is shape-static and jit-compatible; window sizes L (postings)
-and P (positions) are power-of-two buckets chosen by the plan compiler, so
-repeated query *shapes* reuse compiled executables.
+Companions to ops/window.py (the evaluation core): BM25/TFIDF scorer math
+(reference: src/ext/default.c:142-475), position-key windows for phrase
+chains, dense-column structured filters (numeric/geo), and the
+exact/approximate top-k split.
 """
 
 from __future__ import annotations
@@ -41,53 +26,6 @@ def _iota(n: int) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # Term leaf: postings gather + scatter into dense accumulators
-# ---------------------------------------------------------------------------
-
-def gather_postings(doc_ids: jnp.ndarray, freqs: jnp.ndarray,
-                    field_masks: jnp.ndarray, start: jnp.ndarray,
-                    length: jnp.ndarray, qmask: jnp.ndarray, L: int):
-    """Gather one term's postings into a fixed window of size L.
-
-    Returns (docs[L], tf[L], ok[L]) where ok masks valid entries that match
-    the query field mask (reference: FilterMaskReader,
-    inverted_index/src/reader/).
-    """
-    lane = _iota(L)
-    valid = lane < length
-    idx = jnp.minimum(start + lane, doc_ids.shape[0] - 1)
-    docs = doc_ids[idx]
-    tf = freqs[idx]
-    fm = field_masks[idx]
-    ok = valid & ((fm & qmask) != 0)
-    return docs, jnp.where(ok, tf, 0.0), ok
-
-
-def terms_tf_dense(doc_ids: jnp.ndarray, freqs: jnp.ndarray,
-                   field_masks: jnp.ndarray, starts: jnp.ndarray,
-                   lengths: jnp.ndarray, qmasks: jnp.ndarray,
-                   n_pad: int, L: int):
-    """Dense per-doc tf for a batch of T terms in one scatter.
-
-    starts/lengths/qmasks: int32[T].  Returns tf[T, n_pad] float32.
-    One fused gather + one scatter-add per call regardless of T.
-    """
-    T = starts.shape[0]
-    lane = _iota(L)[None, :]                    # [1, L]
-    valid = lane < lengths[:, None]             # [T, L]
-    idx = jnp.minimum(starts[:, None] + lane, doc_ids.shape[0] - 1)
-    docs = doc_ids[idx]                         # [T, L]
-    tf = freqs[idx]
-    fm = field_masks[idx]
-    ok = valid & ((fm & qmasks[:, None]) != 0)
-    tf = jnp.where(ok, tf, 0.0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
-    out = jnp.zeros((T, n_pad), jnp.float32)
-    out = out.at[rows, docs].add(tf, mode="drop")
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Scoring transforms (applied to dense tf accumulators)
 # ---------------------------------------------------------------------------
 
 def bm25_transform(tf: jnp.ndarray, idf: jnp.ndarray, doclen: jnp.ndarray,
@@ -134,58 +72,6 @@ def gather_poskeys(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
     keys = jnp.where(lane < klen, keys, jnp.int32(2**31 - 1))
     return keys, klen
 
-
-def phrase_match_dense(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
-                       starts: jnp.ndarray, lengths: jnp.ndarray,
-                       pos_stride: int, slop: int, inorder: bool,
-                       n_pad: int, P: int) -> jnp.ndarray:
-    """Dense bool[n_pad] of docs containing the phrase starts[0..T).
-
-    Greedy chain over sorted (doc*stride+pos) keys: candidates start at every
-    occurrence of term 0; for each next term we searchsorted the nearest
-    admissible key (exact next position for a phrase; within +-slop window
-    for sloppy match).  Greedy-earliest is optimal for in-order windows.
-    Replaces the offset-iterator slop check of the reference (doc-at-a-time)
-    with one vectorized pass per query term.
-    """
-    T = starts.shape[0]
-    cand, _ = gather_poskeys(poskeys, pos_offsets, starts[0], lengths[0], P)
-    alive_c = cand != 2**31 - 1
-
-    for j in range(1, T):
-        keys_j, _ = gather_poskeys(poskeys, pos_offsets, starts[j],
-                                   lengths[j], P)
-        if inorder or slop == 0:
-            lo_target = cand + 1
-            hi_target = cand + 2 + slop
-        else:
-            lo_target = cand - slop
-            hi_target = cand + 2 + slop
-        lo = jnp.searchsorted(keys_j, lo_target, side="left")
-        lo = jnp.minimum(lo, P - 1)
-        found_key = keys_j[lo]
-        same_doc = (found_key // pos_stride) == (cand // pos_stride)
-        # found_key >= lo_target guards the index clip above: when
-        # searchsorted returns P (nothing >= target) the clipped gather
-        # would otherwise pick a key below the window
-        ok = (alive_c & (found_key >= lo_target)
-              & (found_key < hi_target) & same_doc)
-        if not inorder and slop > 0:
-            # non-inorder: the found key may equal cand's own position of a
-            # previous term; accept any distinct position in the window.
-            ok = ok & (found_key != cand)
-        cand = jnp.where(ok, jnp.maximum(found_key, cand), cand)
-        alive_c = ok
-
-    docs = jnp.where(alive_c, cand // pos_stride, 0)
-    out = jnp.zeros((n_pad,), jnp.bool_)
-    out = out.at[docs].max(alive_c, mode="drop")
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Tag postings (doc-ids only)
-# ---------------------------------------------------------------------------
 
 def tags_match_dense(doc_ids: jnp.ndarray, starts: jnp.ndarray,
                      lengths: jnp.ndarray, n_pad: int, L: int) -> jnp.ndarray:
@@ -255,16 +141,6 @@ def fast_top_k(x: jnp.ndarray, k: int):
     if n <= EXACT_TOPK_LIMIT or k >= n:
         return jax.lax.top_k(x, k)
     return jax.lax.approx_max_k(x, k, recall_target=0.99)
-
-
-def topk_scores(scores: jnp.ndarray, k: int):
-    """Top-k by score, ties broken toward lower doc id (like the reference's
-    sorter which orders by (score desc, docid asc))."""
-    n = scores.shape[0]
-    # Tie-break: subtract a tiny monotone-in-docid epsilon.
-    eps = jnp.arange(n, dtype=jnp.float32) * 1e-12
-    vals, idx = jax.lax.top_k(scores - eps, k)
-    return scores[idx], idx
 
 
 def topk_by_key(keys: jnp.ndarray, valid: jnp.ndarray, k: int,

@@ -158,8 +158,7 @@ def block_searchsorted(arr: jnp.ndarray, q: jnp.ndarray,
 # Union (sort-free: concat + pairwise membership dedup)
 # ---------------------------------------------------------------------------
 
-def union_windows(windows: list, dismax: bool = False,
-                  searchable: bool = True):
+def union_windows(windows: list, dismax: bool = False):
     """Merge windows into one candidate window of unique docs.
 
     windows: list of (docs, score or None, valid) where each window's docs

@@ -1447,32 +1447,3 @@ def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
         alive_c = ok
 
     return cand, alive_c
-
-
-def _phrase_chain(poskeys, pos_offsets, starts, lens, pos_stride,
-                  slop, inorder, P):
-    """Greedy phrase chain over sorted position keys (see ops/text.py
-    phrase_match_dense for the algorithm); returns surviving candidate
-    keys + alive mask instead of a dense doc mask."""
-    Tn = starts.shape[0]
-    cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[0], lens[0], P)
-    alive_c = cand != 2**31 - 1
-    for j in range(1, Tn):
-        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
-                                     lens[j], P)
-        if inorder or slop == 0:
-            lo_t = cand + 1
-            hi_t = cand + 2 + slop
-        else:
-            lo_t = cand - slop
-            hi_t = cand + 2 + slop
-        lo = jnp.minimum(W.block_searchsorted(keys_j, lo_t, side="left"),
-                         P - 1)
-        found = keys_j[lo]
-        same_doc = (found // pos_stride) == (cand // pos_stride)
-        ok = (alive_c & (found >= lo_t) & (found < hi_t) & same_doc)
-        if not inorder and slop > 0:
-            ok = ok & (found != cand)
-        cand = jnp.where(ok, jnp.maximum(found, cand), cand)
-        alive_c = ok
-    return cand, alive_c
