@@ -202,3 +202,20 @@ def test_doc_ttl(client):
                            "year": 2020}, ttl=-1)  # already expired
     res = client.ft_search("books", "ephemeral")
     assert res.total == 0
+
+
+def test_search_many_batched(client):
+    res = client.ft_search_many(
+        "books", ["dune", "emma", "cyberspace", "nomatchterm"])
+    assert [r.hits[0].key if r.hits else None for r in res] == [
+        "book:1", "book:3", "book:2", None]
+    assert res[3].total == 0
+
+
+def test_search_many_multi_segment(client):
+    client.hset("book:9", {"title": "dune awakening", "genre": "scifi",
+                           "year": 2024})  # second segment after commit
+    res = client.ft_search_many("books", ["dune"])
+    keys = {h.key for h in res[0].hits}
+    assert keys == {"book:1", "book:9"}
+    assert res[0].total == 2
