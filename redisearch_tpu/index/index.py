@@ -88,6 +88,7 @@ class SearchIndex:
         self.timeout_ms = 0          # 0 = unlimited
         self.on_timeout = "return"   # return | fail | return_strict
         self.on_oom = "ignore"       # ignore | return | fail
+        self._prepared: dict = {}    # prepared-query cache (see prepare())
 
     # -- write path ---------------------------------------------------------
     def add_document(self, key: str, fields: dict[str, Any],
@@ -235,8 +236,50 @@ class SearchIndex:
 
     def compile(self, root: ast.Node, opts: QueryOptions) -> CompiledQuery:
         cq = CompiledQuery(self.schema, root, opts, synonyms=self.synonyms)
+        cq.root = root  # kept for highlighting / EXPLAIN of results
         cq.global_N = max(self.doctable.num_docs, 1)
         cq.global_avgdl = self.doctable.avg_doclen or 1.0
+        return cq
+
+    def prepare(self, query: str, params: Optional[dict], opts: QueryOptions,
+                dialect: int = 2) -> CompiledQuery:
+        """Prepared-query cache: parse+lower once per (query string,
+        scalar params, options); vector $params rebind on every hit —
+        the hot path for serving (same KNN query, fresh embedding each
+        call).  The reference's analog is its parsed-AST reuse; here the
+        win is bigger because lowering also allocates slot tables."""
+        scalar_items = []
+        vec_params = {}
+        for k, v in (params or {}).items():
+            if isinstance(v, (bytes, np.ndarray, list, tuple)):
+                vec_params[k] = v
+            else:
+                scalar_items.append((k, str(v)))
+        key = (query, tuple(sorted(scalar_items)),
+               tuple(sorted(vec_params)), dialect,
+               opts.scorer, opts.sort_field, opts.sort_asc, opts.slop,
+               opts.inorder, opts.verbatim, opts.language,
+               opts.max_expansions, opts.expander,
+               self.doctable.num_docs)  # stats change -> new idf
+        cq = self._prepared.get(key)
+        if cq is None:
+            root = self.parse_query(query, params, dialect)
+            cq = self.compile(root, opts)
+            if len(self._prepared) >= 512:
+                self._prepared.clear()
+            self._prepared[key] = cq
+        else:
+            # rebind vector blobs from this call's params
+            from ..query.parser import _coerce_vector
+            if cq.knn is not None and cq.knn.blob_param in vec_params:
+                cq.knn.blob = _coerce_vector(
+                    vec_params[cq.knn.blob_param])
+            for i, pname in enumerate(cq.vec_blob_params):
+                if pname in vec_params:
+                    cq.vec_blobs[i] = np.asarray(
+                        _coerce_vector(vec_params[pname]), np.float32)
+        cq.opts.k = opts.k
+        cq.opts.now = opts.now
         return cq
 
     def search(
@@ -264,12 +307,14 @@ class SearchIndex:
         oom = self._check_oom()
         if oom is not None:
             return oom
-        root = self.parse_query(query, params, dialect)
+        root = None
         if scorer == "HAMMING":
+            root = self.parse_query(query, params, dialect)
             return self._search_hamming(root, payload, offset, num,
                                         no_content, return_fields)
         from .. import ext as _ext
         if _ext.is_custom_scorer(scorer):
+            root = self.parse_query(query, params, dialect)
             return self._search_custom_scorer(
                 root, _ext.get_scorer(scorer), offset, num, no_content,
                 return_fields)
@@ -281,7 +326,8 @@ class SearchIndex:
         )
         if max_expansions:
             opts.max_expansions = max_expansions
-        cq = self.compile(root, opts)
+        cq = self.prepare(query, params, opts, dialect)
+        root = cq.root
         k = max(offset + num, 1)
 
         deadline = (time.perf_counter() + self.timeout_ms / 1e3

@@ -142,6 +142,7 @@ class VectorNode(Node):
     field: str = ""
     mode: str = "KNN"           # KNN | RANGE
     blob: Any = None            # query vector (np array)
+    blob_param: Optional[str] = None  # $param name (prepared-query reuse)
     k: int = 10
     radius: float = 0.0
     child: Optional[Node] = None   # prefilter ((expr)=>[KNN ...])

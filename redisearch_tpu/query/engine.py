@@ -162,6 +162,7 @@ class CompiledQuery:
         self.num_bounds: list[tuple[float, float]] = []
         self.geo_params: list[tuple[float, float, float]] = []
         self.vec_blobs: list[np.ndarray] = []
+        self.vec_blob_params: list = []       # $param names for rebinding
         self.vec_radii: list[float] = []
         self.host_nodes: list[ast.Node] = []  # geometry/ids nodes
         self.leaf_consts: list[float] = []    # per-leaf constant score
@@ -315,6 +316,7 @@ class CompiledQuery:
                 raise WrongFieldType(f"@{node.field} is not VECTOR")
             ordn = len(self.vec_blobs)
             self.vec_blobs.append(np.asarray(node.blob, np.float32))
+            self.vec_blob_params.append(node.blob_param)
             self.vec_radii.append(float(node.radius))
             return self._leaf(
                 LVecRange(ordn, field.attribute,

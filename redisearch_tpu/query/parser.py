@@ -242,8 +242,9 @@ class QueryParser:
         cur.expect("@")
         field = self._read_ident(cur)
         cur.skip_ws()
-        blob = self._read_blob(cur)
-        vn = ast.VectorNode(field=field, mode="KNN", blob=blob, k=k)
+        blob, bname = self._read_blob(cur)
+        vn = ast.VectorNode(field=field, mode="KNN", blob=blob, k=k,
+                            blob_param=bname)
         if not isinstance(filter_node, ast.WildcardNode):
             vn.child = filter_node
         # optional runtime params + AS
@@ -272,12 +273,12 @@ class QueryParser:
                 cur.error(f"unknown KNN param {name!r}")
         return vn
 
-    def _read_blob(self, cur: _Cursor) -> Any:
+    def _read_blob(self, cur: _Cursor):
         if cur.peek() == "$":
             cur.i += 1
             name = self._read_ident(cur)
             val = self._param(name)
-            return _coerce_vector(val)
+            return _coerce_vector(val), name
         cur.error("expected $blob parameter for vector query")
 
     # -- primaries --------------------------------------------------------
@@ -393,11 +394,11 @@ class QueryParser:
             cur.skip_ws()
             radius = self._maybe_param_num(self._read_until(cur, " \t"))
             cur.skip_ws()
-            blob = self._read_blob(cur)
+            blob, bname = self._read_blob(cur)
             cur.skip_ws()
             cur.expect("]")
             return ast.VectorNode(field=field, mode="RANGE", blob=blob,
-                                  radius=radius)
+                                  radius=radius, blob_param=bname)
         # numeric or geo: parse space-separated args until ]
         cur.i = save
         args = []

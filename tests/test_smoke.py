@@ -183,3 +183,24 @@ def test_vector_knn():
     # filtered KNN
     res = ix.search("(number)=>[KNN 5 @v $vec]", params={"vec": q})
     assert res.hits[0].key == "d7"
+
+
+def test_prepared_query_cache_knn_rebind():
+    """Same KNN query string with a fresh $vec must rebind the blob on the
+    cached CompiledQuery (prepare())."""
+    import redisearch_tpu as rs2
+    schema = rs2.Schema(name="pq", fields=[
+        rs2.Field("v", rs2.FieldType.VECTOR,
+                  vector=rs2.VectorParams(dim=4,
+                                          metric=rs2.VectorMetric.L2))])
+    ix = rs2.SearchIndex(schema)
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(10, 4)).astype(np.float32)
+    for i in range(10):
+        ix.add_document(f"d{i}", {"v": vecs[i]})
+    ix.commit()
+    r1 = ix.search("*=>[KNN 1 @v $q]", params={"q": vecs[3]})
+    r2 = ix.search("*=>[KNN 1 @v $q]", params={"q": vecs[7]})
+    assert r1.hits[0].key == "d3"
+    assert r2.hits[0].key == "d7"  # would be d3 if the blob were stale
+    assert len(ix._prepared) == 1  # one cache entry, rebound twice
