@@ -441,6 +441,86 @@ class Client:
         d = self._suggestions.get(key)
         return len(d) if d is not None else 0
 
+    # -- debug (reference: FT.DEBUG family, src/debug_commands.c) ----------------
+    def ft_debug(self, sub: str, name: str, *args):
+        """Debug/introspection commands:
+        GC_FORCEINVOKE   — run compaction now (fork-GC force analog)
+        DUMP_INVIDX      — postings of a term: [(doc key, tf), ...]
+        DUMP_NUMIDX      — numeric column (value-sorted) for a field
+        DUMP_TAGIDX      — tag value -> doc keys
+        DUMP_TERMS       — the term dictionary
+        SEGMENTS         — per-segment stats
+        """
+        import numpy as np
+        ix = self._index(name)
+        ix.commit()
+        sub = sub.upper()
+        if sub == "GC_FORCEINVOKE":
+            ix.compact()
+            return "DONE"
+        if sub == "DUMP_TERMS":
+            out = []
+            for seg in ix.segments:
+                out.extend(t for t in seg.terms.terms
+                           if not t.startswith(("+", "\x01", "~")))
+            return sorted(set(out))
+        if sub == "SEGMENTS":
+            return [{"n_docs": s.n_docs, "n_deleted": s.n_deleted,
+                     "n_terms": len(s.terms), "nnz": s.text.nnz,
+                     "memory_mb": round(s.memory_bytes() / 1e6, 2)}
+                    for s in ix.segments]
+        if sub == "DUMP_INVIDX":
+            term = args[0].lower()
+            out = []
+            for seg in ix.segments:
+                tid = seg.terms.lookup(term)
+                if tid < 0:
+                    continue
+                toff = seg.text.term_offsets_np
+                a, b = int(toff[tid]), int(toff[tid + 1])
+                docs = np.asarray(seg.text.doc_ids[a:b])
+                tfs = np.asarray(seg.text.freqs[a:b])
+                gids = seg.gids_host
+                for d, tf in zip(docs, tfs):
+                    meta = ix.doctable.get(int(gids[int(d)]))
+                    if meta is not None:
+                        out.append((meta.key, float(tf)))
+            return out
+        if sub == "DUMP_NUMIDX":
+            field = ix.schema.field(args[0]).attribute
+            out = []
+            for seg in ix.segments:
+                col = seg.numerics.get(field)
+                if col is None:
+                    continue
+                sv = col.sorted_vals_np
+                sd = np.asarray(col.sorted_docs[:len(sv)])
+                gids = seg.gids_host
+                for v, d in zip(sv, sd):
+                    if d != 2**31 - 1 and np.isfinite(v):
+                        meta = ix.doctable.get(int(gids[int(d)]))
+                        if meta is not None:
+                            out.append((meta.key, float(v)))
+            return out
+        if sub == "DUMP_TAGIDX":
+            field = ix.schema.field(args[0]).attribute
+            out = {}
+            for seg in ix.segments:
+                tp = seg.tags.get(field)
+                if tp is None:
+                    continue
+                gids = seg.gids_host
+                for v in tp.values:
+                    vid = tp.ids[v]
+                    a, b = int(tp.offsets_np[vid]), int(tp.offsets_np[vid + 1])
+                    docs = np.asarray(tp.doc_ids[a:b])
+                    keys = [ix.doctable.get(int(gids[int(d)])).key
+                            for d in docs
+                            if ix.doctable.get(int(gids[int(d)]))]
+                    out.setdefault(v, []).extend(keys)
+            return out
+        raise IndexError_(f"unknown FT.DEBUG subcommand {sub}")
+
     # -- config ------------------------------------------------------------------------
     def ft_config_get(self, name: str = "*"):
         return self.config.get(name)

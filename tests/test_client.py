@@ -219,3 +219,18 @@ def test_search_many_multi_segment(client):
     keys = {h.key for h in res[0].hits}
     assert keys == {"book:1", "book:9"}
     assert res[0].total == 2
+
+
+def test_ft_debug(client):
+    out = client.ft_debug("DUMP_INVIDX", "books", "dune")
+    assert out == [("book:1", 2.0)]  # tf carries the field weight (2.0)
+    out = client.ft_debug("DUMP_NUMIDX", "books", "year")
+    assert [k for k, v in out] == ["book:3", "book:1", "book:2"]
+    out = client.ft_debug("DUMP_TAGIDX", "books", "genre")
+    assert set(out["scifi"]) == {"book:1", "book:2"}
+    segs = client.ft_debug("SEGMENTS", "books")
+    assert segs and segs[0]["n_docs"] == 3
+    assert "dune" in client.ft_debug("DUMP_TERMS", "books")
+    client.hdel("book:2")
+    assert client.ft_debug("GC_FORCEINVOKE", "books") == "DONE"
+    assert client.ft_debug("SEGMENTS", "books")[0]["n_deleted"] == 0
