@@ -14,6 +14,7 @@ src/module.c FT.SEARCH path).  Differences by design:
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Iterable, Optional
 
@@ -89,6 +90,9 @@ class SearchIndex:
         self.on_timeout = "return"   # return | fail | return_strict
         self.on_oom = "ignore"       # ignore | return | fail
         self._prepared: dict = {}    # prepared-query cache (see prepare())
+        # RLock: compact() re-enters commit() (commit -> maybe_compact ->
+        # compact -> commit)
+        self._commit_lock = threading.RLock()
 
     # -- write path ---------------------------------------------------------
     def add_document(self, key: str, fields: dict[str, Any],
@@ -166,16 +170,23 @@ class SearchIndex:
                     self._builder.add(m)
 
     def commit(self) -> None:
-        """Seal pending docs into a new immutable segment."""
-        if len(self._builder) == 0:
-            return
-        seg = self._builder.seal()
-        if seg is not None:
-            self.segments.append(seg)
-            self._build_ann(seg)
-        self._builder = SegmentBuilder(self.schema, self.stopwords,
-                                       self.synonyms)
-        self.maybe_compact()
+        """Seal pending docs into a new immutable segment.
+
+        Thread-safe: concurrent readers may race to trigger the lazy seal
+        (reference analog: the spec rwlock serializing index writes,
+        docs/design/sound_iterator_revalidation.md) — a mutex makes the
+        seal happen exactly once; segments themselves are immutable so
+        readers never need revalidation."""
+        with self._commit_lock:
+            if len(self._builder) == 0:
+                return
+            seg = self._builder.seal()
+            if seg is not None:
+                self.segments.append(seg)
+                self._build_ann(seg)
+            self._builder = SegmentBuilder(self.schema, self.stopwords,
+                                           self.synonyms)
+            self.maybe_compact()
 
     def _build_ann(self, seg: Segment) -> None:
         """Build partitioned (IVF) ANN structures for qualifying vector

@@ -1,21 +1,33 @@
 """RESP wire-protocol server: real Redis clients can talk to the engine.
 
 Reference: the module/API layer (src/module.c command handlers +
-commands.json argv schemas + src/reply.c RESP reply builder).  This is the
-standalone equivalent: an asyncio TCP server speaking RESP2, parsing the
-FT.* argv grammars into Client calls and rendering replies with the
-reference's shapes (FT.SEARCH -> [total, key, [field, value, ...], ...]).
+commands.json argv schemas + src/reply.c RESP2/RESP3 reply builder).  This
+is the standalone equivalent: an asyncio TCP server speaking RESP2 and
+RESP3 (negotiated per-connection via HELLO, like redis), parsing the FT.*
+argv grammars into Client calls and rendering replies with the reference's
+shapes (RESP2: FT.SEARCH -> [total, key, [field, value, ...], ...];
+RESP3: map replies with total_results/results/extra_attributes, matching
+src/reply.c + src/aggregate/aggregate_exec.c sendChunk_Resp3).
+
+Concurrency model (reference analog: WORKERS thread pool running queries
+off the main thread under the spec rwlock, src/util/workers.c +
+docs/design/sound_iterator_revalidation.md): read commands (searches,
+aggregations) run concurrently on a thread pool under a shared read lock;
+mutating commands (HSET, FT.CREATE, ...) take the write lock exclusively.
+Immutable device segments make concurrent reads snapshot-safe by
+construction, so no Revalidate protocol is needed.
 
 Usage:
     from redisearch_tpu.server import Server
     Server(port=6380).run()          # or await .serve() in an event loop
 
-Any RESP client works:  redis-cli -p 6380 FT.SEARCH idx "hello world"
+Any RESP client works:  redis-cli -3 -p 6380 FT.SEARCH idx "hello world"
 """
 
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
 from typing import Any, Optional
 
 import numpy as np
@@ -55,20 +67,26 @@ async def read_command(reader: asyncio.StreamReader) -> Optional[list]:
     return [a.decode("utf-8", "surrogateescape") for a in argv]
 
 
-def encode(obj: Any) -> bytes:
-    """Encode a python value as RESP2."""
+def encode(obj: Any, proto: int = 2) -> bytes:
+    """Encode a python value as RESP2 (proto=2) or RESP3 (proto=3)."""
+    if isinstance(obj, ProtoReply):
+        return encode(obj.r2 if proto == 2 else obj.r3, proto)
     if obj is None:
-        return b"$-1" + CRLF
+        return (b"_" + CRLF) if proto == 3 else (b"$-1" + CRLF)
     if isinstance(obj, RSError):
         return b"-" + type(obj).__name__.encode() + b" " + str(
             obj).encode() + CRLF
     if isinstance(obj, Exception):
         return b"-ERR " + str(obj).encode()[:200] + CRLF
     if isinstance(obj, bool):
+        if proto == 3:
+            return b"#t" + CRLF if obj else b"#f" + CRLF
         return b":1" + CRLF if obj else b":0" + CRLF
     if isinstance(obj, (int, np.integer)):
         return b":" + str(int(obj)).encode() + CRLF
     if isinstance(obj, (float, np.floating)):
+        if proto == 3:
+            return b"," + repr(float(obj)).encode() + CRLF
         s = repr(float(obj)).encode()
         return b"$" + str(len(s)).encode() + CRLF + s + CRLF
     if isinstance(obj, _Status):
@@ -79,14 +97,18 @@ def encode(obj: Any) -> bytes:
         b = obj.encode("utf-8", "surrogateescape")
         return b"$" + str(len(b)).encode() + CRLF + b + CRLF
     if isinstance(obj, dict):
+        if proto == 3:
+            out = b"%" + str(len(obj)).encode() + CRLF
+            return out + b"".join(encode(k, proto) + encode(v, proto)
+                                  for k, v in obj.items())
         flat: list = []
         for k, v in obj.items():
             flat.extend([k, v])
-        return encode(flat)
+        return encode(flat, proto)
     if isinstance(obj, (list, tuple)):
         out = b"*" + str(len(obj)).encode() + CRLF
-        return out + b"".join(encode(x) for x in obj)
-    return encode(str(obj))
+        return out + b"".join(encode(x, proto) for x in obj)
+    return encode(str(obj), proto)
 
 
 class _Status:
@@ -94,6 +116,15 @@ class _Status:
 
     def __init__(self, s: str):
         self.s = s
+
+
+class ProtoReply:
+    """A reply with distinct RESP2 and RESP3 renderings (src/reply.c)."""
+    __slots__ = ("r2", "r3")
+
+    def __init__(self, r2, r3):
+        self.r2 = r2
+        self.r3 = r3
 
 
 OK = _Status("OK")
@@ -209,12 +240,65 @@ def _parse_params(av: Argv) -> dict:
 # The server
 # ---------------------------------------------------------------------------
 
+class _RWLock:
+    """Async readers/writer lock (writer-preferring).
+
+    Reference analog: per-spec pthread rwlock + WORKERS pool
+    (src/util/workers.c); here reads are wait-free against each other and
+    snapshot-safe against the immutable device segments.
+    """
+
+    def __init__(self):
+        self._cond = asyncio.Condition()
+        self._readers = 0
+        self._writer = False
+        self._waiting_writers = 0
+
+    async def acquire_read(self):
+        async with self._cond:
+            await self._cond.wait_for(
+                lambda: not self._writer and self._waiting_writers == 0)
+            self._readers += 1
+
+    async def release_read(self):
+        async with self._cond:
+            self._readers -= 1
+            self._cond.notify_all()
+
+    async def acquire_write(self):
+        async with self._cond:
+            self._waiting_writers += 1
+            try:
+                await self._cond.wait_for(
+                    lambda: not self._writer and self._readers == 0)
+            finally:
+                self._waiting_writers -= 1
+            self._writer = True
+
+    async def release_write(self):
+        async with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+# Commands that never mutate engine state: run concurrently (read lock).
+_READ_CMDS = {
+    "PING", "COMMAND", "HGETALL", "FT.SEARCH", "FT.AGGREGATE", "FT.HYBRID",
+    "FT.PROFILE", "FT.EXPLAIN", "FT.EXPLAINCLI", "FT.INFO", "FT._LIST",
+    "FT.SUGGET", "FT.SUGLEN", "FT.TAGVALS", "FT.SYNDUMP", "FT.DICTDUMP",
+    "FT.SPELLCHECK",
+}
+
+
 class Server:
     def __init__(self, client: Optional[Client] = None, host="127.0.0.1",
-                 port: int = 6380):
+                 port: int = 6380, workers: int = 4):
         self.client = client or Client()
         self.host = host
         self.port = port
+        self._lock = _RWLock()
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, workers), thread_name_prefix="rs-worker")
 
     # -- command dispatch ---------------------------------------------------
     def dispatch(self, argv: list[str]):
@@ -238,7 +322,19 @@ class Server:
         return _Status("PONG") if not av.more() else av.next()
 
     def _cmd_HELLO(self, av):
-        return ["server", "redisearch_tpu", "proto", 2, "version", "0.1.0"]
+        # handled per-connection in handle(); this path answers HELLO with
+        # no version change (dispatch fallback).
+        return self._hello_reply(2)
+
+    @staticmethod
+    def _hello_reply(proto: int):
+        info = {"server": "redisearch_tpu", "version": "0.1.0",
+                "proto": proto, "id": 1, "mode": "standalone",
+                "role": "master", "modules": []}
+        flat: list = []
+        for k, v in info.items():
+            flat.extend([k, v])
+        return ProtoReply(flat, info)
 
     def _cmd_COMMAND(self, av):
         return []
@@ -356,7 +452,7 @@ class Server:
 
     def _cmd_FT_INFO(self, av):
         info = self.client.ft_info(av.next())
-        return _deep_flatten(info)
+        return ProtoReply(_deep_flatten(info), info)
 
     # -- search ----------------------------------------------------------
     def _cmd_FT_SEARCH(self, av):
@@ -440,16 +536,27 @@ class Server:
                                     no_content=no_content,
                                     return_fields=return_fields, **opts)
         out: list = [res.total]
+        results3: list = []
         for h in res.hits:
             out.append(h.key)
+            row3: dict = {"id": h.key}
             if with_scores:
                 out.append(h.score)
+                row3["score"] = float(h.score)
             if not no_content:
                 row: list = []
+                attrs: dict = {}
                 for k, v in (h.fields or {}).items():
                     row.extend([k, _tostr(v)])
+                    attrs[k] = _tostr(v)
                 out.append(row)
-        return out
+                row3["extra_attributes"] = attrs
+                row3["values"] = []
+            results3.append(row3)
+        r3 = {"attributes": [], "error": [],
+              "total_results": res.total, "format": "STRING",
+              "results": results3, "warning": list(res.warnings or [])}
+        return ProtoReply(out, r3)
 
     def _parse_hl(self, av) -> dict:
         hl: dict = {}
@@ -585,9 +692,12 @@ class Server:
                 return RSError(f"Unknown argument `{av.next()}`")
         res = self.client.ft_aggregate(name, req)
         rows = [_row_flatten(r) for r in res.rows]
+        r2: Any = [len(rows)] + rows
+        r3: Any = _agg_map3(res.rows, len(rows))
         if req.with_cursor:
-            return [[len(rows)] + rows, res.cursor_id]
-        return [len(rows)] + rows
+            r2 = [r2, res.cursor_id]
+            r3 = [r3, res.cursor_id]
+        return ProtoReply(r2, r3)
 
     def _cmd_FT_CURSOR(self, av):
         sub = av.next().upper()
@@ -599,7 +709,9 @@ class Server:
                 av.next()
                 count = av.next_int()
             rows, next_cid = self.client.ft_cursor_read(name, cid, count)
-            return [[len(rows)] + [_row_flatten(r) for r in rows], next_cid]
+            return ProtoReply(
+                [[len(rows)] + [_row_flatten(r) for r in rows], next_cid],
+                [_agg_map3(rows, len(rows)), next_cid])
         if sub == "DEL":
             return 1 if self.client.ft_cursor_del(name, cid) else 0
         return RSError("unknown FT.CURSOR subcommand")
@@ -693,8 +805,12 @@ class Server:
                 av.next()
         out = self.client.ft_spellcheck(name, query, distance, include,
                                         exclude)
-        return [["TERM", o["term"],
-                 [[s, t] for s, t in o["suggestions"]]] for o in out]
+        r2 = [["TERM", o["term"],
+               [[s, t] for s, t in o["suggestions"]]] for o in out]
+        r3 = {"results": {o["term"]: [{t: float(s)}
+                                      for s, t in o["suggestions"]]
+                          for o in out}}
+        return ProtoReply(r2, r3)
 
     def _cmd_FT_SUGADD(self, av):
         key = av.next()
@@ -760,8 +876,9 @@ class Server:
             name = av.next()
             val = self.client.ft_config_get(name)
             if isinstance(val, dict):
-                return [[k, _tostr(v)] for k, v in val.items()]
-            return [[name, _tostr(val)]]
+                return ProtoReply([[k, _tostr(v)] for k, v in val.items()],
+                                  {k: _tostr(v) for k, v in val.items()})
+            return ProtoReply([[name, _tostr(val)]], {name: _tostr(val)})
         if sub == "SET":
             self.client.ft_config_set(av.next(), av.next())
             return OK
@@ -819,11 +936,14 @@ class Server:
                               if isinstance(raw, str) else np.asarray(raw))
         hq.search_params = params
         rows = self.client.ft_hybrid(name, hq)
-        return [len(rows)] + [_row_flatten(r) for r in rows]
+        return ProtoReply([len(rows)] + [_row_flatten(r) for r in rows],
+                          _agg_map3(rows, len(rows)))
 
     # -- lifecycle ----------------------------------------------------------
     async def handle(self, reader: asyncio.StreamReader,
                      writer: asyncio.StreamWriter):
+        loop = asyncio.get_running_loop()
+        proto = 2
         try:
             while True:
                 argv = await read_command(reader)
@@ -831,11 +951,41 @@ class Server:
                     break
                 if not argv:
                     continue
-                if argv[0].upper() == "QUIT":
-                    writer.write(encode(OK))
+                cmd = argv[0].upper()
+                if cmd == "QUIT":
+                    writer.write(encode(OK, proto))
                     break
-                reply = self.dispatch(argv)
-                writer.write(encode(reply))
+                if cmd == "HELLO":
+                    if len(argv) > 1 and argv[1] in ("2", "3"):
+                        proto = int(argv[1])
+                        reply: Any = self._hello_reply(proto)
+                    elif len(argv) > 1:
+                        reply = RSError(
+                            "NOPROTO unsupported protocol version")
+                    else:
+                        reply = self._hello_reply(proto)
+                    writer.write(encode(reply, proto))
+                    await writer.drain()
+                    continue
+                if cmd == "RESET":
+                    writer.write(encode(_Status("RESET"), proto))
+                    await writer.drain()
+                    continue
+                if cmd in _READ_CMDS:
+                    await self._lock.acquire_read()
+                    try:
+                        reply = await loop.run_in_executor(
+                            self._pool, self.dispatch, argv)
+                    finally:
+                        await self._lock.release_read()
+                else:
+                    await self._lock.acquire_write()
+                    try:
+                        reply = await loop.run_in_executor(
+                            self._pool, self.dispatch, argv)
+                    finally:
+                        await self._lock.release_write()
+                writer.write(encode(reply, proto))
                 await writer.drain()
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
@@ -870,6 +1020,19 @@ def _row_flatten(row: dict) -> list:
         out.extend([k, _tostr(v) if not isinstance(v, (int, float))
                     else v])
     return out
+
+
+def _agg_map3(rows: list[dict], total: int) -> dict:
+    """RESP3 aggregate/hybrid reply map (aggregate_exec.c sendChunk_Resp3)."""
+    return {
+        "attributes": [], "error": [], "total_results": total,
+        "format": "STRING",
+        "results": [{"extra_attributes":
+                     {k: (v if isinstance(v, (int, float)) else _tostr(v))
+                      for k, v in r.items()},
+                     "values": []} for r in rows],
+        "warning": [],
+    }
 
 
 def _deep_flatten(d: dict) -> list:

@@ -47,6 +47,17 @@ class MiniRedis:
         if t == b"*":
             n = int(rest)
             return [await self._read() for _ in range(n)]
+        # RESP3 types
+        if t == b"%":
+            n = int(rest)
+            return {await self._read(): await self._read()
+                    for _ in range(n)}
+        if t == b",":
+            return float(rest)
+        if t == b"_":
+            return None
+        if t == b"#":
+            return rest == b"t"
         raise ValueError(f"bad RESP type {t}")
 
 
@@ -175,3 +186,67 @@ def test_json_set(loop):
         assert res == [1, "jd1"]
         return True
     assert run_session(loop, flow)
+
+
+def test_resp3(loop):
+    """HELLO 3 upgrades the connection; replies become RESP3 maps
+    (reference: src/reply.c RESP3 paths + sendChunk_Resp3)."""
+    async def flow(c):
+        hello = await c.cmd("HELLO", 3)
+        assert isinstance(hello, dict) and hello["proto"] == 3
+        await c.cmd("FT.CREATE", "r3", "SCHEMA", "t", "TEXT",
+                    "n", "NUMERIC", "SORTABLE")
+        await c.cmd("HSET", "a", "t", "alpha beta", "n", 1)
+        await c.cmd("HSET", "b", "t", "beta gamma", "n", 2)
+        res = await c.cmd("FT.SEARCH", "r3", "beta", "WITHSCORES")
+        assert isinstance(res, dict)
+        assert res["total_results"] == 2
+        ids = {r["id"] for r in res["results"]}
+        assert ids == {"a", "b"}
+        assert all(isinstance(r["score"], float) for r in res["results"])
+        assert res["results"][0]["extra_attributes"]["t"] in (
+            "alpha beta", "beta gamma")
+        agg = await c.cmd("FT.AGGREGATE", "r3", "*", "GROUPBY", 0,
+                          "REDUCE", "COUNT", 0, "AS", "cnt")
+        assert isinstance(agg, dict)
+        assert agg["results"][0]["extra_attributes"]["cnt"] == 2
+        info = await c.cmd("FT.INFO", "r3")
+        assert isinstance(info, dict) and info["index_name"] == "r3"
+        # downgrade back to RESP2
+        hello2 = await c.cmd("HELLO", 2)
+        assert isinstance(hello2, list)
+        res2 = await c.cmd("FT.SEARCH", "r3", "beta", "NOCONTENT")
+        assert res2[0] == 2
+        return True
+    assert run_session(loop, flow)
+
+
+def test_concurrent_reads(loop):
+    """Multiple connections issue searches concurrently (reference analog:
+    WORKERS>0 thread pool, src/util/workers.c)."""
+    async def main():
+        srv = Server(port=0)
+        server = await srv.serve()
+        port = server.sockets[0].getsockname()[1]
+        c0 = await MiniRedis.connect("127.0.0.1", port)
+        await c0.cmd("FT.CREATE", "cc", "SCHEMA", "t", "TEXT")
+        for i in range(50):
+            await c0.cmd("HSET", f"d{i}", "t", f"word{i % 7} common")
+        conns = [await MiniRedis.connect("127.0.0.1", port)
+                 for _ in range(8)]
+        results = await asyncio.gather(
+            *[c.cmd("FT.SEARCH", "cc", "common", "LIMIT", 0, 100,
+                    "NOCONTENT") for c in conns])
+        assert all(r[0] == 50 for r in results)
+        # interleave a write with reads
+        mixed = await asyncio.gather(
+            conns[0].cmd("HSET", "d100", "t", "common fresh"),
+            conns[1].cmd("FT.SEARCH", "cc", "common", "NOCONTENT"),
+            conns[2].cmd("FT.SEARCH", "cc", "word1", "NOCONTENT"))
+        assert mixed[1][0] in (50, 51)
+        for c in conns + [c0]:
+            c.w.close()
+        server.close()
+        await server.wait_closed()
+        return True
+    assert loop.run_until_complete(main())
