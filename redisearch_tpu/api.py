@@ -44,7 +44,32 @@ from .agg import expr as _expr
 from .index.index import Hit, SearchIndex, SearchResult
 from .schema import Field, Schema
 from .utils.config import Config
-from .utils.errors import (IndexError_, IndexExists, IndexNotFound)
+from .utils.errors import (IndexError_, IndexExists, IndexNotFound,
+                           RSError)
+
+
+def _fold_legacy_filters(query: str, filters: list) -> str:
+    """Fold legacy FT.SEARCH FILTER/GEOFILTER argv clauses into the query
+    (reference: legacy numeric/geo filters attach to the query iterator
+    tree — aggregate_request.c FILTER/GEOFILTER args).  An unknown field
+    then follows each dialect's semantics: empty results under dialect 1,
+    error under dialect 2 (tests/pytests/test_dialect.py
+    test_dialect1_filter_on_nonexistent_field)."""
+    parts = []
+    for f in filters:
+        kind = f[0]
+        if kind == "numeric":
+            _, field, lo, hi = f
+            parts.append(f"@{field}:[{lo} {hi}]")
+        elif kind == "geo":
+            _, field, lon, lat, radius, unit = f
+            parts.append(f"@{field}:[{lon} {lat} {radius} {unit}]")
+        else:
+            raise RSError(f"unknown legacy filter kind {kind!r}")
+    q = query.strip()
+    if q in ("*", ""):
+        return " ".join(parts)
+    return f"({q}) " + " ".join(parts)
 
 
 class Client:
@@ -178,10 +203,17 @@ class Client:
     def ft_search(self, name: str, query: str,
                   highlight: Optional[dict] = None,
                   summarize: Optional[dict] = None,
+                  filters: Optional[list] = None,
                   **opts) -> SearchResult:
         ix = self._index(name)
         opts.setdefault("max_expansions",
                         self.config.get("MAXPREFIXEXPANSIONS"))
+        opts.setdefault("dialect", int(self.config.get("DEFAULT_DIALECT")))
+        if not 1 <= int(opts["dialect"]) <= 4:
+            raise RSError("DIALECT requires a non negative integer "
+                          ">=1 and <= 4")
+        if filters:
+            query = _fold_legacy_filters(query, filters)
         if "scorer" not in opts:
             opts["scorer"] = self.config.get("DEFAULT_SCORER")
         ix.timeout_ms = self.config.get("TIMEOUT")

@@ -242,8 +242,35 @@ class SearchIndex:
     # -- read path ----------------------------------------------------------
     def parse_query(self, query: str, params=None,
                     dialect: int = 2) -> ast.Node:
-        return QueryParser(params=params, stopwords=self.stopwords,
+        root = QueryParser(params=params, stopwords=self.stopwords,
                            dialect=dialect).parse(query)
+        if dialect == 1:
+            root = self._d1_resolve_fields(root)
+        return root
+
+    def _d1_resolve_fields(self, node: ast.Node) -> ast.Node:
+        """Dialect-1 legacy: unknown fields match nothing instead of
+        erroring (reference v1 grammar actions drop such nodes —
+        src/query_parser/v1/parser.y tag/numeric/geo rules; unknown text
+        modifiers get field bit 0 = @NULL)."""
+        from ..schema import FieldType
+        direct = getattr(node, "field", None)
+        if direct is not None and isinstance(direct, str):
+            if self.schema.try_field(direct) is None:
+                return ast.EmptyNode()
+        if node.fieldmask_attrs:
+            known = [a for a in node.fieldmask_attrs
+                     if (f := self.schema.try_field(a)) is not None
+                     and f.type == FieldType.TEXT]
+            if not known:
+                return ast.EmptyNode()
+            node.fieldmask_attrs = known
+        for c in list(node.children()):
+            resolved = self._d1_resolve_fields(c)
+            if resolved is not c:
+                from ..query.parser import _replace_child
+                _replace_child(node, c, resolved)
+        return node
 
     def compile(self, root: ast.Node, opts: QueryOptions) -> CompiledQuery:
         cq = CompiledQuery(self.schema, root, opts, synonyms=self.synonyms)

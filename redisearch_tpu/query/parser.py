@@ -81,6 +81,8 @@ class QueryParser:
         cur.skip_ws()
         if cur.eof():
             return ast.WildcardNode()
+        if self.dialect == 1:
+            return self._parse_d1_query(cur)
         node = self._parse_or(cur)
         cur.skip_ws()
         if not cur.eof():
@@ -614,6 +616,453 @@ class QueryParser:
         if cur.peek() in "\"'":
             return self._read_quoted(cur, cur.peek())
         return self._read_until(cur, stops).strip()
+
+
+    # ======================================================================
+    # Dialect 1 (the legacy grammar, src/query_parser/v1/parser.y +
+    # lexer.rl).  Not a restriction of dialect 2 — a different language:
+    #   * consecutive terms form a "termlist" phrase, so field modifiers
+    #     and `-`/`~` absorb the whole run: `@t:a b` scopes BOTH a and b,
+    #     `-a b` negates (a AND b)  (parser.y v1 termlist + precedences);
+    #   * unions take the whole preceding termlist as the left arm:
+    #     `a b|c` = (a b)|c  (v1 `union ::= expr OR expr` + TERMLIST prec);
+    #   * nested modifiers intersect masks: `@t1:@t2:x` matches nothing
+    #     when t1/t2 differ (QueryNode_SetFieldMask &=, query.c:1544);
+    #   * no $params, no KNN/VECTOR_RANGE, no w'wildcards', no ismissing,
+    #     no numeric operators, no GEOMETRY (all dialect >= 2);
+    #   * `*` is only valid as the entire query (v1 `query ::= STAR`);
+    #   * numeric endpoints lex differently: `.` and `+` are separators
+    #     (`.1` = 1, `+.00` = 0), exponents reject `+` (`1e+3` errors)
+    #     (v1 lexer.rl:35 number pattern);
+    #   * unknown fields match nothing instead of erroring (grammar
+    #     actions drop the node; resolved later in index.parse_query);
+    #   * stray `}`/`]` are ignored (`@t:{x}}}}` parses).
+    # Observable behaviors mirrored from the reference's own dialect suite
+    # (tests/pytests/test_dialect.py test_v1_vs_v2).
+    # ======================================================================
+
+    def _parse_d1_query(self, cur: _Cursor) -> ast.Node:
+        if cur.peek() == "*":
+            save = cur.i
+            cur.i += 1
+            cur.skip_ws()
+            if cur.eof():
+                return ast.WildcardNode()
+            cur.i = save  # *suffix / *infix* affix — fall through
+        node = self._d1_chain(cur, stops="")
+        cur.skip_ws()
+        if not cur.eof():
+            cur.error(f"unexpected trailing input {cur.s[cur.i:]!r}")
+        if node is None:
+            return ast.EmptyNode()
+        return node
+
+    def _d1_chain(self, cur: _Cursor, stops: str,
+                  stop_minus: bool = False,
+                  stop_tilde: bool = False) -> Optional[ast.Node]:
+        """Parse an and/or chain.  `stops` are closing chars; stop_minus/
+        stop_tilde end the chain *before* a -/~ (used for -/~ child scope
+        per the v1 precedence table: MINUS(6) > TILDE(2), so `-` stops at
+        both while `~` absorbs a following `-`)."""
+        units: list[ast.Node] = []
+        while True:
+            cur.skip_ws()
+            ch = cur.peek()
+            if cur.eof() or (ch and ch in stops):
+                break
+            if ch in "}]":        # stray closers are punctuation in v1
+                cur.i += 1
+                continue
+            if ch == "|":
+                cur.i += 1
+                rhs = self._d1_element(cur, stops)
+                if not units:
+                    if rhs is not None:
+                        units.append(rhs)
+                    continue
+                lhs = units.pop()
+                if rhs is None:
+                    units.append(lhs)
+                elif (isinstance(lhs, ast.UnionNode)
+                      and lhs.fieldmask_attrs is None):
+                    lhs.kids.append(rhs)
+                    units.append(lhs)
+                else:
+                    units.append(ast.UnionNode(kids=[lhs, rhs]))
+                continue
+            if ch == "-" and stop_minus:
+                break
+            if ch == "~" and (stop_tilde or stop_minus):
+                break
+            before = cur.i
+            node = self._d1_element(cur, stops)
+            if node is not None:
+                units.append(node)
+            elif cur.i == before:
+                cur.i += 1             # bare punctuation (e.g. `!`)
+        if not units:
+            return None
+        if len(units) == 1:
+            return units[0]
+        return ast.IntersectNode(kids=units)
+
+    def _d1_element(self, cur: _Cursor, stops: str) -> Optional[ast.Node]:
+        """One chain element: termlist, -/~ clause, group, field scope,
+        phrase, fuzzy, affix, or term; plus `=>{attrs}` suffixes."""
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "-":
+            cur.i += 1
+            child = self._d1_chain(cur, stops, stop_minus=True)
+            # v1: MINUS over a NULL expr (e.g. stopword) is NULL
+            return ast.NotNode(child=child) if child is not None else None
+        if ch == "~":
+            cur.i += 1
+            child = self._d1_chain(cur, stops, stop_tilde=True)
+            return (ast.OptionalNode(child=child)
+                    if child is not None else None)
+        node = self._d1_primary(cur, stops)
+        if node is None:
+            return None
+        return self._d1_arrows(cur, node)
+
+    def _d1_arrows(self, cur: _Cursor, node: ast.Node) -> ast.Node:
+        cur.skip_ws()
+        while cur.startswith("=>"):
+            save = cur.i
+            cur.i += 2
+            cur.skip_ws()
+            if cur.peek() == "{":
+                self._parse_attrs(cur, node)
+            elif cur.peek() == "[":
+                cur.error("vector queries require DIALECT 2")
+            else:
+                cur.i = save
+                break
+            cur.skip_ws()
+        return node
+
+    def _d1_primary(self, cur: _Cursor, stops: str) -> Optional[ast.Node]:
+        ch = cur.peek()
+        if ch == "$":
+            cur.error("$ parameters require DIALECT 2")
+        if ch == "(":
+            cur.i += 1
+            cur.skip_ws()
+            if cur.peek() == "*":      # v1: STAR only as the whole query
+                save = cur.i
+                cur.i += 1
+                cur.skip_ws()
+                if cur.peek() == ")":
+                    cur.error("`*` is not a valid expression in DIALECT 1")
+                cur.i = save
+            inner = self._d1_chain(cur, stops=")")
+            cur.skip_ws()
+            cur.expect(")")
+            return inner
+        if ch == "*":
+            # affix (*suffix / *infix*) is fine; bare star is not
+            if cur.peek(1) and cur.peek(1) not in " \t\r\n)|=":
+                return self._parse_affix(cur, None)
+            cur.error("`*` is not a valid expression in DIALECT 1")
+        if ch == "@":
+            return self._d1_field(cur, stops)
+        if ch == '"':
+            txt = self._read_quoted(cur, '"')
+            if "$" in txt:
+                cur.error("$ parameters require DIALECT 2")
+            return self._parse_exact_phrase_text(txt)
+        if ch == "'":  # plain punctuation in v1 — skip
+            cur.i += 1
+            return None
+        if ch == "%":
+            return self._parse_fuzzy(cur)
+        if ch in ")|":
+            return None
+        if ch in "}]":
+            cur.i += 1
+            return None
+        return self._d1_termlist(cur)
+
+    def _parse_exact_phrase_text(self, txt: str) -> ast.Node:
+        toks = _split_terms(txt)
+        kids = [ast.TokenNode(term=normalize_token(t), verbatim=True)
+                for t in toks if normalize_token(t) not in self.stopwords]
+        if not kids:
+            return ast.EmptyNode()
+        if len(kids) == 1:
+            return kids[0]
+        return ast.PhraseNode(terms=kids, exact=True, inorder=True)
+
+    def _d1_termlist(self, cur: _Cursor) -> Optional[ast.Node]:
+        """Consecutive bare terms fold into one phrase-intersection
+        (v1 `termlist ::= term term ...`)."""
+        kids: list[ast.Node] = []
+        while True:
+            cur.skip_ws()
+            ch = cur.peek()
+            if (cur.eof() or ch in "()|{}[]\"~-@:;*%$=" or ch in " \t"):
+                break
+            if ch == "'":
+                cur.i += 1
+                continue
+            save = cur.i
+            text = self._read_d1_term(cur)
+            if not text:
+                if not (ch.isalnum() or ch == "_" or ord(ch) > 127):
+                    cur.i += 1     # plain punctuation separates terms
+                    continue
+                break
+            if cur.peek() == "*":
+                # prefix affix: a separate expr in v1 (not a termlist
+                # member — PREFIX has its own token class, lexer.rl:56)
+                if kids:
+                    cur.i = save       # leave it for the outer chain
+                    break
+                cur.i += 1
+                return ast.AffixNode(text=normalize_token(text),
+                                     prefix=True, suffix=False)
+            tok = self._token_or_none(text)
+            if tok is not None:
+                kids.append(tok)
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return ast.IntersectNode(kids=kids)
+
+    def _read_d1_term(self, cur: _Cursor) -> str:
+        """v1 lexer term: ALL punctuation splits (lexer.rl:54 `term =
+        any - punct ...`), except a number token `d+(.d+)?([eE]-?d+)?`
+        lexes whole (longest match) — so `1.2e+3` yields 1.2 / e / 3."""
+        import re
+        m = re.compile(r"\d+(\.\d+)?([eE]-\d+|[eE]\d+)?").match(
+            cur.s, cur.i)
+        parts = []
+        j = cur.i
+        while j < cur.n:
+            ch = cur.s[j]
+            if ch == "\\" and j + 1 < cur.n:
+                parts.append(cur.s[j + 1])
+                j += 2
+                continue
+            if not (ch.isalnum() or ch == "_" or ord(ch) > 127):
+                break
+            parts.append(ch)
+            j += 1
+        if m is not None and m.end() > j:
+            cur.i = m.end()
+            return m.group(0)
+        cur.i = j
+        return "".join(parts)
+
+    def _d1_field(self, cur: _Cursor, stops: str) -> Optional[ast.Node]:
+        cur.expect("@")
+        fields = [self._read_ident(cur)]
+        while cur.peek() == "|":
+            cur.i += 1
+            if cur.peek() == "@":
+                cur.i += 1
+            fields.append(self._read_ident(cur))
+        cur.skip_ws()
+        if cur.peek() in "<>=!":
+            cur.error("numeric operators require DIALECT 2")
+        cur.expect(":")
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "{":
+            node: ast.Node = self._parse_tag(cur, fields[0])
+            # v1 tolerates trailing `}` garbage — the chain loop skips it
+            node._d1_unknown_field_ok = True  # type: ignore[attr-defined]
+            return node
+        if ch == "[":
+            return self._d1_bracket(cur, fields[0])
+        scoped = self._d1_scoped(cur, stops)
+        if scoped is None:
+            cur.error(f"empty field scope for @{'|'.join(fields)}")
+        return _d1_mask(scoped, fields)
+
+    def _d1_scoped(self, cur: _Cursor, stops: str) -> Optional[ast.Node]:
+        """The expression a v1 modifier captures: a termlist / single
+        primary / nested scope / -/~ clause, then any `|` continuations
+        (OR binds tighter than MODIFIER in the v1 precedence table)."""
+        cur.skip_ws()
+        ch = cur.peek()
+        if ch == "-":
+            cur.i += 1
+            child = self._d1_scoped(cur, stops)
+            return ast.NotNode(child=child) if child else None
+        if ch == "~":
+            cur.i += 1
+            child = self._d1_scoped(cur, stops)
+            return ast.OptionalNode(child=child) if child else None
+        if ch == "@":
+            first: Optional[ast.Node] = self._d1_field(cur, stops)
+        elif ch == "(":
+            first = self._d1_primary(cur, stops)
+        elif ch == '"':
+            first = self._d1_primary(cur, stops)
+        elif ch == "%":
+            first = self._parse_fuzzy(cur)
+        elif ch == "*" and cur.peek(1) and cur.peek(1) not in " \t\r\n)|=":
+            first = self._parse_affix(cur, None)
+        elif ch == "$":
+            cur.error("$ parameters require DIALECT 2")
+        else:
+            first = self._d1_termlist(cur)
+        # union continuations
+        while True:
+            cur.skip_ws()
+            if cur.peek() != "|":
+                break
+            cur.i += 1
+            rhs = self._d1_scoped(cur, stops)
+            if rhs is None:
+                continue
+            if first is None:
+                first = rhs
+            elif (isinstance(first, ast.UnionNode)
+                  and first.fieldmask_attrs is None):
+                first.kids.append(rhs)
+            else:
+                first = ast.UnionNode(kids=[first, rhs])
+        return first
+
+    def _d1_bracket(self, cur: _Cursor, field: str) -> ast.Node:
+        """v1 `[...]`: numeric range (2 endpoints, legacy number lexing)
+        or geo radius (4 args).  No GEOMETRY / VECTOR_RANGE."""
+        cur.expect("[")
+        save = cur.i
+        toks: list[str] = []
+        while True:
+            cur.skip_ws()
+            if cur.peek() == "]":
+                cur.i += 1
+                break
+            if cur.eof():
+                cur.error("unterminated [")
+            toks.append(self._read_until(cur, " \t]"))
+        up = toks[0].upper() if toks else ""
+        if up in ("WITHIN", "CONTAINS", "INTERSECTS", "DISJOINT",
+                  "VECTOR_RANGE"):
+            cur.error(f"{up} requires DIALECT 2")
+        if len(toks) == 4 and toks[3].lower() in ("m", "km", "mi", "ft"):
+            try:
+                lon = float(toks[0])
+                lat = float(toks[1])
+                radius = float(toks[2])
+            except ValueError:
+                cur.error("bad geo filter")
+            node: ast.Node = ast.GeoNode(field=field, lon=lon, lat=lat,
+                                         radius=radius,
+                                         unit=toks[3].lower())
+            node._d1_unknown_field_ok = True  # type: ignore[attr-defined]
+            return node
+        lo, lo_excl, hi, hi_excl = _d1_numeric_endpoints(toks, cur)
+        if lo > hi:
+            raise QuerySyntaxError(
+                f"Invalid numeric range (min > max): "
+                f"@{field}:[{lo:.6f} {hi:.6f}]")
+        node = ast.NumericNode(field=field, lo=lo, hi=hi,
+                               lo_excl=lo_excl, hi_excl=hi_excl)
+        node._d1_unknown_field_ok = True  # type: ignore[attr-defined]
+        return node
+
+
+_D1_NUM_RE = None
+
+
+def _d1_parse_number(tok: str):
+    """One v1 numeric endpoint: lexer pattern
+    `-? digit+ ('.' digit+)? ([eE] '-'? digit+)?` (v1 lexer.rl:35), with
+    `+`/stray `.`/other punctuation acting as separators that are simply
+    skipped.  Returns (value, exclusive) or None if the token is pure
+    junk; raises QuerySyntaxError on a malformed number."""
+    import re
+    global _D1_NUM_RE
+    if _D1_NUM_RE is None:
+        _D1_NUM_RE = re.compile(r"\d+(\.\d+)?([eE]-\d+|[eE]\d+)?")
+    excl = False
+    s = tok
+    if s.startswith("("):
+        excl = True
+        s = s[1:]
+    sign = 1.0
+    # strip separator punctuation (junk chars, leading dots, plus signs)
+    while s and s[0] in "+.#$^&,":
+        s = s[1:]
+    if s.startswith("-"):
+        sign = -1.0
+        s = s[1:]
+        while s and s[0] in "+.#$^&,":
+            s = s[1:]
+    if not s:
+        return None if not excl else (None, True)
+    low = s.lower()
+    if low in ("inf", "infinity"):
+        return (sign * math.inf, excl)
+    m = _D1_NUM_RE.match(s)
+    if m is None or m.end() != len(s):
+        # trailing garbage that is pure punctuation is ok (e.g. "1.")
+        if m is not None and all(c in ".#$^&,+" for c in s[m.end():]):
+            return (sign * float(m.group(0)), excl)
+        raise QuerySyntaxError(f"Syntax error: bad numeric value {tok!r}")
+    return (sign * float(m.group(0)), excl)
+
+
+def _d1_numeric_endpoints(toks: list[str], cur: _Cursor):
+    vals = []
+    for t in toks:
+        if not t:
+            continue
+        got = _d1_parse_number(t)
+        if got is None:
+            continue
+        if got[0] is None:   # lone "(" — exclusivity rides to next token
+            if vals and vals[-1][0] is None:
+                continue
+            vals.append(got)
+            continue
+        if vals and vals[-1][0] is None:
+            vals[-1] = (got[0], True)
+        else:
+            vals.append(got)
+    vals = [v for v in vals if v[0] is not None]
+    if len(vals) != 2:
+        cur.error(f"bad numeric range {toks}")
+    (lo, lo_excl), (hi, hi_excl) = vals
+    return lo, lo_excl, hi, hi_excl
+
+
+def _d1_mask(node: ast.Node, fields: list[str]) -> ast.Node:
+    """v1 QueryNode_SetFieldMask (query.c:1544): mask &= new recursively.
+    An empty intersection means the node can never match (@NULL)."""
+    if isinstance(node, (ast.TagNode, ast.NumericNode, ast.GeoNode)):
+        return node  # non-text nodes carry their own field
+    if node.fieldmask_attrs is None:
+        node.fieldmask_attrs = list(fields)
+    else:
+        node.fieldmask_attrs = [f for f in node.fieldmask_attrs
+                                if f in fields]
+        if not node.fieldmask_attrs:
+            return ast.EmptyNode()
+    for c in list(node.children()):
+        masked = _d1_mask(c, fields)
+        if masked is not c:
+            _replace_child(node, c, masked)
+    return node
+
+
+def _replace_child(parent: ast.Node, old: ast.Node, new: ast.Node):
+    for attr in ("kids", "terms"):
+        lst = getattr(parent, attr, None)
+        if isinstance(lst, list):
+            for i, x in enumerate(lst):
+                if x is old:
+                    lst[i] = new
+                    return
+    if getattr(parent, "child", None) is old:
+        parent.child = new
 
 
 def _apply_fieldmask(node: ast.Node, fields: list[str]):

@@ -464,9 +464,17 @@ class Server:
         return_fields = None
         highlight = None
         summarize = None
+        filters: list = []
         while av.more():
             opt = av.peek()
-            if opt == "LIMIT":
+            if opt == "FILTER":
+                av.next()
+                filters.append(("numeric", av.next(), av.next(), av.next()))
+            elif opt == "GEOFILTER":
+                av.next()
+                filters.append(("geo", av.next(), av.next(), av.next(),
+                                av.next(), av.next()))
+            elif opt == "LIMIT":
                 av.next()
                 opts["offset"] = av.next_int()
                 opts["num"] = av.next_int()
@@ -534,6 +542,7 @@ class Server:
         res = self.client.ft_search(name, query, highlight=highlight,
                                     summarize=summarize,
                                     no_content=no_content,
+                                    filters=filters or None,
                                     return_fields=return_fields, **opts)
         out: list = [res.total]
         results3: list = []
