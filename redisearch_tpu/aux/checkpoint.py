@@ -58,6 +58,9 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
     for attr, c in seg.numerics.items():
         put(f"num.{attr}.values", c.values)
         put(f"num.{attr}.present", c.present)
+        if c.multi:
+            put(f"num.{attr}.mv", c.multi_values)
+            put(f"num.{attr}.mp", c.multi_present)
     for attr, g in seg.geos.items():
         put(f"geo.{attr}.lon", g.lon)
         put(f"geo.{attr}.lat", g.lat)
@@ -70,7 +73,9 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
             v.vecs.astype(jnp.float32))
         put(f"vec.{attr}.present", v.present)
         put(f"vec.{attr}.sq", v.sq_norms)
-        meta[prefix][f"vec.{attr}"] = {"dim": v.dim}
+        if v.multi:
+            put(f"vec.{attr}.doc_rows", v.doc_rows)
+        meta[prefix][f"vec.{attr}"] = {"dim": v.dim, "multi": v.multi}
     for attr, m in seg.missing.items():
         put(f"missing.{attr}", m)
 
@@ -170,8 +175,16 @@ def load(path: str):
             vals = np.asarray(npz[f"{p}.num.{attr}.values"])
             pres = np.asarray(npz[f"{p}.num.{attr}.present"])
             # rebuild the sorted permutation (cheap relative to load IO)
-            numerics[attr] = make_numeric_column(
-                np.where(pres, vals, np.nan), sm["n_docs"])
+            if f"{p}.num.{attr}.mv" in npz.files:
+                mv = np.asarray(npz[f"{p}.num.{attr}.mv"])
+                mp = np.asarray(npz[f"{p}.num.{attr}.mp"])
+                lists = [list(mv[r][mp[r]]) for r in range(sm["n_docs"])]
+                numerics[attr] = make_numeric_column(
+                    np.where(pres, vals, np.nan), sm["n_docs"],
+                    value_lists=lists)
+            else:
+                numerics[attr] = make_numeric_column(
+                    np.where(pres, vals, np.nan), sm["n_docs"])
         geos = {attr: GeoColumn(lon=arr(f"{p}.geo.{attr}.lon"),
                                 lat=arr(f"{p}.geo.{attr}.lat"),
                                 present=arr(f"{p}.geo.{attr}.present"))
@@ -189,6 +202,9 @@ def load(path: str):
                 present=arr(f"{p}.vec.{attr}.present"),
                 dim=sm[f"vec.{attr}"]["dim"],
                 sq_norms=arr(f"{p}.vec.{attr}.sq"),
+                doc_rows=(arr(f"{p}.vec.{attr}.doc_rows")
+                          if sm[f"vec.{attr}"].get("multi") else None),
+                multi=bool(sm[f"vec.{attr}"].get("multi")),
             )
         missing = {attr: arr(f"{p}.missing.{attr}")
                    for attr in sm["missing_fields"]}

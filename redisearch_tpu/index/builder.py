@@ -48,6 +48,7 @@ from .segment import (
     TextPostings,
     VectorColumn,
     make_numeric_column,
+    make_vector_column,
     next_pow2,
     round_up,
     tail_pad,
@@ -260,18 +261,23 @@ class SegmentBuilder:
             ent[1] |= fbit
             ent[2].append(pos)
 
-    def _parse_numeric(self, field: Field, raw: Any) -> float:
+    def _parse_numeric(self, field: Field, raw: Any) -> list:
+        """Returns the list of values for the doc ([] = missing).  JSON
+        multi-value numerics index every element (reference: multi-value
+        fields feed each value into the numeric range tree)."""
         if raw is None or raw == "":
-            return math.nan
-        if isinstance(raw, (list, tuple)):  # JSON multi-value: first value
-            raw = raw[0] if raw else None
-            if raw is None:
-                return math.nan
-        try:
-            return float(raw)
-        except (TypeError, ValueError):
-            raise WrongFieldType(
-                f"Could not index numeric value for field {field.name}")
+            return []
+        vals = raw if isinstance(raw, (list, tuple)) else [raw]
+        out = []
+        for v in vals:
+            if v is None or v == "":
+                continue
+            try:
+                out.append(float(v))
+            except (TypeError, ValueError):
+                raise WrongFieldType(
+                    f"Could not index numeric value for field {field.name}")
+        return out
 
     def _add_tag(self, field: Field, raw: Any,
                  local: int) -> Optional[str]:
@@ -310,7 +316,10 @@ class SegmentBuilder:
             raise WrongFieldType(f"geo out of range for {field.name}")
         return (math.radians(lon), math.radians(lat))
 
-    def _parse_vector(self, field: Field, raw: Any) -> Optional[np.ndarray]:
+    def _parse_vector(self, field: Field, raw: Any) -> Optional[list]:
+        """Returns the doc's vector list (None = missing).  JSON
+        multi-value vector fields ($..path arrays-of-arrays) index every
+        vector (reference: VecSim multi-value)."""
         if raw is None:
             return None
         vp = field.vector
@@ -320,13 +329,24 @@ class SegmentBuilder:
             raw = raw.encode("latin-1", "surrogateescape")
         if isinstance(raw, bytes):
             arr = np.frombuffer(raw, dtype=npdt).astype(np.float32)
+            if arr.shape[0] != vp.dim and arr.shape[0] % vp.dim == 0:
+                return list(arr.reshape(-1, vp.dim))  # concatenated blobs
+            if arr.shape[0] != vp.dim:
+                raise WrongFieldType(
+                    f"vector dim mismatch for {field.name}: got "
+                    f"{arr.shape[0]}, want {vp.dim}")
+            return [arr]
+        if (isinstance(raw, (list, tuple)) and raw
+                and isinstance(raw[0], (list, tuple, np.ndarray))):
+            vecs = [np.asarray(v, np.float32).reshape(-1) for v in raw]
         else:
-            arr = np.asarray(raw, dtype=np.float32).reshape(-1)
-        if arr.shape[0] != vp.dim:
-            raise WrongFieldType(
-                f"vector dim mismatch for {field.name}: got {arr.shape[0]}, "
-                f"want {vp.dim}")
-        return arr
+            vecs = [np.asarray(raw, dtype=np.float32).reshape(-1)]
+        for arr in vecs:
+            if arr.shape[0] != vp.dim:
+                raise WrongFieldType(
+                    f"vector dim mismatch for {field.name}: got "
+                    f"{arr.shape[0]}, want {vp.dim}")
+        return vecs
 
     # -- seal ---------------------------------------------------------------
     def seal(self) -> Optional[Segment]:
@@ -450,8 +470,8 @@ class SegmentBuilder:
         numerics = {}
         for attr, vals in self._numerics.items():
             col = np.full(n_pad, np.nan, np.float32)
-            col[:n] = vals
-            numerics[attr] = make_numeric_column(col, n)
+            col[:n] = [v[0] if v else np.nan for v in vals]
+            numerics[attr] = make_numeric_column(col, n, value_lists=vals)
         geos = {}
         for attr, vals in self._geos.items():
             lon = np.full(n_pad, np.nan, np.float32)
@@ -482,26 +502,8 @@ class SegmentBuilder:
         for attr, rows in self._vectors.items():
             field = self.schema.field(attr)
             vp = field.vector
-            dim = vp.dim
-            mat = np.zeros((n_pad, dim), np.float32)
-            present = np.zeros(n_pad, bool)
-            for i, r in enumerate(rows):
-                if r is not None:
-                    mat[i] = r
-                    present[i] = True
-            if vp.dtype == "BFLOAT16":
-                dev = jnp.asarray(mat, dtype=jnp.bfloat16)
-            elif vp.dtype == "INT8":
-                dev = jnp.asarray(mat, dtype=jnp.int8)   # 4x memory saving
-            elif vp.dtype == "UINT8":
-                dev = jnp.asarray(mat, dtype=jnp.uint8)
-            elif vp.dtype == "FLOAT16":
-                dev = jnp.asarray(mat, dtype=jnp.float16)
-            else:
-                dev = jnp.asarray(mat, dtype=jnp.float32)
-            sq = jnp.sum(jnp.asarray(mat) ** 2, axis=1)
-            vectors[attr] = VectorColumn(vecs=dev, present=jnp.asarray(present),
-                                         dim=dim, sq_norms=sq)
+            vectors[attr] = make_vector_column(rows, n, n_pad, vp.dim,
+                                               vp.dtype)
 
         missing = {}
         for attr, pres in self._present.items():

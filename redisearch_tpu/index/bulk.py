@@ -24,6 +24,7 @@ from .doctable import DocMeta
 from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
                       Segment, StrColumn, TagPostings, TermDict,
                       TextPostings, VectorColumn, make_numeric_column,
+                      make_vector_column,
                       next_pow2, round_up, tail_pad)
 
 
@@ -210,8 +211,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     numerics = {}
     for attr, vals in num_stage.items():
         col = np.full(n_pad, np.nan, np.float32)
-        col[:n] = vals
-        numerics[attr] = make_numeric_column(col, n)
+        col[:n] = [v[0] if v else np.nan for v in vals]
+        numerics[attr] = make_numeric_column(col, n, value_lists=vals)
     geos = {}
     for attr, vals in geo_stage.items():
         lon = np.full(n_pad, np.nan, np.float32)
@@ -234,22 +235,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     vectors = {}
     for attr, rows in vec_stage.items():
         f = schema.field(attr)
-        dim = f.vector.dim
-        mat = np.zeros((n_pad, dim), np.float32)
-        pres = np.zeros(n_pad, bool)
-        for i, r in enumerate(rows):
-            if r is not None:
-                mat[i] = r
-                pres[i] = True
-        dt = (jnp.bfloat16 if f.vector.dtype == "BFLOAT16"
-              else jnp.float16 if f.vector.dtype == "FLOAT16"
-              else jnp.int8 if f.vector.dtype == "INT8"
-              else jnp.uint8 if f.vector.dtype == "UINT8"
-              else jnp.float32)
-        vectors[attr] = VectorColumn(
-            vecs=jnp.asarray(mat, dtype=dt), present=jnp.asarray(pres),
-            dim=dim, sq_norms=jnp.asarray((mat.astype(np.float64) ** 2)
-                                          .sum(1).astype(np.float32)))
+        vectors[attr] = make_vector_column(rows, n, n_pad, f.vector.dim,
+                                           f.vector.dtype)
     missing = {}
     for attr, pres in present_stage.items():
         m = np.zeros(n_pad, bool)

@@ -201,8 +201,8 @@ class SearchIndex:
             if vp.algo == VectorAlgo.FLAT:
                 continue
             col = seg.vectors.get(f.attribute)
-            if col is None or col.ivf is not None:
-                continue
+            if col is None or col.ivf is not None or col.multi:
+                continue  # multi-value columns stay on the exact scan
             n_present = int(np.asarray(col.present).sum())
             if n_present < max(vp.flat_buffer_limit, 64):
                 continue

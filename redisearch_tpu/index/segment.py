@@ -151,25 +151,67 @@ class NumericColumn:
     INT32_MAX so a window gather yields valid sorted candidates.
     """
 
-    values: Any    # float32[n_pad]
+    values: Any    # float32[n_pad] (first value — SORTBY key)
     present: Any   # bool[n_pad]
-    sorted_vals: Any = None   # float32[n_pad] ascending (missing -> +inf)
-    sorted_docs: Any = None   # int32[n_pad] doc ids in value order
+    sorted_vals: Any = None   # float32 ascending over ALL (value,doc) pairs
+    sorted_docs: Any = None   # int32 doc ids in value order (dups if multi)
     sorted_vals_np: Any = None  # host mirror for bind-time searchsorted
+    # JSON multi-value support (reference: multi-value numeric fields index
+    # every array element into the range tree): dense [n_pad, V] matrix for
+    # the predicate path; the sorted permutation above holds every pair so
+    # range *generator* windows see all values (deduped on device).
+    multi_values: Any = None   # float32[n_pad, V]
+    multi_present: Any = None  # bool[n_pad, V]
+    multi: bool = False
 
 
-def make_numeric_column(col_with_nan: np.ndarray, n: int) -> NumericColumn:
+def make_numeric_column(col_with_nan: np.ndarray, n: int,
+                        value_lists=None) -> NumericColumn:
     """Build a NumericColumn (incl. sorted permutation) from a float array
-    where NaN marks missing; entries beyond `n` are padding."""
+    where NaN marks missing; entries beyond `n` are padding.
+    `value_lists` (optional, len n) carries per-doc multi-values; when any
+    doc has >1 value the column becomes multi-valued."""
     import jax.numpy as jnp
 
     present = ~np.isnan(col_with_nan)
     present[n:] = False
+    n_pad = col_with_nan.shape[0]
+    multi = (value_lists is not None
+             and any(len(v) > 1 for v in value_lists))
+    if multi:
+        V = next_pow2(max(len(v) for v in value_lists))
+        mv = np.zeros((n_pad, V), np.float32)
+        mp = np.zeros((n_pad, V), np.bool_)
+        pair_docs: list[int] = []
+        pair_vals: list[float] = []
+        for i, vals in enumerate(value_lists):
+            for j, val in enumerate(vals):
+                mv[i, j] = val
+                mp[i, j] = True
+                pair_docs.append(i)
+                pair_vals.append(val)
+        pv = np.asarray(pair_vals, np.float32)
+        pd = np.asarray(pair_docs, np.int32)
+        order = np.argsort(pv, kind="stable")
+        sv = pv[order]
+        sd = pd[order]
+        cap = next_pow2(max(len(sv), n_pad))
+        return NumericColumn(
+            values=jnp.asarray(np.nan_to_num(col_with_nan, nan=0.0,
+                                             posinf=0.0, neginf=0.0)),
+            present=jnp.asarray(present),
+            sorted_vals=jnp.asarray(tail_pad(sv, cap, np.inf)),
+            sorted_docs=jnp.asarray(tail_pad(sd, cap, 2**31 - 1)),
+            sorted_vals_np=sv,
+            multi_values=jnp.asarray(mv),
+            multi_present=jnp.asarray(mp),
+            multi=True,
+        )
     key = np.where(present, col_with_nan, np.inf)
     order = np.argsort(key, kind="stable").astype(np.int32)
     sv = key[order].astype(np.float32)
     sd = np.where(np.isfinite(sv), order, np.int32(2**31 - 1))
-    cap = next_pow2(col_with_nan.shape[0])
+    cap = next_pow2(n_pad)
     return NumericColumn(
         values=jnp.asarray(np.nan_to_num(col_with_nan, nan=0.0,
                                          posinf=0.0, neginf=0.0)),
@@ -177,8 +219,63 @@ def make_numeric_column(col_with_nan: np.ndarray, n: int) -> NumericColumn:
         sorted_vals=jnp.asarray(tail_pad(sv, cap, np.inf)),
         sorted_docs=jnp.asarray(tail_pad(sd.astype(np.int32), cap,
                                          2**31 - 1)),
-        sorted_vals_np=sv,
+        sorted_vals_np=sv[:n_pad] if not multi else sv,
     )
+
+
+_VEC_JNP_DTYPES = {
+    "BFLOAT16": "bfloat16", "INT8": "int8", "UINT8": "uint8",
+    "FLOAT16": "float16", "FLOAT32": "float32", "FLOAT64": "float32",
+}
+
+
+def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
+                       dtype_name: str) -> "VectorColumn":
+    """Build a VectorColumn from per-doc vector lists.
+    rows_per_doc[i]: None | ndarray[dim] | list[ndarray[dim]].
+    Multi-value docs switch the column to row layout (reference: VecSim
+    multi-value support, src/vector_index.h)."""
+    import jax.numpy as jnp
+
+    norm = []
+    for r in rows_per_doc:
+        if r is None:
+            norm.append([])
+        elif isinstance(r, (list, tuple)):
+            norm.append(list(r))
+        else:
+            norm.append([r])
+    norm += [[]] * (n_pad - len(norm))
+    multi = any(len(v) > 1 for v in norm)
+    dt = getattr(jnp, _VEC_JNP_DTYPES.get(dtype_name, "float32"))
+    present = np.array([len(v) > 0 for v in norm], bool)
+    if not multi:
+        mat = np.zeros((n_pad, dim), np.float32)
+        for i, v in enumerate(norm):
+            if v:
+                mat[i] = v[0]
+        return VectorColumn(
+            vecs=jnp.asarray(mat, dtype=dt),
+            present=jnp.asarray(present), dim=dim,
+            sq_norms=jnp.asarray((mat.astype(np.float64) ** 2)
+                                 .sum(1).astype(np.float32)))
+    M = next_pow2(max(len(v) for v in norm))
+    R = sum(len(v) for v in norm)
+    R_pad = max(round_up(R, 8), 8)
+    rows = np.zeros((R_pad, dim), np.float32)
+    doc_rows = np.full((n_pad, M), -1, np.int32)
+    r = 0
+    for i, v in enumerate(norm):
+        for j, vec in enumerate(v):
+            rows[r] = vec
+            doc_rows[i, j] = r
+            r += 1
+    return VectorColumn(
+        vecs=jnp.asarray(rows, dtype=dt),
+        present=jnp.asarray(present), dim=dim,
+        sq_norms=jnp.asarray((rows.astype(np.float64) ** 2)
+                             .sum(1).astype(np.float32)),
+        doc_rows=jnp.asarray(doc_rows), multi=True)
 
 
 @dataclasses.dataclass
@@ -204,12 +301,17 @@ class VectorColumn:
     IVF/tiered structures are built on top by ops/vector.py.
     """
 
-    vecs: Any      # dtype[n_pad, dim]
-    present: Any   # bool[n_pad]
+    vecs: Any      # dtype[n_pad, dim]  (multi: dtype[R_pad, dim] rows)
+    present: Any   # bool[n_pad]  (always per-doc)
     dim: int
     # Precomputed squared L2 norms (f32[n_pad]) for L2 via the MXU
     # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 trick.
     sq_norms: Any = None
+    # Multi-value vectors (reference: VecSim multi-value indexes — a doc's
+    # score is the best of its vectors): all vectors stored as rows, with
+    # doc_rows[n_pad, M] mapping each doc to its row indices (-1 pad).
+    doc_rows: Any = None   # int32[n_pad, M]
+    multi: bool = False
     # Partitioned ANN structure (ops/ivf.py IVFIndex) for IVF/TIERED
     # fields; None = brute-force FLAT scan (always exact).  Built by
     # SearchIndex.commit() when the segment crosses the tiered threshold —

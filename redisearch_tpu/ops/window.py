@@ -83,6 +83,19 @@ def numeric_window(sorted_docs: jnp.ndarray, start, length, W: int):
     return docs, in_range & (docs != INVALID)
 
 
+def dedup_window(docs: jnp.ndarray, valid: jnp.ndarray):
+    """Drop duplicate doc ids from a window (multi-value numeric ranges
+    yield one entry per in-range value).  Sort + neighbor-compare: the
+    output stays a valid window (generator outputs are never searched
+    into, so reordering is fine)."""
+    d = jnp.where(valid, docs, INVALID)
+    d = jnp.sort(d)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), d[1:] == d[:-1]])
+    v = (d != INVALID) & ~dup
+    return jnp.where(v, d, INVALID), v
+
+
 def iota_window(n_pad: int):
     """All-docs generator (reference: wildcard iterator)."""
     docs = _iota(n_pad)

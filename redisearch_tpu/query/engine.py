@@ -535,6 +535,8 @@ class CompiledQuery:
             elif isinstance(leaf, LNumeric):
                 col = seg.numerics.get(leaf.field)
                 length = 0
+                multi = bool(col is not None and col.multi)
+                capN = cap
                 if col is not None and col.sorted_vals_np is not None:
                     lo_v, hi_v = self.num_bounds[leaf.ord]
                     sv = col.sorted_vals_np
@@ -545,7 +547,13 @@ class CompiledQuery:
                     length = max(int(b - a), 0)
                     numw_start[leaf.ord] = a
                     numw_len[leaf.ord] = length
-                buckets[idx] = (min(self.bucket_size(length), cap),)
+                    if multi:
+                        # the expanded (value,doc) run can exceed n_pad
+                        capN = int(next_pow2(max(len(sv), 1)))
+                buckets[idx] = (min(self.bucket_size(length), capN), multi)
+            elif isinstance(leaf, LVecRange):
+                colv = seg.vectors.get(leaf.field)
+                buckets[idx] = (bool(colv is not None and colv.multi),)
             else:
                 buckets[idx] = ()
         dyn["numw_start"] = numw_start
@@ -824,6 +832,9 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
             args[f"num{leaf.ord}_sd"] = (
                 col.sorted_docs if col.sorted_docs is not None
                 else jnp.zeros(1, jnp.int32))
+            if col.multi:
+                args[f"num{leaf.ord}_mv"] = col.multi_values
+                args[f"num{leaf.ord}_mp"] = col.multi_present
         elif isinstance(leaf, LGeo):
             col = seg.geos[leaf.field]
             args[f"geo{leaf.ord}_lon"] = col.lon
@@ -834,6 +845,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
             args[f"vec{leaf.ord}"] = col.vecs
             args[f"vec{leaf.ord}_p"] = col.present
             args[f"vec{leaf.ord}_sq"] = col.sq_norms
+            if col.multi:
+                args[f"vec{leaf.ord}_dr"] = col.doc_rows
         elif isinstance(leaf, LMissing):
             args[f"has_{leaf.field}"] = seg.missing[leaf.field]
     if cq.knn is not None:
@@ -842,6 +855,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_vecs"] = col.vecs
         args["knn_present"] = col.present
         args["knn_sq"] = col.sq_norms
+        if col.multi:
+            args["knn_doc_rows"] = col.doc_rows
         args["knn_blob"] = jnp.asarray(
             np.asarray(cq.knn.blob, np.float32))
         if col.ivf is not None:
@@ -872,6 +887,8 @@ def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
     from ..schema import VectorAlgo
     field = cq.schema.field(cq.knn.field)
     col = seg.vectors.get(field.attribute)
+    if col is not None and col.multi:
+        return "multi"    # row-layout exact scan (VecSim multi-value)
     if (col is None or col.ivf is None
             or field.vector.algo == VectorAlgo.FLAT):
         return "flat"
@@ -896,6 +913,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     knn_metric = (cq.schema.field(knn.field).vector.metric.value
                   if knn is not None else None)
     knn_ivf = _knn_ivf_sig(cq, seg_proto).startswith("ivf")
+    knn_multi = _knn_ivf_sig(cq, seg_proto) == "multi"
     knn_nprobe = (knn.ef_runtime or cq.schema.field(knn.field).vector.nprobe
                   if knn is not None else 0)
     knn_policy = (knn.hybrid_policy if knn is not None else None)
@@ -1025,10 +1043,12 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     d, _, v = W.union_windows(wins)
                 return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LNumeric):
-                (Wn,) = buckets[idx]
+                (Wn, multi) = buckets[idx]
                 d, v = W.numeric_window(
                     seg[f"num{leaf.ord}_sd"], dyn["numw_start"][leaf.ord],
                     dyn["numw_len"][leaf.ord], Wn)
+                if multi:   # a doc appears once per in-range value
+                    d, v = W.dedup_window(d, v)
                 return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LAll):
                 d, v = W.iota_window(n_pad)
@@ -1104,15 +1124,26 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return hit, s
                 return f
             if isinstance(leaf, LNumeric):
-                def f(docs, dl):
+                multi = buckets[idx][1]
+
+                def f(docs, dl, _multi=multi):
                     cd = clampdoc(docs)
-                    v = seg[f"num{leaf.ord}_v"][cd]
-                    p = seg[f"num{leaf.ord}_p"][cd]
                     lo = dyn["num_lo"][leaf.ord]
                     hi = dyn["num_hi"][leaf.ord]
-                    ge = v > lo if leaf.lo_excl else v >= lo
-                    le = v < hi if leaf.hi_excl else v <= hi
-                    m = p & ge & le & (docs != W.INVALID)
+                    if _multi:
+                        # any-value-in-range (JSON multi-value numerics)
+                        v = seg[f"num{leaf.ord}_mv"][cd]      # [B, V]
+                        p = seg[f"num{leaf.ord}_mp"][cd]
+                        ge = v > lo if leaf.lo_excl else v >= lo
+                        le = v < hi if leaf.hi_excl else v <= hi
+                        m = jnp.any(p & ge & le, axis=-1)
+                    else:
+                        v = seg[f"num{leaf.ord}_v"][cd]
+                        p = seg[f"num{leaf.ord}_p"][cd]
+                        ge = v > lo if leaf.lo_excl else v >= lo
+                        le = v < hi if leaf.hi_excl else v <= hi
+                        m = p & ge & le
+                    m = m & (docs != W.INVALID)
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LGeo):
@@ -1129,19 +1160,20 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LVecRange):
-                def f(docs, dl):
+                (vmulti,) = buckets[idx]
+
+                def f(docs, dl, _vm=vmulti):
                     cd = clampdoc(docs)
-                    rows = seg[f"vec{leaf.ord}"][cd].astype(jnp.float32)
                     q = dyn[f"vblob{leaf.ord}"]
-                    dots = rows @ q
-                    sq = seg[f"vec{leaf.ord}_sq"][cd]
-                    if leaf.metric == "L2":
-                        d = sq - 2.0 * dots + jnp.sum(q * q)
-                    elif leaf.metric == "IP":
-                        d = 1.0 - dots
+                    if _vm:
+                        d = _multi_doc_dist(
+                            seg[f"vec{leaf.ord}"],
+                            seg[f"vec{leaf.ord}_sq"],
+                            seg[f"vec{leaf.ord}_dr"], cd, q, leaf.metric)
                     else:
-                        d = 1.0 - dots / jnp.maximum(
-                            jnp.sqrt(sq) * jnp.linalg.norm(q), 1e-30)
+                        d = _metric_dist(
+                            seg[f"vec{leaf.ord}"][cd].astype(jnp.float32),
+                            seg[f"vec{leaf.ord}_sq"][cd], q, leaf.metric)
                     m = (seg[f"vec{leaf.ord}_p"][cd]
                          & (d <= dyn[f"vrad{leaf.ord}"])
                          & (docs != W.INVALID))
@@ -1284,14 +1316,24 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
         Wc = docs.shape[0]
         k_eff = min(k, Wc)
 
+        def knn_doc_dist(cd_):
+            """Distance of each candidate doc to the query blob; for
+            multi-value columns, min over the doc's vector rows (VecSim
+            multi-value semantics: best vector wins)."""
+            q = seg["knn_blob"]
+            if knn_multi:
+                return _multi_doc_dist(seg["knn_vecs"], seg["knn_sq"],
+                                       seg["knn_doc_rows"], cd_, q,
+                                       knn_metric)
+            rows = seg["knn_vecs"][cd_].astype(jnp.float32)
+            return _metric_dist(rows, seg["knn_sq"][cd_], q, knn_metric)
+
         if mode == "window":
             out["docs"] = docs
             out["valid"] = valid
             out["score"] = score
             if knn is not None:
-                rows = seg["knn_vecs"][cd].astype(jnp.float32)
-                q = seg["knn_blob"]
-                d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
+                d = knn_doc_dist(cd)
                 out["knn"] = jnp.where(valid & seg["knn_present"][cd],
                                        d, 3.4e38)
             return out
@@ -1305,8 +1347,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 knn_policy == "ADHOC_BF" or not knn_ivf
                 or (knn_policy is None and Wc <= 16384))
             if use_exact_gather:
-                rows = seg["knn_vecs"][cd].astype(jnp.float32)
-                d = _metric_dist(rows, seg["knn_sq"][cd], q, knn_metric)
+                d = knn_doc_dist(cd)
                 dm = jnp.where(valid & seg["knn_present"][cd], d, 3.4e38)
                 vals, sel = T.fast_top_k(-dm, k_eff)
                 out["idx"] = docs[sel]
@@ -1340,8 +1381,17 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 out["knn"] = -vals2
                 out["scores"] = sc[sel2]
             else:
-                d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
-                                   knn_metric)
+                if knn_multi:
+                    # full scan: row distances once, then per-doc min via
+                    # the doc_rows map (no [n, M, dim] blowup)
+                    d_rows = V.distances_to(seg["knn_vecs"], seg["knn_sq"],
+                                            q, knn_metric)
+                    dr = seg["knn_doc_rows"]          # [n_pad, M]
+                    dd = d_rows[jnp.clip(dr, 0, d_rows.shape[0] - 1)]
+                    d = jnp.min(jnp.where(dr >= 0, dd, 3.4e38), axis=-1)
+                else:
+                    d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
+                                       knn_metric)
                 # window is the iota ordering here, so valid aligns by doc
                 dm = jnp.where(valid & seg["knn_present"], d, 3.4e38)
                 vals, sel = T.fast_top_k(-dm, k_eff)
@@ -1378,6 +1428,18 @@ def _tree_has_terms(t) -> bool:
     if tag in ("not", "opt"):
         return _tree_has_terms(t[1])
     return any(_tree_has_terms(c) for c in t[1])
+
+
+def _multi_doc_dist(vec_rows, sq_rows, doc_rows, cd, q, metric):
+    """Per-doc best distance over each doc's vector rows (multi-value
+    columns; reference: VecSim multi-value scoring takes the best
+    vector).  cd: [B] doc ids -> [B] min distance."""
+    rid = doc_rows[cd]                                    # [B, M]
+    ok = rid >= 0
+    r = jnp.clip(rid, 0, vec_rows.shape[0] - 1)
+    rows = vec_rows[r].astype(jnp.float32)                # [B, M, dim]
+    d = _metric_dist(rows, sq_rows[r], q, metric)         # [B, M]
+    return jnp.min(jnp.where(ok, d, 3.4e38), axis=-1)
 
 
 def _metric_dist(rows, sq, q, metric):
