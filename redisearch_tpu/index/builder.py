@@ -63,14 +63,24 @@ DEVICE_MAX_TEXT_FIELDS = 31
 # local_doc * pos_stride + pos fits in int32 (see segment.py poskeys).
 MAX_POS_STRIDE = 4096
 
+def _bf16():
+    import ml_dtypes
+    return ml_dtypes.bfloat16
+
+
 _VEC_NP_DTYPES = {
     "FLOAT32": np.float32,
     "FLOAT64": np.float64,
     "FLOAT16": np.float16,
-    "BFLOAT16": np.float32,  # staged as f32; cast to bf16 at seal
     "INT8": np.int8,
     "UINT8": np.uint8,
 }
+
+
+def _vec_np_dtype(name: str):
+    if name == "BFLOAT16":
+        return _bf16()
+    return _VEC_NP_DTYPES[name]
 
 
 class _TermStage:
@@ -323,7 +333,7 @@ class SegmentBuilder:
         if raw is None:
             return None
         vp = field.vector
-        npdt = _VEC_NP_DTYPES[vp.dtype]
+        npdt = _vec_np_dtype(vp.dtype)
         if isinstance(raw, str):
             # RESP clients send vector blobs as binary-safe strings
             raw = raw.encode("latin-1", "surrogateescape")

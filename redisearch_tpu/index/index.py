@@ -308,14 +308,16 @@ class SearchIndex:
             self._prepared[key] = cq
         else:
             # rebind vector blobs from this call's params
+            from ..query.engine import decode_blob
             from ..query.parser import _coerce_vector
             if cq.knn is not None and cq.knn.blob_param in vec_params:
                 cq.knn.blob = _coerce_vector(
                     vec_params[cq.knn.blob_param])
             for i, pname in enumerate(cq.vec_blob_params):
                 if pname in vec_params:
-                    cq.vec_blobs[i] = np.asarray(
-                        _coerce_vector(vec_params[pname]), np.float32)
+                    cq.vec_blobs[i] = decode_blob(
+                        _coerce_vector(vec_params[pname]),
+                        cq.vec_blob_fields[i])
         cq.opts.k = opts.k
         cq.opts.now = opts.now
         return cq

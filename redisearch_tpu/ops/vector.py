@@ -29,11 +29,27 @@ def _fast_top_k(x, k):
 
 
 def _scores(vecs: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """<vecs, q> along d.  vecs [n, d] (f32/bf16), q [d] or [B, d] f32."""
+    """<vecs, q> along d.  vecs [n, d], q [d] or [B, d].
+
+    Uses the MXU's native low-precision paths when storage allows:
+    int8 x int8 accumulating in int32 (4x the f32 MACs/cycle),
+    bf16 x bf16 accumulating in f32; f16/f32 run in f32."""
+    if vecs.dtype in (jnp.int8, jnp.uint8) and q.dtype == vecs.dtype:
+        if q.ndim == 1:
+            return jnp.dot(vecs, q,
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32)
+        return jnp.dot(q, vecs.T,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+    if vecs.dtype == jnp.bfloat16:
+        qb = q.astype(jnp.bfloat16)
+        if q.ndim == 1:
+            return jnp.dot(vecs, qb, preferred_element_type=jnp.float32)
+        return jnp.dot(qb, vecs.T, preferred_element_type=jnp.float32)
     if q.ndim == 1:
-        return jnp.dot(vecs.astype(jnp.float32), q,
+        return jnp.dot(vecs.astype(jnp.float32), q.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
-    return jnp.dot(q, vecs.astype(jnp.float32).T,
+    return jnp.dot(q.astype(jnp.float32), vecs.astype(jnp.float32).T,
                    preferred_element_type=jnp.float32)
 
 

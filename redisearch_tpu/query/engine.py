@@ -163,6 +163,7 @@ class CompiledQuery:
         self.geo_params: list[tuple[float, float, float]] = []
         self.vec_blobs: list[np.ndarray] = []
         self.vec_blob_params: list = []       # $param names for rebinding
+        self.vec_blob_fields: list = []       # Field per blob (dtype)
         self.vec_radii: list[float] = []
         self.host_nodes: list[ast.Node] = []  # geometry/ids nodes
         self.leaf_consts: list[float] = []    # per-leaf constant score
@@ -315,8 +316,9 @@ class CompiledQuery:
             if field.type != FieldType.VECTOR:
                 raise WrongFieldType(f"@{node.field} is not VECTOR")
             ordn = len(self.vec_blobs)
-            self.vec_blobs.append(np.asarray(node.blob, np.float32))
+            self.vec_blobs.append(decode_blob(node.blob, field))
             self.vec_blob_params.append(node.blob_param)
+            self.vec_blob_fields.append(field)
             self.vec_radii.append(float(node.radius))
             return self._leaf(
                 LVecRange(ordn, field.attribute,
@@ -857,8 +859,7 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_sq"] = col.sq_norms
         if col.multi:
             args["knn_doc_rows"] = col.doc_rows
-        args["knn_blob"] = jnp.asarray(
-            np.asarray(cq.knn.blob, np.float32))
+        args["knn_blob"] = jnp.asarray(decode_blob(cq.knn.blob, field))
         if col.ivf is not None:
             args["ivf_cent"] = col.ivf.centroids
             args["ivf_csq"] = col.ivf.cent_sq
@@ -882,18 +883,23 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
 
 
 def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
+    """KNN part of the compile-cache key.  Must carry every KNN-related
+    static baked into the executor closure: algo/probe shape, metric and
+    storage dtype (two indexes can share field names and shapes)."""
     if cq.knn is None:
         return "none"
     from ..schema import VectorAlgo
     field = cq.schema.field(cq.knn.field)
     col = seg.vectors.get(field.attribute)
+    base = (f"{field.vector.metric.value}:{field.vector.dtype}:"
+            f"{cq.knn.hybrid_policy}:")
     if col is not None and col.multi:
-        return "multi"    # row-layout exact scan (VecSim multi-value)
+        return base + "multi"  # row-layout exact scan (VecSim multi-value)
     if (col is None or col.ivf is None
             or field.vector.algo == VectorAlgo.FLAT):
-        return "flat"
+        return base + "flat"
     nprobe = cq.knn.ef_runtime or field.vector.nprobe
-    return f"ivf:{nprobe}:{col.ivf.nlist}:{col.ivf.list_pad}"
+    return base + f"ivf:{nprobe}:{col.ivf.nlist}:{col.ivf.list_pad}"
 
 
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
@@ -912,8 +918,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     knn = cq.knn
     knn_metric = (cq.schema.field(knn.field).vector.metric.value
                   if knn is not None else None)
-    knn_ivf = _knn_ivf_sig(cq, seg_proto).startswith("ivf")
-    knn_multi = _knn_ivf_sig(cq, seg_proto) == "multi"
+    knn_ivf = ":ivf:" in _knn_ivf_sig(cq, seg_proto)
+    knn_multi = _knn_ivf_sig(cq, seg_proto).endswith("multi")
     knn_nprobe = (knn.ef_runtime or cq.schema.field(knn.field).vector.nprobe
                   if knn is not None else 0)
     knn_policy = (knn.hybrid_policy if knn is not None else None)
@@ -1325,8 +1331,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 return _multi_doc_dist(seg["knn_vecs"], seg["knn_sq"],
                                        seg["knn_doc_rows"], cd_, q,
                                        knn_metric)
-            rows = seg["knn_vecs"][cd_].astype(jnp.float32)
-            return _metric_dist(rows, seg["knn_sq"][cd_], q, knn_metric)
+            return _metric_dist(seg["knn_vecs"][cd_], seg["knn_sq"][cd_],
+                                q, knn_metric)
 
         if mode == "window":
             out["docs"] = docs
@@ -1362,8 +1368,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     max(8 * k_eff, 64), n_pad)
                 dists, ids = ivf_probe_arrays(
                     seg["ivf_cent"], seg["ivf_csq"], seg["ivf_bv"],
-                    seg["ivf_bsq"], seg["ivf_bi"], knn_metric, q, kk,
-                    knn_nprobe)
+                    seg["ivf_bsq"], seg["ivf_bi"], knn_metric,
+                    q.astype(jnp.float32), kk, knn_nprobe)
                 cid = jnp.clip(ids, 0, n_pad - 1)
                 ok = (ids >= 0) & seg["alive"][cid]
                 sc = jnp.zeros(ids.shape, jnp.float32)
@@ -1430,6 +1436,50 @@ def _tree_has_terms(t) -> bool:
     return any(_tree_has_terms(c) for c in t[1])
 
 
+def decode_blob(raw, field) -> np.ndarray:
+    """Decode a query vector param against the field's storage dtype
+    (reference: blobs are raw arrays of the index's VecSimType).  Keeps
+    int8/uint8 integer and bf16 as bf16 so the distance matmul runs on
+    the MXU's low-precision paths; f16/f64 queries upcast to f32."""
+    import ml_dtypes
+    vp = field.vector
+    np_store = {"INT8": np.int8, "UINT8": np.uint8,
+                "FLOAT16": np.float16, "FLOAT64": np.float64,
+                "BFLOAT16": ml_dtypes.bfloat16,
+                "FLOAT32": np.float32}[vp.dtype]
+    if isinstance(raw, (bytes, bytearray)):
+        arr = np.frombuffer(raw, dtype=np_store).copy()
+    else:
+        arr = np.asarray(raw)
+    arr = arr.reshape(-1)
+    if arr.shape[0] != vp.dim:
+        raise QuerySyntaxError(
+            f"query vector blob size mismatch for @{field.name}: got "
+            f"{arr.shape[0]} values, want {vp.dim}")
+    if vp.dtype in ("INT8", "UINT8"):
+        if arr.dtype != np_store:
+            lo, hi = (-128, 127) if vp.dtype == "INT8" else (0, 255)
+            arr = np.clip(np.rint(arr.astype(np.float32)), lo,
+                          hi).astype(np_store)
+        return arr
+    if vp.dtype == "BFLOAT16":
+        return arr.astype(ml_dtypes.bfloat16)
+    return arr.astype(np.float32)
+
+
+def _mxu_dots(rows, q):
+    """<rows, q> on the MXU's native low-precision paths: int8xint8
+    accumulates in int32, bf16xbf16 in f32; everything else runs f32."""
+    if rows.dtype in (jnp.int8, jnp.uint8) and q.dtype == rows.dtype:
+        return jnp.dot(rows, q,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+    if rows.dtype == jnp.bfloat16:
+        return jnp.dot(rows, q.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(rows.astype(jnp.float32), q.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
 def _multi_doc_dist(vec_rows, sq_rows, doc_rows, cd, q, metric):
     """Per-doc best distance over each doc's vector rows (multi-value
     columns; reference: VecSim multi-value scoring takes the best
@@ -1437,19 +1487,19 @@ def _multi_doc_dist(vec_rows, sq_rows, doc_rows, cd, q, metric):
     rid = doc_rows[cd]                                    # [B, M]
     ok = rid >= 0
     r = jnp.clip(rid, 0, vec_rows.shape[0] - 1)
-    rows = vec_rows[r].astype(jnp.float32)                # [B, M, dim]
-    d = _metric_dist(rows, sq_rows[r], q, metric)         # [B, M]
+    d = _metric_dist(vec_rows[r], sq_rows[r], q, metric)  # [B, M]
     return jnp.min(jnp.where(ok, d, 3.4e38), axis=-1)
 
 
 def _metric_dist(rows, sq, q, metric):
-    dots = rows @ q
+    dots = _mxu_dots(rows, q)
+    qf = q.astype(jnp.float32)
     if metric == "L2":
-        return sq - 2.0 * dots + jnp.sum(q * q)
+        return sq - 2.0 * dots + jnp.sum(qf * qf)
     if metric == "IP":
         return 1.0 - dots
     return 1.0 - dots / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30))
-                                    * jnp.linalg.norm(q), 1e-30)
+                                    * jnp.linalg.norm(qf), 1e-30)
 
 
 def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,

@@ -1097,10 +1097,13 @@ def _split_terms(text: str) -> list[str]:
     return out
 
 
-def _coerce_vector(val: Any) -> np.ndarray:
+def _coerce_vector(val: Any):
+    """Normalize a vector param: bytes stay raw (decoded against the
+    field's storage dtype at lowering — engine.decode_blob), numeric
+    sequences become float arrays."""
     if isinstance(val, str):
         # RESP clients pass binary blobs as binary-safe strings
-        val = val.encode("latin-1", "surrogateescape")
-    if isinstance(val, bytes):
-        return np.frombuffer(val, dtype=np.float32).copy()
+        return val.encode("latin-1", "surrogateescape")
+    if isinstance(val, (bytes, bytearray)):
+        return bytes(val)
     return np.asarray(val, dtype=np.float32).reshape(-1)

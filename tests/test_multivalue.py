@@ -104,3 +104,87 @@ class TestMultiVector:
             r = ix2.search("*=>[KNN 3 @vecs $b]", params={"b": Q},
                            no_content=True)
             assert [h.key for h in r.hits] == ["d1", "d3", "d2"]
+
+
+class TestQueryBlobDtypes:
+    """Query blobs decode against the field's storage dtype (reference:
+    blobs are raw VecSimType arrays); int8/uint8 run integer MXU matmuls."""
+
+    def _mk(self, metric, dtype, dim=8):
+        c = Client()
+        c.ft_create("ix", [Field("v", FieldType.VECTOR,
+                                 vector=VectorParams(dim=dim, algo="FLAT",
+                                                     metric=metric,
+                                                     dtype=dtype))])
+        return c
+
+    def test_int8_exact(self):
+        rng = np.random.default_rng(0)
+        c = self._mk("L2", "INT8")
+        data = rng.integers(-100, 100, size=(50, 8), dtype=np.int8)
+        for i, row in enumerate(data):
+            c.hset(f"d{i}", {"v": row.tobytes().decode("latin-1")})
+        q = rng.integers(-100, 100, size=8, dtype=np.int8)
+        r = c.ft_search("ix", "*=>[KNN 5 @v $b]", params={"b": q.tobytes()},
+                        no_content=True, dialect=2)
+        d = ((data.astype(np.int64) - q.astype(np.int64)) ** 2).sum(1)
+        expect = [f"d{i}" for i in np.argsort(d, kind="stable")[:5]]
+        assert [h.key for h in r.hits] == expect
+        assert np.allclose(sorted(d)[:5],
+                           sorted(h.vector_distance for h in r.hits))
+
+    def test_uint8_cosine(self):
+        rng = np.random.default_rng(1)
+        c = self._mk("COSINE", "UINT8")
+        du = rng.integers(1, 255, size=(30, 8), dtype=np.uint8)
+        for i, row in enumerate(du):
+            c.hset(f"u{i}", {"v": row.tobytes().decode("latin-1")})
+        qu = rng.integers(1, 255, size=8, dtype=np.uint8)
+        r = c.ft_search("ix", "*=>[KNN 3 @v $b]",
+                        params={"b": qu.tobytes()}, no_content=True,
+                        dialect=2)
+        f = du.astype(np.float64)
+        qf = qu.astype(np.float64)
+        cos = 1 - (f @ qf) / (np.linalg.norm(f, axis=1)
+                              * np.linalg.norm(qf))
+        expect = [f"u{i}" for i in np.argsort(cos, kind="stable")[:3]]
+        assert [h.key for h in r.hits] == expect
+
+    def test_bfloat16_blob(self):
+        import ml_dtypes
+        rng = np.random.default_rng(2)
+        c = self._mk("L2", "BFLOAT16", 4)
+        db = rng.normal(size=(20, 4)).astype(ml_dtypes.bfloat16)
+        for i, row in enumerate(db):
+            c.hset(f"b{i}", {"v": row.tobytes().decode("latin-1")})
+        qb = rng.normal(size=4).astype(ml_dtypes.bfloat16)
+        r = c.ft_search("ix", "*=>[KNN 3 @v $b]",
+                        params={"b": qb.tobytes()}, no_content=True,
+                        dialect=2)
+        d = ((db.astype(np.float32) - qb.astype(np.float32)) ** 2).sum(1)
+        expect = [f"b{i}" for i in np.argsort(d, kind="stable")[:3]]
+        assert [h.key for h in r.hits] == expect
+
+    def test_float64_blob(self):
+        rng = np.random.default_rng(3)
+        c = self._mk("IP", "FLOAT64", 4)
+        dd = rng.normal(size=(10, 4))
+        for i, row in enumerate(dd):
+            c.hset(f"f{i}", {"v": row.tobytes().decode("latin-1")})
+        qd = rng.normal(size=4)
+        r = c.ft_search("ix", "*=>[KNN 2 @v $b]",
+                        params={"b": qd.tobytes()}, no_content=True,
+                        dialect=2)
+        expect = [f"f{i}" for i in np.argsort(1 - dd @ qd,
+                                              kind="stable")[:2]]
+        assert [h.key for h in r.hits] == expect
+
+    def test_blob_size_mismatch_errors(self):
+        c = self._mk("L2", "INT8")
+        c.hset("d0", {"v": np.zeros(8, np.int8).tobytes().decode("latin-1")})
+        import pytest as _pytest
+        from redisearch_tpu.utils.errors import QuerySyntaxError
+        with _pytest.raises(QuerySyntaxError):
+            c.ft_search("ix", "*=>[KNN 1 @v $b]",
+                        params={"b": np.zeros(4, np.int8).tobytes()},
+                        dialect=2)
