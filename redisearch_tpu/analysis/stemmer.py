@@ -96,14 +96,47 @@ def _light_stemmer(suffixes: tuple[str, ...]) -> Callable[[str], str]:
     return stem
 
 
+# Languages with true Snowball implementations available (nltk ships
+# generated Snowball code; same algorithms the reference bundles from
+# deps/snowball).  Light stemmers remain the fallback for the rest.
+_SNOWBALL_LANGS = frozenset((
+    "arabic", "danish", "dutch", "finnish", "french", "german", "hungarian",
+    "italian", "norwegian", "portuguese", "romanian", "russian", "spanish",
+    "swedish",
+))
+_SNOWBALL_CACHE: dict = {}
+
+
+def _snowball(lang: str) -> Optional[Callable[[str], str]]:
+    fn = _SNOWBALL_CACHE.get(lang)
+    if fn is not None:
+        return fn
+    try:
+        from nltk.stem.snowball import SnowballStemmer
+        st = SnowballStemmer(lang)
+    except Exception:
+        return None
+    fn = st.stem
+    _SNOWBALL_CACHE[lang] = fn
+    return fn
+
+
 class Stemmer:
-    """Per-language stemmer handle (reference: NewStemmer, src/stemmer.c)."""
+    """Per-language stemmer handle (reference: NewStemmer, src/stemmer.c).
+
+    english -> Porter (the reference's default is Snowball's porter
+    variant); Snowball languages -> the exact Snowball algorithm; other
+    supported names -> light suffix strippers; unknown -> identity."""
 
     def __init__(self, language: str = "english"):
         lang = (language or "english").lower()
         self.language = lang
         if lang == "english":
             self._fn: Callable[[str], str] = porter_stem
+        elif lang in _SNOWBALL_LANGS:
+            fn = _snowball(lang)
+            self._fn = fn if fn is not None else _light_stemmer(
+                _LIGHT_SUFFIXES.get(lang, ()))
         elif lang in _LIGHT_SUFFIXES:
             self._fn = _light_stemmer(_LIGHT_SUFFIXES[lang])
         else:

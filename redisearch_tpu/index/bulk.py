@@ -37,6 +37,8 @@ def can_use_native(index) -> bool:
         return False
     if index.schema.language_field is not None:
         return False
+    if (index.schema.language or "english").lower() != "english":
+        return False  # the native tokenizer stems with Porter (english)
     return True
 
 

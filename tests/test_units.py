@@ -258,3 +258,23 @@ def test_parser_errors():
 def test_stopword_only_query():
     t = _parse("the an is")
     assert isinstance(t, ast.EmptyNode)
+
+
+def test_snowball_languages_exact():
+    """True Snowball algorithms (via nltk's generated Snowball code) for
+    the languages the reference bundles from deps/snowball."""
+    cases = {
+        "french": [("continuellement", "continuel"),
+                   ("majestueusement", "majestu")],
+        "german": [("aufeinanderfolgenden", "aufeinanderfolg")],
+        "spanish": [("torturadores", "tortur")],
+        "portuguese": [("quilométricas", "quilométr")],
+        "italian": [("abbandonata", "abbandon")],
+        "russian": [("непосредственными", "непосредствен")],
+        "dutch": [("lichamelijkheden", "licham")],
+        "swedish": [("klokheten", "klok")],
+    }
+    for lang, pairs in cases.items():
+        st = Stemmer(lang)
+        for word, want in pairs:
+            assert (st.stem(word) or word) == want, (lang, word)
