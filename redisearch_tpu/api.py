@@ -44,6 +44,7 @@ from .agg import expr as _expr
 from .index.index import Hit, SearchIndex, SearchResult
 from .schema import Field, Schema
 from .utils.config import Config
+from .utils import log as _log
 from .utils.errors import (IndexError_, IndexExists, IndexNotFound,
                            RSError)
 
@@ -104,6 +105,8 @@ class Client:
                         on_json=on_json, **schema_kw)
         ix = SearchIndex(schema)
         self._indexes[name] = ix
+        _log.logger.info("created index %s (%d fields)",
+                         _log.fmt_index(name), len(fields))
         if not skip_initial_scan:
             for key, fieldsv in self._keyspace.items():
                 if self._rule_matches(schema, key, fieldsv):
@@ -144,6 +147,7 @@ class Client:
                 if self._rule_matches(ix.schema, key, self._keyspace[key]):
                     del self._keyspace[key]
         del self._indexes[self._resolve(name)]
+        _log.logger.info("dropped index %s", _log.fmt_index(name))
         for a, target in list(self._aliases.items()):
             if target == name:
                 del self._aliases[a]

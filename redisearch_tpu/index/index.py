@@ -26,6 +26,7 @@ from ..query import ast
 from ..query.engine import CompiledQuery, QueryOptions, execute
 from ..query.parser import QueryParser
 from ..schema import FieldType, Schema
+from ..utils import log as _log
 from ..utils.errors import (DocumentNotFound, IndexError_,
                             TimeoutError_)
 from .builder import SegmentBuilder
@@ -120,6 +121,13 @@ class SearchIndex:
             self.index_errors["count"] += 1
             self.index_errors["last_error"] = str(e)
             self.index_errors["last_error_key"] = key
+            self.index_errors["last_error_key_obfuscated"] = (
+                _log.obfuscate_document(meta.gid))
+            _log.logger.warning(
+                "indexing failed for %s in %s: %s",
+                _log.fmt_doc(key, meta.gid),
+                _log.fmt_index(self.schema.name),
+                _log.fmt_text(str(e)))
             field = getattr(e, "field", None) or "_"
             self.index_errors["by_field"][field] = (
                 self.index_errors["by_field"].get(field, 0) + 1)
@@ -591,6 +599,16 @@ class SearchIndex:
                     if f.vector else {})}
                 for f in self.schema.fields
             ],
-            "index_errors": dict(self.index_errors),
+            "index_errors": self._render_index_errors(),
             "queries": self.stats["queries"],
         }
+
+    def _render_index_errors(self) -> dict:
+        """Index Errors section; the failing document key is obfuscated
+        when hide-user-data-from-log is on (reference: index_error.c +
+        obfuscation_api.h)."""
+        out = dict(self.index_errors)
+        obf = out.pop("last_error_key_obfuscated", None)
+        if _log.hide_user_data and out.get("last_error_key") is not None:
+            out["last_error_key"] = obf or "Document@?"
+        return out

@@ -65,6 +65,9 @@ _VARS = [
     _Var("KNN_BATCH_SIZE", 256, int),               # serving batch (ours)
     _Var("IVF_NPROBE", 8, int),                     # EF_RUNTIME analog
     _Var("TIERED_FLUSH_THRESHOLD", 1024, int),
+    # privacy: obfuscate user data (index/field/doc names) in log lines
+    # (reference: hide-user-data-from-log, src/obfuscation/)
+    _Var("HIDE_USER_DATA_FROM_LOG", False, _bool),
 ]
 
 
@@ -89,6 +92,9 @@ class Config:
         if not var.settable:
             raise ConfigError(f"Not modifiable at runtime: `{name}`")
         self._values[name] = var.parse(value)
+        if name == "HIDE_USER_DATA_FROM_LOG":
+            from . import log as _log
+            _log.set_hide_user_data(self._values[name])
 
     def __getitem__(self, name: str) -> Any:
         return self.get(name)

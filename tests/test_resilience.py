@@ -90,3 +90,27 @@ def test_info_has_sections():
                 "inverted_sz_mb", "vector_index_sz_mb", "attributes",
                 "index_errors", "index_options"):
         assert key in info, key
+
+
+def test_obfuscation_hide_user_data():
+    """hide-user-data-from-log (reference: src/obfuscation/) — index/doc
+    names become stable handles in logs and in the Index Errors section."""
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+    from redisearch_tpu.utils import log as _log
+
+    c = Client()
+    c.ft_config_set("HIDE_USER_DATA_FROM_LOG", "true")
+    try:
+        c.ft_create("private_idx", [Field("n", FieldType.NUMERIC)])
+        c.hset("secret_doc", {"n": "not-a-number"})
+        info = c.ft_info("private_idx")
+        assert info["index_errors"]["count"] == 1
+        assert info["index_errors"]["last_error_key"].startswith("Document@")
+        assert _log.obfuscate_index("private_idx").startswith("Index@")
+        # flipping the flag restores raw names (both are retained)
+        c.ft_config_set("HIDE_USER_DATA_FROM_LOG", "false")
+        info = c.ft_info("private_idx")
+        assert info["index_errors"]["last_error_key"] == "secret_doc"
+    finally:
+        c.ft_config_set("HIDE_USER_DATA_FROM_LOG", "false")
