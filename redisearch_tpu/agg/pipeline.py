@@ -147,6 +147,7 @@ class AggregateResult:
     total: int
     rows: list[dict]
     cursor_id: int = 0
+    warnings: list = dataclasses.field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------

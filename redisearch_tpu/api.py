@@ -335,7 +335,16 @@ class Client:
     def ft_aggregate(self, name: str, req: AggregateRequest
                      ) -> AggregateResult:
         ix = self._index(name)
+        dbg = ix.take_debug_hooks()
         res = run_aggregate(ix, req)
+        if dbg and dbg.get("timeout_after_n") is not None:
+            n = int(dbg["timeout_after_n"])
+            if len(res.rows) > n:
+                if ix.on_timeout == "fail":
+                    from .utils.errors import TimeoutError_
+                    raise TimeoutError_("Timeout limit was reached")
+                res.rows = res.rows[:n]
+                res.warnings = ["Timeout limit was reached"]
         if req.with_cursor:
             c = self.cursors.create(name, res.rows,
                                     count=req._cursor_count or 1000)

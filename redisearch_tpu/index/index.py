@@ -91,6 +91,10 @@ class SearchIndex:
         self.on_timeout = "return"   # return | fail | return_strict
         self.on_oom = "ignore"       # ignore | return | fail
         self._prepared: dict = {}    # prepared-query cache (see prepare())
+        # one-shot fault-injection hooks (reference: _FT.DEBUG query
+        # wrapping with TIMEOUT_AFTER_N/CRASH/PAUSE debug params,
+        # src/aggregate/aggregate_debug.c + debug RPs)
+        self._debug_hooks: Optional[dict] = None
         # RLock: compact() re-enters commit() (commit -> maybe_compact ->
         # compact -> commit)
         self._commit_lock = threading.RLock()
@@ -135,6 +139,25 @@ class SearchIndex:
             self._rebuild_builder()
             return
         self.doctable.set_doclen(meta.gid, meta.doclen, meta.max_freq)
+
+    def set_debug_hooks(self, timeout_after_n: Optional[int] = None,
+                        crash: bool = False, pause_ms: float = 0) -> None:
+        """Arm one-shot fault injection for the next query (reference:
+        _FT.DEBUG FT.SEARCH ... DEBUG_PARAMS_COUNT n TIMEOUT_AFTER_N k /
+        CRASH / PAUSE, aggregate_debug.c)."""
+        self._debug_hooks = {"timeout_after_n": timeout_after_n,
+                             "crash": crash, "pause_ms": pause_ms}
+
+    def take_debug_hooks(self) -> Optional[dict]:
+        dbg = self._debug_hooks
+        self._debug_hooks = None
+        if dbg is None:
+            return None
+        if dbg.get("crash"):
+            raise RuntimeError("Debug crash injected (RP_CRASH analog)")
+        if dbg.get("pause_ms"):
+            time.sleep(float(dbg["pause_ms"]) / 1e3)
+        return dbg
 
     def _rebuild_builder(self):
         keep = [g for g in self._builder._gids
@@ -380,6 +403,8 @@ class SearchIndex:
 
         deadline = (time.perf_counter() + self.timeout_ms / 1e3
                     if self.timeout_ms else None)
+        dbg = self.take_debug_hooks()
+        dbg_n = dbg.get("timeout_after_n") if dbg else None
         warnings: list[str] = []
         merged: list[tuple] = []   # (rank_key, seg_i, Hit-ish tuple)
         total = 0
@@ -428,6 +453,13 @@ class SearchIndex:
                                float(res.sortkeys[j])
                                if res.sortkeys is not None else None,
                                seg))
+            if dbg_n is not None and len(merged) >= dbg_n:
+                # injected timeout (TIMEOUT_AFTER_N): apply ON_TIMEOUT
+                merged = merged[:dbg_n]
+                if self.on_timeout == "fail":
+                    raise TimeoutError_("Timeout limit was reached")
+                warnings.append("Timeout limit was reached")
+                break
         merged.sort(key=lambda x: (x[0], x[1]))
         if cq.knn is not None:
             merged = merged[:cq.knn.k]  # KNN returns at most k results

@@ -758,6 +758,45 @@ class Server:
         res = self.dispatch(["FT.AGGREGATE", name] + rest)
         return [res, _deep_flatten({"profile": "see FT.PROFILE SEARCH"})]
 
+    def _cmd_FT_DEBUG(self, av):
+        """FT.DEBUG <SUBCMD> ... (reference: src/debug_commands.c).
+        Query wrapping: FT.DEBUG FT.SEARCH|FT.AGGREGATE <index> <args...>
+        DEBUG_PARAMS_COUNT n <TIMEOUT_AFTER_N k|CRASH|PAUSE ms>..."""
+        sub = av.next().upper()
+        if sub in ("FT.SEARCH", "FT.AGGREGATE"):
+            rest = av.a[av.i:]
+            # split off DEBUG_PARAMS_COUNT suffix (aggregate_debug.c:93)
+            hooks: dict = {}
+            for j, tok in enumerate(rest):
+                if str(tok).upper() == "DEBUG_PARAMS_COUNT":
+                    n = int(rest[j + 1])
+                    dp = rest[j + 2:j + 2 + n]
+                    i2 = 0
+                    while i2 < len(dp):
+                        p = str(dp[i2]).upper()
+                        if p == "TIMEOUT_AFTER_N":
+                            hooks["timeout_after_n"] = int(dp[i2 + 1])
+                            i2 += 2
+                        elif p == "CRASH":
+                            hooks["crash"] = True
+                            i2 += 1
+                        elif p == "PAUSE":
+                            hooks["pause_ms"] = float(dp[i2 + 1])
+                            i2 += 2
+                        elif p == "INTERNAL_ONLY":
+                            i2 += 1
+                        else:
+                            i2 += 1
+                    rest = rest[:j]
+                    break
+            if not rest:
+                return RSError("missing index for debug query")
+            self.client._index(rest[0]).set_debug_hooks(**hooks)
+            return self.dispatch([sub] + list(rest))
+        return self.client.ft_debug(sub, av.next(), *av.a[av.i:])
+
+    _cmd__FT_DEBUG = _cmd_FT_DEBUG
+
     def _cmd_FT_ALIASADD(self, av):
         self.client.ft_aliasadd(av.next(), av.next())
         return OK

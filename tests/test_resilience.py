@@ -114,3 +114,48 @@ def test_obfuscation_hide_user_data():
         assert info["index_errors"]["last_error_key"] == "secret_doc"
     finally:
         c.ft_config_set("HIDE_USER_DATA_FROM_LOG", "false")
+
+
+def test_debug_fault_injection():
+    """_FT.DEBUG query wrapping (reference: aggregate_debug.c
+    TIMEOUT_AFTER_N / CRASH / PAUSE + debug RPs): deterministic timeouts
+    and crashes for tests."""
+    import pytest as _pytest
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    c.ft_create("dbg", [Field("t", FieldType.TEXT)])
+    for i in range(20):
+        c.hset(f"d{i}", {"t": "common words here"})
+    ix = c._index("dbg")
+
+    # TIMEOUT_AFTER_N: partial results + warning (ON_TIMEOUT=return)
+    ix.set_debug_hooks(timeout_after_n=5)
+    r = c.ft_search("dbg", "common", num=100, no_content=True)
+    assert len(r.hits) == 5
+    assert "Timeout limit was reached" in r.warnings
+
+    # ON_TIMEOUT=fail -> raises
+    from redisearch_tpu.utils.errors import TimeoutError_
+    c.ft_config_set("ON_TIMEOUT", "fail")
+    ix.set_debug_hooks(timeout_after_n=5)
+    with _pytest.raises(TimeoutError_):
+        c.ft_search("dbg", "common", num=100)
+    c.ft_config_set("ON_TIMEOUT", "return")
+
+    # hooks are one-shot
+    r = c.ft_search("dbg", "common", num=100, no_content=True)
+    assert len(r.hits) == 20 and not r.warnings
+
+    # CRASH
+    ix.set_debug_hooks(crash=True)
+    with _pytest.raises(RuntimeError, match="Debug crash"):
+        c.ft_search("dbg", "common")
+
+    # aggregate timeout injection
+    from redisearch_tpu.agg.pipeline import AggregateRequest
+    ix.set_debug_hooks(timeout_after_n=3)
+    res = c.ft_aggregate("dbg", AggregateRequest("common").load("t"))
+    assert len(res.rows) == 3
+    assert res.warnings == ["Timeout limit was reached"]
