@@ -192,6 +192,27 @@ class Client:
                             int(meta.expires_at))
                         break
 
+    def hexpire(self, key: str, seconds: float,
+                fields: Sequence[str]) -> list[int]:
+        """HEXPIRE analog: field-level TTLs (reference: ttl_table; the
+        expiration_checker iterator drops expired fields at match time).
+        Re-stages the document so sealed segments carry the TTL columns."""
+        now = time.time()
+        out = []
+        doc = self._keyspace.get(key)
+        for f in fields:
+            out.append(1 if doc is not None and f in doc else -2)
+        for ix in self._indexes.values():
+            meta = ix.doctable.get_by_key(key)
+            if meta is None:
+                continue
+            fe = dict(meta.field_expiration or {})
+            for f in fields:
+                fe[f] = now + seconds
+            ix.add_document(key, dict(meta.fields), score=meta.score,
+                            payload=meta.payload, field_expiration=fe)
+        return out
+
     def _rule_matches(self, schema: Schema, key: str, fields: dict) -> bool:
         if not schema.matches_key(key):
             return False

@@ -78,6 +78,11 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         meta[prefix][f"vec.{attr}"] = {"dim": v.dim, "multi": v.multi}
     for attr, m in seg.missing.items():
         put(f"missing.{attr}", m)
+    if seg.text_fexp is not None:
+        put("text_fexp", seg.text_fexp)
+    for attr, col in seg.field_fexp.items():
+        put(f"fexp.{attr}", col)
+    meta[prefix]["fexp_fields"] = list(seg.field_fexp)
 
 
 def save(index, path: str) -> None:
@@ -220,6 +225,10 @@ def load(path: str):
             n_deleted=sm.get("n_deleted", 0),
             has_ttl=sm.get("has_ttl", True),
             uniform_docscore=sm.get("uniform_docscore", False),
+            text_fexp=(arr(f"{p}.text_fexp")
+                       if f"{p}.text_fexp" in npz.files else None),
+            field_fexp={attr: arr(f"{p}.fexp.{attr}")
+                        for attr in sm.get("fexp_fields", [])},
         )
         index.segments.append(seg)
     return index

@@ -134,6 +134,10 @@ class SegmentBuilder:
             if f.type == FieldType.GEOMETRY}
         self._present: dict[str, list[bool]] = {
             f.attribute: [] for f in schema.fields}
+        # field-level TTLs (reference: ttl_table — docId -> [(field, ts)])
+        self._fexpire: dict[str, list[int]] = {
+            f.attribute: [] for f in schema.fields}
+        self._any_fexp = False
         self.max_positions = 0
 
     def __len__(self) -> int:
@@ -158,6 +162,13 @@ class SegmentBuilder:
             meta.fields.get(self.schema.language_field, self.schema.language)
             if self.schema.language_field else self.schema.language)
         stemmer = self._stemmer_for(language)
+
+        fe = meta.field_expiration or {}
+        for f in self.schema.fields:
+            v = fe.get(f.attribute) or fe.get(f.name) or 0
+            self._fexpire[f.attribute].append(int(v))
+            if v:
+                self._any_fexp = True
 
         # per-doc forward index: term -> [freq, mask, positions].
         # Positions are global across TEXT fields (base advances per field,
@@ -544,4 +555,31 @@ class SegmentBuilder:
             geometries=geometries,
             has_ttl=any(e != 0 for e in self._expire),
             uniform_docscore=all(s_ == 1.0 for s_ in self._docscore),
+            **self._seal_field_ttls(n, n_pad),
         )
+
+    def _seal_field_ttls(self, n: int, n_pad: int) -> dict:
+        """Device columns for field-level TTLs (reference: ttl_table).
+        TEXT fields pack into [n_pad, F] (expired-field bitmask filtering
+        in term windows); other fields get per-attr columns consumed as
+        leaf predicates."""
+        import jax.numpy as jnp
+        if not self._any_fexp:
+            return {}
+        out: dict = {"field_fexp": {}}
+        tfields = self.schema.text_fields()
+        if any(any(v) for f in tfields
+               for v in [self._fexpire[f.attribute]]):
+            tf = np.zeros((n_pad, max(len(tfields), 1)), np.int32)
+            for f in tfields:
+                tf[:n, f.field_id] = self._fexpire[f.attribute]
+            out["text_fexp"] = jnp.asarray(tf)
+        for f in self.schema.fields:
+            if f.type == FieldType.TEXT:
+                continue
+            vals = self._fexpire[f.attribute]
+            if any(vals):
+                col = np.zeros(n_pad, np.int32)
+                col[:n] = vals
+                out["field_fexp"][f.attribute] = jnp.asarray(col)
+        return out

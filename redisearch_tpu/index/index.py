@@ -102,8 +102,11 @@ class SearchIndex:
     # -- write path ---------------------------------------------------------
     def add_document(self, key: str, fields: dict[str, Any],
                      score: float = 1.0, payload: Optional[bytes] = None,
-                     ttl: Optional[float] = None) -> None:
-        """HSET-equivalent: (re)index a document."""
+                     ttl: Optional[float] = None,
+                     field_expiration: Optional[dict] = None) -> None:
+        """HSET-equivalent: (re)index a document.  `field_expiration`
+        maps field attr -> absolute epoch seconds (HEXPIRE analog); set
+        before staging so the sealed segment carries the TTL columns."""
         if self.schema.score_field and self.schema.score_field in fields:
             try:
                 score = float(fields[self.schema.score_field])
@@ -113,6 +116,10 @@ class SearchIndex:
                                       payload=payload)
         if ttl is not None:
             meta.expires_at = time.time() + ttl
+        if field_expiration is not None:
+            meta.field_expiration = dict(field_expiration)
+        elif old is not None and old.field_expiration:
+            meta.field_expiration = dict(old.field_expiration)
         if old is not None:
             self._mark_deleted(old.gid)
         try:

@@ -348,6 +348,11 @@ class Segment:
     n_deleted: int = 0
     has_ttl: bool = False
     uniform_docscore: bool = True
+    # field-level TTLs (reference: ttl_table + expiration_checker):
+    # text_fexp [n_pad, n_text_fields] int32 expiry per TEXT field (0 =
+    # never); field_fexp: attr -> int32[n_pad] for non-text fields.
+    text_fexp: Any = None
+    field_fexp: dict = dataclasses.field(default_factory=dict)
     _gids_np: Any = None
 
     @property

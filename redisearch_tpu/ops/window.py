@@ -52,18 +52,35 @@ def _slice(arr: jnp.ndarray, start, W: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def slot_window(doc_ids: jnp.ndarray, freqs: jnp.ndarray,
-                field_masks: jnp.ndarray, start, length, qmask, W: int):
+                field_masks: jnp.ndarray, start, length, qmask, W: int,
+                emask=None):
     """One term slot's postings as a window (docs ascending).
 
     Entries filtered by the query field mask stay in place (docs remain
-    sorted) but are invalid."""
+    sorted) but are invalid.  `emask` (optional int32[n_pad]) carries each
+    doc's expired-TEXT-field bitmask (field-level TTL — reference:
+    ttl_table + expiration_checker iterator): postings surviving only in
+    expired fields are invalid."""
     lane = _iota(W)
     in_range = lane < length
     docs = jnp.where(in_range, _slice(doc_ids, start, W), INVALID)
     fm = _slice(field_masks, start, W)
-    valid = in_range & ((fm & qmask) != 0)
+    live_mask = qmask
+    if emask is not None:
+        n = emask.shape[0]
+        live_mask = qmask & ~emask[jnp.minimum(docs, n - 1)]
+    valid = in_range & ((fm & live_mask) != 0)
     tf = jnp.where(valid, _slice(freqs, start, W), 0.0)
     return docs, tf, valid
+
+
+def expired_field_mask(fexp: jnp.ndarray, now) -> jnp.ndarray:
+    """Per-doc expired-TEXT-field bitmask from [n_pad, F] expiry times."""
+    F = fexp.shape[1]
+    bits = jnp.left_shift(jnp.int32(1), jnp.arange(F, dtype=jnp.int32))
+    expired = (fexp > 0) & (fexp <= now)
+    return jnp.sum(jnp.where(expired, bits[None, :], 0),
+                   axis=1).astype(jnp.int32)
 
 
 def tag_window(doc_ids: jnp.ndarray, start, length, W: int):

@@ -697,7 +697,9 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
                f"|extra={extra_mask is not None}|mode={mode}"
                f"|ivf={_knn_ivf_sig(cq, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
-               f"|u={seg.uniform_docscore}")
+               f"|u={seg.uniform_docscore}"
+               f"|ft={seg.text_fexp is not None}:"
+               f"{sorted(seg.field_fexp)}")
     sig = cq.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -772,7 +774,9 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
                f"|ivf={_knn_ivf_sig(cq0, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
-               f"|u={seg.uniform_docscore}")
+               f"|u={seg.uniform_docscore}"
+               f"|ft={seg.text_fexp is not None}:"
+               f"{sorted(seg.field_fexp)}")
     sig = cq0.signature(seg_sig, buckets, P, k_pad)
     fn = _COMPILE_CACHE.get(sig)
     if fn is None:
@@ -822,11 +826,18 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         "docscore": seg.docscore,
         "expire_at": seg.expire_at,
     }
+    if seg.text_fexp is not None:
+        args["text_fexp"] = seg.text_fexp
     for j, node in enumerate(cq.tag_nodes):
         tp = seg.tags.get(cq.schema.field(node.field).attribute)
         args[f"tag{j}_docs"] = (tp.doc_ids if tp is not None
                                 else jnp.zeros(1, jnp.int32))
     for leaf, _idx in cq.leaves():
+        if (isinstance(leaf, (LTag, LNumeric, LGeo))
+                and leaf.field in seg.field_fexp):
+            kind = ("tag" if isinstance(leaf, LTag)
+                    else "num" if isinstance(leaf, LNumeric) else "geo")
+            args[f"{kind}{leaf.ord}_fexp"] = seg.field_fexp[leaf.field]
         if isinstance(leaf, LNumeric):
             col = seg.numerics[leaf.field]
             args[f"num{leaf.ord}_v"] = col.values
@@ -930,6 +941,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     # compile-cache key when the segment gets deletions/TTLs)
     seg_dirty = seg_proto.n_deleted > 0
     seg_ttl = seg_proto.has_ttl
+    text_field_ttl = seg_proto.text_fexp is not None
+    fexp_attrs = frozenset(seg_proto.field_fexp)
     seg_uniform_ds = seg_proto.uniform_docscore
     # BM25/DOCNORM read the norm operand from the per-posting doclens
     # column (sliced, not gathered); TFIDF needs max_freq and keeps the
@@ -993,12 +1006,22 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 return w * tf * (T.BM25_K1 + 1.0) / (tf + norm)
             return w * tf / jnp.maximum(nv, 1.0)
 
+        # field-level TTL: expired-TEXT-field bitmask per doc, computed
+        # once per query (reference: ttl_table + expiration_checker)
+        emask = (W.expired_field_mask(seg["text_fexp"], dyn["now"])
+                 if text_field_ttl else None)
+
+        def field_alive(kind: str, ordn: int, docs, valid):
+            """Leaf-level TTL check for non-text fields."""
+            fe = seg[f"{kind}{ordn}_fexp"][clampdoc(docs)]
+            return valid & ~((fe > 0) & (fe <= dyn["now"]))
+
         # ---- per-slot windows
         def slot_raw(slot: int, Wn: int):
             return W.slot_window(
                 seg["doc_ids"], seg["freqs"], seg["field_masks"],
                 dyn["tstarts"][slot], dyn["tlens"][slot],
-                dyn["tmasks"][slot], Wn)
+                dyn["tmasks"][slot], Wn, emask=emask)
 
         def slot_norms(slot: int, Wn: int):
             """Norm operand aligned with the slot window: a contiguous
@@ -1047,6 +1070,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     d, _, v = wins[0]
                 else:
                     d, _, v = W.union_windows(wins)
+                if leaf.field in fexp_attrs:
+                    v = field_alive("tag", leaf.ord, d, v)
                 return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LNumeric):
                 (Wn, multi) = buckets[idx]
@@ -1055,6 +1080,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     dyn["numw_len"][leaf.ord], Wn)
                 if multi:   # a doc appears once per in-range value
                     d, v = W.dedup_window(d, v)
+                if leaf.field in fexp_attrs:
+                    v = field_alive("num", leaf.ord, d, v)
                 return d, jnp.where(v, const, 0.0), v, None
             if isinstance(leaf, LAll):
                 d, v = W.iota_window(n_pad)
@@ -1120,6 +1147,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     for wd, wv in _wins:
                         hit, _ = W.member(wd, wv, None, docs)
                         m = m | hit
+                    if leaf.field in fexp_attrs:
+                        m = field_alive("tag", leaf.ord, docs, m)
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, (LPhrase, LNone)):
@@ -1150,6 +1179,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                         le = v < hi if leaf.hi_excl else v <= hi
                         m = p & ge & le
                     m = m & (docs != W.INVALID)
+                    if leaf.field in fexp_attrs:
+                        m = field_alive("num", leaf.ord, docs, m)
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LGeo):

@@ -366,6 +366,18 @@ class Server:
         self.client.expire(key, av.next_float())
         return 1
 
+    def _cmd_HEXPIRE(self, av):
+        # HEXPIRE key seconds [NX|XX|GT|LT] FIELDS n field...
+        key = av.next()
+        seconds = av.next_float()
+        while av.more() and av.peek() in ("NX", "XX", "GT", "LT"):
+            av.next()
+        if av.peek() == "FIELDS":
+            av.next()
+        n = av.next_int()
+        fields = av.take(n)
+        return self.client.hexpire(key, seconds, fields)
+
     def _cmd_JSON_SET(self, av):
         import json as _json
         key = av.next()

@@ -177,3 +177,45 @@ def test_string_sortby_across_segments():
     assert [h.sortkey for h in res] == ["apple", "mango", "peach", "zebra"]
     res = ix.search("x", sort_by="name", sort_asc=False)
     assert [h.sortkey for h in res] == ["zebra", "peach", "mango", "apple"]
+
+
+def test_field_ttl_match_time():
+    """Field-level TTLs filter at MATCH time (reference: ttl_table +
+    expiration_checker iterator), not just at reply time."""
+    import time as _time
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    c.ft_create("fx", [Field("title", FieldType.TEXT),
+                       Field("body", FieldType.TEXT),
+                       Field("tags", FieldType.TAG),
+                       Field("n", FieldType.NUMERIC)])
+    c.hset("d1", {"title": "hello world", "body": "other words",
+                  "tags": "red", "n": 5})
+    c.hset("d2", {"title": "plain stuff", "body": "hello there",
+                  "tags": "red", "n": 7})
+
+    c.hexpire("d1", -1, ["title"])      # already expired
+    assert c.ft_search("fx", "@title:hello", no_content=True).total == 0
+    r = c.ft_search("fx", "hello", no_content=True)
+    assert [h.key for h in r.hits] == ["d2"]       # d2 matches via body
+    r = c.ft_search("fx", "@body:other", no_content=True)
+    assert [h.key for h in r.hits] == ["d1"]       # d1's body still alive
+
+    c.hexpire("d2", -1, ["tags"])
+    r = c.ft_search("fx", "@tags:{red}", no_content=True)
+    assert [h.key for h in r.hits] == ["d1"]
+
+    c.hexpire("d1", -1, ["n"])
+    r = c.ft_search("fx", "@n:[0 10]", no_content=True)
+    assert [h.key for h in r.hits] == ["d2"]
+
+    # a future TTL still matches
+    c2 = Client()
+    c2.ft_create("fy", [Field("t", FieldType.TEXT)])
+    c2.hset("a", {"t": "soon gone"})
+    c2.hexpire("a", 3600, ["t"])
+    assert c2.ft_search("fy", "soon", no_content=True).total == 1
+    # HEXPIRE return codes: 1 per existing field, -2 for missing key/field
+    assert c2.hexpire("a", 10, ["t", "zz"]) == [1, -2]
