@@ -468,6 +468,11 @@ class CompiledQuery:
         for i, blob in enumerate(self.vec_blobs):
             dyn[f"vblob{i}"] = blob
             dyn[f"vrad{i}"] = np.float32(self.vec_radii[i])
+        if self.knn is not None:
+            # per-query payload: lives in dyn so batched execution binds
+            # each query's own blob (not the batch prototype's)
+            dyn["knn_blob"] = decode_blob(
+                self.knn.blob, self.schema.field(self.knn.field))
 
         # host-evaluated masks (geometry, ids)
         for i, node in enumerate(self.host_nodes):
@@ -870,7 +875,7 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_sq"] = col.sq_norms
         if col.multi:
             args["knn_doc_rows"] = col.doc_rows
-        args["knn_blob"] = jnp.asarray(decode_blob(cq.knn.blob, field))
+        # (query blob itself is per-query dynamic state — see bind())
         if col.ivf is not None:
             args["ivf_cent"] = col.ivf.centroids
             args["ivf_csq"] = col.ivf.cent_sq
@@ -1357,7 +1362,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             """Distance of each candidate doc to the query blob; for
             multi-value columns, min over the doc's vector rows (VecSim
             multi-value semantics: best vector wins)."""
-            q = seg["knn_blob"]
+            q = dyn["knn_blob"]
             if knn_multi:
                 return _multi_doc_dist(seg["knn_vecs"], seg["knn_sq"],
                                        seg["knn_doc_rows"], cd_, q,
@@ -1376,7 +1381,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             return out
 
         if knn is not None:
-            q = seg["knn_blob"]
+            q = dyn["knn_blob"]
             # mode selection (reference: hybrid BATCHES vs ADHOC_BF
             # heuristic, hybrid_reader.c): exact gather over small
             # candidate windows; IVF probe otherwise (when built)

@@ -188,3 +188,23 @@ class TestQueryBlobDtypes:
             c.ft_search("ix", "*=>[KNN 1 @v $b]",
                         params={"b": np.zeros(4, np.int8).tobytes()},
                         dialect=2)
+
+
+def test_batched_knn_binds_per_query_blob():
+    """execute_batch must bind each query's own vector blob (the blob is
+    per-query dynamic state, not batch-prototype state)."""
+    rng = np.random.default_rng(7)
+    c = Client()
+    c.ft_create("bk", [Field("v", FieldType.VECTOR,
+                             vector=VectorParams(dim=8, algo="FLAT",
+                                                 metric="L2"))])
+    data = rng.normal(size=(40, 8)).astype(np.float32)
+    for i, row in enumerate(data):
+        c.hset(f"d{i}", {"v": row.tobytes().decode("latin-1")})
+    q1 = data[3] + 0.01
+    q2 = data[29] + 0.01
+    res = c.ft_search_many(
+        "bk", ["*=>[KNN 1 @v $b]", "*=>[KNN 1 @v $b]"],
+        params=[{"b": q1.tobytes()}, {"b": q2.tobytes()}], k=1)
+    assert res[0].hits[0].key == "d3"
+    assert res[1].hits[0].key == "d29"
