@@ -245,6 +245,7 @@ class Client:
         ix.on_timeout = str(self.config.get("ON_TIMEOUT")).lower()
         ix.on_oom = str(self.config.get("ON_OOM")).lower()
         res = ix.search(query, **opts)
+        ix.dialect_stats[int(opts["dialect"])] = 1
         self._drop_expired_fields(ix, res)
         if highlight is not None or summarize is not None:
             root = res.query_ast
@@ -358,6 +359,8 @@ class Client:
         ix = self._index(name)
         dbg = ix.take_debug_hooks()
         res = run_aggregate(ix, req)
+        if getattr(req, "dialect", None) in (1, 2, 3, 4):
+            ix.dialect_stats[req.dialect] = 1
         if dbg and dbg.get("timeout_after_n") is not None:
             n = int(dbg["timeout_after_n"])
             if len(res.rows) > n:

@@ -84,6 +84,9 @@ class SearchIndex:
         # stats (reference: FT.INFO counters + Index Errors section,
         # src/info/index_error.c)
         self.stats = {"indexing_errors": 0, "queries": 0}
+        # dialect usage bitset (reference: global_stats.h:30-34 +
+        # per-index dialect_stats in FT.INFO)
+        self.dialect_stats = {1: 0, 2: 0, 3: 0, 4: 0}
         self.index_errors = {"count": 0, "last_error": None,
                              "last_error_key": None, "by_field": {}}
         # query timeout/OOM behavior (reference: ON_TIMEOUT/ON_OOM configs)
@@ -640,6 +643,8 @@ class SearchIndex:
             ],
             "index_errors": self._render_index_errors(),
             "queries": self.stats["queries"],
+            "dialect_stats": {f"dialect_{d}": int(self.dialect_stats[d])
+                              for d in (1, 2, 3, 4)},
         }
 
     def _render_index_errors(self) -> dict:

@@ -339,6 +339,30 @@ class Server:
     def _cmd_COMMAND(self, av):
         return []
 
+    def _cmd_INFO(self, av):
+        """INFO [MODULES|SEARCH|EVERYTHING] — module stats section
+        (reference: RS_moduleInfoFunc, src/info/info_redis/)."""
+        idx = list(self.client._indexes.values())
+        dialects = {d: max((ix.dialect_stats[d] for ix in idx), default=0)
+                    for d in (1, 2, 3, 4)}
+        total_docs = sum(len(ix.doctable) for ix in idx)
+        mem = sum(sum(s.memory_bytes() for s in ix.segments) for ix in idx)
+        lines = [
+            "# search_version",
+            "search_version:0.1.0",
+            "search_redisearch_tpu:1",
+            "# search_index",
+            f"search_number_of_indexes:{len(idx)}",
+            f"search_total_docs:{total_docs}",
+            f"search_used_memory_indexes:{mem}",
+            "# search_dialect_statistics",
+        ]
+        lines += [f"search_dialect_{d}:{v}" for d, v in dialects.items()]
+        qerrs = sum(ix.index_errors["count"] for ix in idx)
+        lines += ["# search_runtime_configurations",
+                  f"search_errors_indexing_failures:{qerrs}"]
+        return "\r\n".join(lines) + "\r\n"
+
     def _cmd_HSET(self, av):
         key = av.next()
         fields = {}

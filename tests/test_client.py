@@ -234,3 +234,29 @@ def test_ft_debug(client):
     client.hdel("book:2")
     assert client.ft_debug("GC_FORCEINVOKE", "books") == "DONE"
     assert client.ft_debug("SEGMENTS", "books")[0]["n_deleted"] == 0
+
+
+def test_dialect_stats():
+    """Dialect usage tracking (reference: per-index dialect_stats in
+    FT.INFO + search_dialect_N module INFO, global_stats.h)."""
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+    from redisearch_tpu.agg.pipeline import AggregateRequest
+
+    c = Client()
+    c.ft_create("ds", [Field("t", FieldType.TEXT)])
+    c.hset("a", {"t": "word"})
+    info = c.ft_info("ds")
+    assert info["dialect_stats"] == {"dialect_1": 0, "dialect_2": 0,
+                                     "dialect_3": 0, "dialect_4": 0}
+    c.ft_search("ds", "word", dialect=3)
+    c.ft_search("ds", "word", dialect=1)
+    req = AggregateRequest("word").load("t")
+    req.dialect = 2
+    c.ft_aggregate("ds", req)
+    info = c.ft_info("ds")
+    assert info["dialect_stats"] == {"dialect_1": 1, "dialect_2": 1,
+                                     "dialect_3": 1, "dialect_4": 0}
+    # EXPLAIN does not mark usage
+    c.ft_explain("ds", "word")
+    assert c.ft_info("ds")["dialect_stats"]["dialect_4"] == 0

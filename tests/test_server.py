@@ -250,3 +250,15 @@ def test_concurrent_reads(loop):
         await server.wait_closed()
         return True
     assert loop.run_until_complete(main())
+
+
+def test_info_command(loop):
+    async def flow(c):
+        await c.cmd("FT.CREATE", "mi", "SCHEMA", "t", "TEXT")
+        await c.cmd("HSET", "k", "t", "hello")
+        await c.cmd("FT.SEARCH", "mi", "hello", "DIALECT", 2)
+        info = await c.cmd("INFO", "MODULES")
+        assert "search_dialect_2:1" in info
+        assert "search_number_of_indexes:1" in info
+        return True
+    assert run_session(loop, flow)
