@@ -705,15 +705,17 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
                f"{sorted(seg.field_fexp)}")
-    sig = cq.signature(seg_sig, buckets, P, k_pad)
-    fn = _COMPILE_CACHE.get(sig)
-    if fn is None:
-        fn = _build_fn(cq, seg, buckets, P, k_pad,
-                       has_extra="extra_mask" in dyn, mode=mode)
-        _COMPILE_CACHE[sig] = fn
+    sig = (cq.signature(seg_sig, buckets, P, k_pad)
+           + _dyn_fingerprint(dyn))
+    entry = _COMPILE_CACHE.get(sig)
     seg_args = _segment_args(cq, seg)
-    out = fn(seg_args, jax.device_put(dyn))
-    out = jax.device_get(out)  # ONE d2h transfer for all outputs
+    if entry is None:
+        raw = _build_fn(cq, seg, buckets, P, k_pad,
+                        has_extra="extra_mask" in dyn, mode=mode,
+                        jit=False)
+        entry = _PackedExecutor(raw, dyn, seg_args)
+        _COMPILE_CACHE[sig] = entry
+    out = entry(seg_args, dyn)
     if mode == "window":
         return SegmentResult(
             local_idx=out["docs"],     # window doc ids
@@ -782,29 +784,31 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
                f"{sorted(seg.field_fexp)}")
-    sig = cq0.signature(seg_sig, buckets, P, k_pad)
-    fn = _COMPILE_CACHE.get(sig)
-    if fn is None:
+    dyn = {key: np.stack([np.asarray(b.dyn[key]) for b in bindings])
+           for key in bindings[0].dyn}
+    sig = (cq0.signature(seg_sig, buckets, P, k_pad)
+           + _dyn_fingerprint(dyn))
+    seg_args = _segment_args(cq0, seg)
+    entry = _COMPILE_CACHE.get(sig)
+    if entry is None:
         raw = _build_fn(cq0, seg, buckets, P, k_pad, has_extra=False,
                         jit=False)
 
         # lax.scan over the batch axis instead of vmap: the body compiles
         # once (vmap of dynamic_slice re-lowers to arbitrary gathers and
         # explodes compile time), and per-query work stays
-        # contiguous-window shaped.  One h2d transfer for the whole batch.
-        def batched(seg_args, dyn_stacked):
+        # contiguous-window shaped.  The packed executor then moves the
+        # whole batch's dynamic state in ONE h2d and the results in ONE
+        # d2h transfer.
+        def batched(seg_args_, dyn_stacked):
             def body(_, dyn_i):
-                return None, raw(seg_args, dyn_i)
+                return None, raw(seg_args_, dyn_i)
             _, outs = jax.lax.scan(body, None, dyn_stacked)
             return outs
 
-        fn = jax.jit(batched)
-        _COMPILE_CACHE[sig] = fn
-    dyn = {key: np.stack([np.asarray(b.dyn[key]) for b in bindings])
-           for key in bindings[0].dyn}
-    seg_args = _segment_args(cq0, seg)
-    out = fn(seg_args, jax.device_put(dyn))
-    out = jax.device_get(out)  # ONE d2h transfer for the whole batch
+        entry = _PackedExecutor(batched, dyn, seg_args)
+        _COMPILE_CACHE[sig] = entry
+    out = entry(seg_args, dyn)
     results = []
     for i in range(B):
         results.append(SegmentResult(
@@ -896,6 +900,121 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
             raise FieldNotFound(
                 f"SORTBY field {f.attribute} is not sortable")
     return args
+
+
+def _dyn_fingerprint(dyn: dict) -> str:
+    """Shape/dtype fingerprint of the dynamic state: the packed executor
+    freezes its buffer layout at build time, so anything that can vary
+    shape under the same query signature (e.g. vector dims across
+    same-named fields) must key the cache."""
+    return "|dyn=" + ",".join(
+        f"{k}:{np.asarray(v).shape}:{np.asarray(v).dtype}"
+        for k, v in sorted(dyn.items()))
+
+
+class _PackedExecutor:
+    """Wraps a built executor so all per-query dynamic state crosses
+    host->device as ONE int32 buffer and all outputs come back as ONE
+    float32 buffer (ints bitcast).  Matters enormously when the device is
+    reached over a high-latency link (each dict leaf is a separate
+    transfer) and still trims dispatch overhead on local attach."""
+
+    __slots__ = ("fn", "in_layout", "in_total", "out_layout", "out_total",
+                 "out_keys")
+
+    def __init__(self, raw_fn, dyn_proto: dict, seg_args: dict):
+        # input layout from the prototype dyn (same sig => same shapes)
+        self.in_layout = []
+        off = 0
+        for key in sorted(dyn_proto):
+            a = np.asarray(dyn_proto[key])
+            n = int(a.size) if a.shape else 1
+            self.in_layout.append((key, off, n, a.shape, str(a.dtype)))
+            off += n
+        self.in_total = off
+        in_layout = self.in_layout
+
+        def unpack(buf):
+            d = {}
+            for key, o, n, shape, dt in in_layout:
+                if shape and int(np.prod(shape)) == 0:
+                    d[key] = jnp.zeros(shape, jnp.dtype(dt))
+                    continue
+                sl = jax.lax.dynamic_slice(buf, (o,), (n,))
+                if dt.startswith("float") or dt == "bfloat16":
+                    sl = jax.lax.bitcast_convert_type(sl, jnp.float32)
+                    if dt != "float32":
+                        sl = sl.astype(jnp.dtype(dt))
+                elif dt == "bool":
+                    sl = sl.astype(jnp.bool_)
+                elif dt != "int32":
+                    sl = sl.astype(jnp.dtype(dt))
+                d[key] = sl.reshape(shape) if shape else sl[0]
+            return d
+
+        def packed(seg_args_, buf):
+            out = raw_fn(seg_args_, unpack(buf))
+            parts = []
+            for key in sorted(out):
+                a = out[key]
+                flat = a.reshape(-1)
+                if flat.shape[0] == 0:
+                    continue
+                if flat.dtype == jnp.int32:
+                    flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
+                elif flat.dtype == jnp.bool_:
+                    flat = flat.astype(jnp.float32)
+                elif flat.dtype != jnp.float32:
+                    flat = flat.astype(jnp.float32)
+                parts.append(flat)
+            return jnp.concatenate(parts) if parts else jnp.zeros(
+                (0,), jnp.float32)
+
+        # output layout via abstract eval (no device work)
+        dyn_buf = self._pack(dyn_proto)
+        out_spec = jax.eval_shape(
+            lambda s, b: raw_fn(s, unpack(b)), seg_args, dyn_buf)
+        self.out_layout = []
+        off = 0
+        for key in sorted(out_spec):
+            s = out_spec[key]
+            n = int(np.prod(s.shape)) if s.shape else 1
+            self.out_layout.append((key, off, n, s.shape, str(s.dtype)))
+            off += n
+        self.out_total = off
+        self.fn = jax.jit(packed)
+
+    def _pack(self, dyn: dict) -> np.ndarray:
+        buf = np.empty(self.in_total, np.int32)
+        for key, o, n, shape, dt in self.in_layout:
+            a = np.asarray(dyn[key])
+            if dt.startswith("float") or dt == "bfloat16":
+                v = a.reshape(-1).astype(np.float32).view(np.int32)
+            elif dt == "int32":
+                v = a.reshape(-1)
+            else:
+                v = a.reshape(-1).astype(np.int32)
+            if n:
+                buf[o:o + n] = v
+        return buf
+
+    def __call__(self, seg_args: dict, dyn: dict) -> dict:
+        flat = np.asarray(jax.device_get(
+            self.fn(seg_args, self._pack(dyn))))
+        out = {}
+        for key, o, n, shape, dt in self.out_layout:
+            if shape and int(np.prod(shape)) == 0:
+                out[key] = np.zeros(shape, np.dtype(dt))
+                continue
+            v = flat[o:o + n]
+            if dt == "int32":
+                v = v.view(np.int32)
+            elif dt == "bool":
+                v = v.astype(bool)
+            elif dt != "float32":
+                v = v.astype(np.dtype(dt))
+            out[key] = v.reshape(shape) if shape else v[0]
+        return out
 
 
 def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
