@@ -47,9 +47,16 @@ def main(n_docs: int = 1_000_000, batch: int = 256, iters: int = 10):
                                QueryOptions(k=10)) for i in range(batch)]
         for it in range(iters):   # warm every bucket-shape combo
             execute_batch(make(it), seg, 10)
+        # pipelined serving loop: next batch's host work (parse/bind/
+        # pack/h2d) overlaps the device executing the current batch
         t0 = time.perf_counter()
+        pending = None
         for it in range(iters):
-            execute_batch(make(it), seg, 10)
+            h = execute_batch(make(it), seg, 10, async_=True)
+            if pending is not None:
+                pending.result()
+            pending = h
+        pending.result()
         dt = time.perf_counter() - t0
         results[name] = round(iters * batch / dt, 1)
         print(f"{name}: {results[name]} QPS "

@@ -733,8 +733,40 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     )
 
 
-def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
-                  ) -> list[SegmentResult]:
+class _BatchHandle:
+    """In-flight batch: the device dispatch is async; result() performs
+    the (single) d2h transfer and materializes per-query results.  Lets a
+    serving loop overlap the next batch\'s host work (parse/bind/pack)
+    with the device executing this one (the reference overlaps via worker
+    threads; here the device pipeline is the second lane)."""
+
+    def __init__(self, parts, n: int):
+        self._parts = parts      # list of (idxs|None, entry|handle, flat)
+        self._n = n
+
+    def result(self) -> list:
+        out_all: list = [None] * self._n
+        for idxs, entry, flat in self._parts:
+            if entry is None:            # nested handle from sub-batching
+                sub = flat.result()
+                for slot, r in zip(idxs, sub):
+                    out_all[slot] = r
+                continue
+            out = entry.finish(flat)
+            B = len(idxs)
+            for j in range(B):
+                out_all[idxs[j]] = SegmentResult(
+                    local_idx=out["idx"][j],
+                    scores=out["scores"][j],
+                    count=int(out["count"][j]),
+                    sortkeys=(out["sortkeys"][j]
+                              if "sortkeys" in out else None),
+                    knn_dists=(out["knn"][j] if "knn" in out else None))
+        return out_all
+
+
+def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
+                  async_: bool = False):
     """Run a batch of same-structure queries in one device dispatch.
 
     The throughput path (serving + benchmarks): windows batch along a vmap
@@ -742,7 +774,8 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
     and dispatch overhead the way the reference amortizes per-query cost
     across worker threads (src/util/workers.c), but on one device.
     Queries must share a parsed structure; buckets are maxed across the
-    batch so they share one executable.
+    batch so they share one executable.  With async_=True returns a
+    _BatchHandle immediately (device still working); .result() collects.
     """
     cq0 = cqs[0]
     bindings = []
@@ -769,12 +802,12 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
         order: dict[tuple, list[int]] = {}
         for i, sg in enumerate(sigs):
             order.setdefault(sg, []).append(i)
-        results: list = [None] * len(cqs)
+        parts = []
         for idxs in order.values():
-            sub = execute_batch([cqs[i] for i in idxs], seg, k)
-            for slot, r in zip(idxs, sub):
-                results[slot] = r
-        return results
+            h = execute_batch([cqs[i] for i in idxs], seg, k, async_=True)
+            parts.append((idxs, None, h))
+        handle = _BatchHandle(parts, len(cqs))
+        return handle if async_ else handle.result()
 
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     B = len(cqs)
@@ -808,16 +841,9 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int
 
         entry = _PackedExecutor(batched, dyn, seg_args)
         _COMPILE_CACHE[sig] = entry
-    out = entry(seg_args, dyn)
-    results = []
-    for i in range(B):
-        results.append(SegmentResult(
-            local_idx=out["idx"][i],
-            scores=out["scores"][i],
-            count=int(out["count"][i]),
-            sortkeys=(out["sortkeys"][i] if "sortkeys" in out else None),
-            knn_dists=(out["knn"][i] if "knn" in out else None)))
-    return results
+    flat = entry.submit(seg_args, dyn)   # async device dispatch
+    handle = _BatchHandle([(list(range(B)), entry, flat)], B)
+    return handle if async_ else handle.result()
 
 
 def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
@@ -998,9 +1024,18 @@ class _PackedExecutor:
                 buf[o:o + n] = v
         return buf
 
+    def submit(self, seg_args: dict, dyn: dict):
+        """Async dispatch: returns the device value (one future)."""
+        return self.fn(seg_args, self._pack(dyn))
+
+    def finish(self, flat_dev) -> dict:
+        """Blocking collect: ONE d2h transfer, unpacked by layout."""
+        return self._unpack_out(np.asarray(jax.device_get(flat_dev)))
+
     def __call__(self, seg_args: dict, dyn: dict) -> dict:
-        flat = np.asarray(jax.device_get(
-            self.fn(seg_args, self._pack(dyn))))
+        return self.finish(self.submit(seg_args, dyn))
+
+    def _unpack_out(self, flat: np.ndarray) -> dict:
         out = {}
         for key, o, n, shape, dt in self.out_layout:
             if shape and int(np.prod(shape)) == 0:
