@@ -744,17 +744,24 @@ class _BatchHandle:
         self._parts = parts      # list of (idxs|None, entry|handle, flat)
         self._n = n
 
-    def result(self) -> list:
-        out_all: list = [None] * self._n
+    def _flat_parts(self):
+        """Flatten nested sub-batch handles into (idxs, entry, flat)."""
         for idxs, entry, flat in self._parts:
             if entry is None:            # nested handle from sub-batching
-                sub = flat.result()
-                for slot, r in zip(idxs, sub):
-                    out_all[slot] = r
-                continue
-            out = entry.finish(flat)
-            B = len(idxs)
-            for j in range(B):
+                for sub_idxs, sub_entry, sub_flat in flat._flat_parts():
+                    yield ([idxs[i] for i in sub_idxs], sub_entry, sub_flat)
+            else:
+                yield (idxs, entry, flat)
+
+    def result(self) -> list:
+        out_all: list = [None] * self._n
+        parts = list(self._flat_parts())
+        # one device_get for every group's output buffer: per-group
+        # blocking collects would serialize link round-trips
+        flats = jax.device_get([flat for _, _, flat in parts])
+        for (idxs, entry, _), flat_np in zip(parts, flats):
+            out = entry._unpack_out(np.asarray(flat_np))
+            for j in range(len(idxs)):
                 out_all[idxs[j]] = SegmentResult(
                     local_idx=out["idx"][j],
                     scores=out["scores"][j],
