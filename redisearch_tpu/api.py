@@ -413,8 +413,18 @@ class Client:
                                               opts.get("params"))
             return res, prof
         elif query_type.upper() == "AGGREGATE":
+            root = ix.parse_query(query.query, query.params,
+                                  getattr(query, "dialect", 2))
+            prof["parsing_time_ms"] = (time.perf_counter() - t0) * 1e3
+            t1 = time.perf_counter()
             res = run_aggregate(ix, query)
             prof["total_time_ms"] = (time.perf_counter() - t0) * 1e3
+            prof["execution_time_ms"] = (time.perf_counter() - t1) * 1e3
+            from .query import ast as A
+            prof["query_tree"] = A.dump(root)
+            # result-processor chain (reference: per-RP profile sections)
+            prof["result_processors"] = (
+                ["RP_INDEX"] + [type(s).__name__ for s in query.steps])
             prof["results_count"] = res.total
             return res, prof
         raise IndexError_(f"bad profile type {query_type}")

@@ -1355,7 +1355,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     m = T.geo_radius_mask(
                         seg[f"geo{leaf.ord}_lon"][cd],
                         seg[f"geo{leaf.ord}_lat"][cd],
-                        seg[f"geo{leaf.ord}_p"][cd],
+                        seg[f"geo{leaf.ord}_p"][cd]
+                        if leaf.field not in fexp_attrs else
+                        field_alive("geo", leaf.ord, docs,
+                                    seg[f"geo{leaf.ord}_p"][cd]),
                         dyn["geo_lon"][leaf.ord],
                         dyn["geo_lat"][leaf.ord],
                         dyn["geo_rad"][leaf.ord])

@@ -641,6 +641,17 @@ class Server:
     # -- aggregate ----------------------------------------------------------
     def _cmd_FT_AGGREGATE(self, av):
         name = av.next()
+        req = self._parse_agg_request(av)
+        res = self.client.ft_aggregate(name, req)
+        rows = [_row_flatten(r) for r in res.rows]
+        r2: Any = [len(rows)] + rows
+        r3: Any = _agg_map3(res.rows, len(rows))
+        if req.with_cursor:
+            r2 = [r2, res.cursor_id]
+            r3 = [r3, res.cursor_id]
+        return ProtoReply(r2, r3)
+
+    def _parse_agg_request(self, av) -> AggregateRequest:
         query = av.next()
         req = AggregateRequest(query)
         while av.more():
@@ -734,15 +745,8 @@ class Server:
                 av.next()
                 req.verbatim = True
             else:
-                return RSError(f"Unknown argument `{av.next()}`")
-        res = self.client.ft_aggregate(name, req)
-        rows = [_row_flatten(r) for r in res.rows]
-        r2: Any = [len(rows)] + rows
-        r3: Any = _agg_map3(res.rows, len(rows))
-        if req.with_cursor:
-            r2 = [r2, res.cursor_id]
-            r3 = [r3, res.cursor_id]
-        return ProtoReply(r2, r3)
+                raise RSError(f"Unknown argument `{av.next()}`")
+        return req
 
     def _cmd_FT_CURSOR(self, av):
         sub = av.next().upper()
@@ -790,9 +794,14 @@ class Server:
         if qtype == "SEARCH":
             res = self.dispatch(["FT.SEARCH", name] + rest)
             _res2, prof = self.client.ft_profile(name, "SEARCH", rest[0])
-            return [res, _deep_flatten(prof)]
+            return ProtoReply([getattr(res, "r2", res),
+                               _deep_flatten(prof)],
+                              [getattr(res, "r3", res), prof])
         res = self.dispatch(["FT.AGGREGATE", name] + rest)
-        return [res, _deep_flatten({"profile": "see FT.PROFILE SEARCH"})]
+        req = self._parse_agg_request(Argv(rest))
+        _res2, prof = self.client.ft_profile(name, "AGGREGATE", req)
+        return ProtoReply([getattr(res, "r2", res), _deep_flatten(prof)],
+                          [getattr(res, "r3", res), prof])
 
     def _cmd_FT_DEBUG(self, av):
         """FT.DEBUG <SUBCMD> ... (reference: src/debug_commands.c).

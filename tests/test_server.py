@@ -262,3 +262,21 @@ def test_info_command(loop):
         assert "search_number_of_indexes:1" in info
         return True
     assert run_session(loop, flow)
+
+
+def test_profile_aggregate(loop):
+    async def flow(c):
+        await c.cmd("FT.CREATE", "pa", "SCHEMA", "cat", "TAG", "SORTABLE",
+                    "n", "NUMERIC", "SORTABLE")
+        for i in range(6):
+            await c.cmd("HSET", f"x{i}", "cat", "ab"[i % 2], "n", i)
+        out = await c.cmd("FT.PROFILE", "pa", "AGGREGATE", "QUERY", "*",
+                          "GROUPBY", 1, "@cat",
+                          "REDUCE", "COUNT", 0, "AS", "c")
+        res, prof = out
+        assert res[0] == 2
+        d = {prof[i]: prof[i + 1] for i in range(0, len(prof), 2)}
+        assert "query_tree" in d and "result_processors" in d
+        assert "GroupStep" in d["result_processors"]
+        return True
+    assert run_session(loop, flow)
