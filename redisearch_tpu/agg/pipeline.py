@@ -255,44 +255,56 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
         sig = ("devgroup|" + cq.signature(
             f"n={seg.n_pad}|G={G}|ops={op_list}|mm={want_minmax}",
             buckets, P, 1))
-        fn = _COMPILE_CACHE.get(sig)
-        if fn is None:
-            raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
-                            mode="window", jit=False)
-
-            def fused(seg_args, dyn_args, value_ids, num_vals, num_pres,
-                      _raw=raw, _G=G):
-                out = _raw(seg_args, dyn_args)
-                docs, valid = out["docs"], out["valid"]
-                cd = jnp.minimum(docs, value_ids.shape[0] - 1)
-                gids = value_ids[cd]
-                res = {"count": out["count"]}
-                res["grp"] = {}
-                base = groupby_aggregate(gids, valid,
-                                         jnp.zeros(docs.shape, jnp.float32),
-                                         _G, want_minmax=False)
-                res["grp"]["None"] = base
-                for j in range(num_vals.shape[0]):
-                    vm = valid & num_pres[j][cd]
-                    res["grp"][str(j)] = groupby_aggregate(
-                        gids, vm, num_vals[j][cd], _G,
-                        want_minmax=want_minmax)
-                return res
-
-            fn = _jax.jit(fused)
-            _COMPILE_CACHE[sig] = fn
         num_vals = (jnp.stack([seg.numerics[o].values for o in op_list])
                     if op_list else jnp.zeros((0, seg.n_pad), jnp.float32))
         num_pres = (jnp.stack([seg.numerics[o].present for o in op_list])
                     if op_list else jnp.zeros((0, seg.n_pad), bool))
-        out = fn(_segment_args(cq, seg),
-                 {k_: jnp.asarray(v) for k_, v in dyn.items()},
-                 sc.value_ids, num_vals, num_pres)
-        out = _jax.device_get(out)
+        seg_args = dict(_segment_args(cq, seg))
+        seg_args["gb_value_ids"] = sc.value_ids
+        seg_args["gb_num_vals"] = num_vals
+        seg_args["gb_num_pres"] = num_pres
+        entry = _COMPILE_CACHE.get(sig)
+        if entry is None:
+            raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
+                            mode="window", jit=False)
+            n_ops = len(op_list)
+
+            def fused(seg_args_, dyn_args, _raw=raw, _G=G, _n=n_ops):
+                out = _raw(seg_args_, dyn_args)
+                docs, valid = out["docs"], out["valid"]
+                value_ids = seg_args_["gb_value_ids"]
+                cd = jnp.minimum(docs, value_ids.shape[0] - 1)
+                gids = value_ids[cd]
+                # flat keys: one packed output buffer -> ONE d2h transfer
+                res = {"count": out["count"]}
+                base = groupby_aggregate(gids, valid,
+                                         jnp.zeros(docs.shape, jnp.float32),
+                                         _G, want_minmax=False)
+                for stat, arr in base.items():
+                    res[f"g.None.{stat}"] = arr
+                for j in range(_n):
+                    vm = valid & seg_args_["gb_num_pres"][j][cd]
+                    gr = groupby_aggregate(
+                        gids, vm, seg_args_["gb_num_vals"][j][cd], _G,
+                        want_minmax=want_minmax)
+                    for stat, arr in gr.items():
+                        res[f"g.{j}.{stat}"] = arr
+                return res
+
+            from ..query.engine import _PackedExecutor
+            entry = _PackedExecutor(fused, dyn, seg_args)
+            _COMPILE_CACHE[sig] = entry
+        out = entry(seg_args, dyn)
         total += int(out["count"])
-        per_op = {None: out["grp"]["None"]}
+
+        def _op_stats(tag):
+            return {stat: out[f"g.{tag}.{stat}"]
+                    for stat in ("count", "sum", "sumsq", "min", "max")
+                    if f"g.{tag}.{stat}" in out}
+
+        per_op = {None: _op_stats("None")}
         for j, o in enumerate(op_list):
-            per_op[o] = out["grp"][str(j)]
+            per_op[o] = _op_stats(str(j))
         counts0 = np.asarray(per_op[None]["count"])
         for g in np.nonzero(counts0 > 0)[0]:
             val = sc.table[int(g)]
