@@ -68,6 +68,49 @@ _VARS = [
     # privacy: obfuscate user data (index/field/doc names) in log lines
     # (reference: hide-user-data-from-log, src/obfuscation/)
     _Var("HIDE_USER_DATA_FROM_LOG", False, _bool),
+    # --- remaining reference parameters (src/config.c registry), accepted
+    # for compatibility.  Most tune machinery this design removed (fork-GC
+    # cycles, background scanners, thread pools, coordinator connections) —
+    # they are read-only and return the reference defaults.  The settable
+    # ones feed the matching engine knobs where an analog exists.
+    _Var("MIN_PHONETIC_TERM_LEN", 3, int),
+    _Var("MAX_AGGREGATE_GROUPS", 0, int),           # 0 = unlimited
+    _Var("MULTI_TEXT_SLOP", 100, int),
+    _Var("PARTIAL_INDEXED_DOCS", False, _bool),
+    _Var("UPGRADE_INDEX", "", str),
+    _Var("GCSCANSIZE", 100, int, settable=False),
+    _Var("FORK_GC_CLEAN_THRESHOLD", 100, int, settable=False),
+    _Var("FORK_GC_RETRY_INTERVAL", 5, int, settable=False),
+    _Var("FORKGC_SLEEP_BEFORE_EXIT", 0, int, settable=False),
+    _Var("FORK_GC_CLEAN_NUMERIC_EMPTY_NODES", True, _bool,
+         settable=False),
+    _Var("_FORK_GC_CLEAN_NUMERIC_EMPTY_NODES", True, _bool,
+         settable=False),
+    _Var("BG_INDEX_SLEEP_DURATION_US", 0, int, settable=False),
+    _Var("BG_INDEX_SLEEP_GAP", 100, int, settable=False),
+    _Var("_BG_INDEX_MEM_PCT_THR", 0, int, settable=False),
+    _Var("_BG_INDEX_OOM_PAUSE_TIME", 0, int, settable=False),
+    _Var("INDEXER_YIELD_EVERY_OPS", 1000, int, settable=False),
+    _Var("MIN_OPERATION_WORKERS", 4, int, settable=False),
+    _Var("WORKER_THREADS", 0, int, settable=False),
+    _Var("SEARCH_THREADS", 20, int, settable=False),
+    _Var("WORKERS_PRIORITY_BIAS_THRESHOLD", 1, int, settable=False),
+    _Var("PRIVILEGED_THREADS_NUM", 1, int, settable=False),
+    _Var("CONN_PER_SHARD", 0, int, settable=False),
+    _Var("CONNECT_TIMEOUT", 5, int, settable=False),
+    _Var("TOPOLOGY_VALIDATION_TIMEOUT", 30_000, int, settable=False),
+    _Var("CURSOR_REPLY_THRESHOLD", 1, int),
+    _Var("TIERED_HNSW_BUFFER_LIMIT", 1024, int),
+    _Var("ENABLE_UNSTABLE_FEATURES", False, _bool),
+    _Var("NO_MEM_POOLS", False, _bool, settable=False),
+    _Var("_MAX_FOREGROUND_TIMEOUT_LIMIT", 0, int, settable=False),
+    _Var("_MAX_TRIM_DELAY_MS", 0, int, settable=False),
+    _Var("_MIN_TRIM_DELAY_MS", 0, int, settable=False),
+    _Var("_TRIMMING_STATE_CHECK_DELAY_MS", 0, int, settable=False),
+    _Var("_NUMERIC_RANGES_PARENTS", 0, int),
+    _Var("_PRINT_PROFILE_CLOCK", True, _bool),
+    _Var("_PRIORITIZE_INTERSECT_UNION_CHILDREN", False, _bool),
+    _Var("_SIMULATE_IN_FLEX", False, _bool, settable=False),
 ]
 
 
