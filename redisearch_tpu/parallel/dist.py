@@ -169,7 +169,8 @@ class ShardedIndex:
                 out_specs=P(AXIS))(seg, dyn)
             # out leaves: [S, k_local] (counts [S]); final merge is a tiny
             # top-k over S*k_local candidates — the "coordinator" reduce
-            merged = {"count": jnp.sum(out["count"])}
+            merged = {"count": jnp.sum(out["count"]),
+                      "shard_counts": out["count"]}
             flat_scores = out["scores"].reshape(-1)
             flat_gids = out["gids"].reshape(-1)
             kk = min(k_local, flat_scores.shape[0])
@@ -227,6 +228,37 @@ class ShardedIndex:
         return dist_aggregate(self, req)
 
     # -- user-facing search (mirrors SearchIndex.search semantics) --------
+    def profile(self, query: str, params=None, num: int = 10,
+                **kw) -> tuple:
+        """Distributed FT.PROFILE analog (reference: coord/dist_profile.c
+        — a Shards section per shard plus a Coordinator section)."""
+        import time as _time
+        t0 = _time.perf_counter()
+        root = self.index.parse_query(query, params)
+        parse_ms = (_time.perf_counter() - t0) * 1e3
+        t1 = _time.perf_counter()
+        res = self.search(query, params=params, num=num, **kw)
+        total_ms = (_time.perf_counter() - t0) * 1e3
+        from ..query import ast as A
+        counts = list(getattr(res, "shard_counts", []) or [])
+        prof = {
+            "shards": [
+                {"shard": i, "results_count": int(c),
+                 "query_tree": A.dump(root)}
+                for i, c in enumerate(counts)
+            ],
+            "coordinator": {
+                "merge": ("knn" if "KNN" in query.upper()
+                          else "score-top-k"),
+                "parsing_time_ms": parse_ms,
+                "total_time_ms": total_ms,
+                "execution_time_ms": (_time.perf_counter() - t1) * 1e3,
+                "results_count": res.total,
+                "n_shards": len(self.shards),
+            },
+        }
+        return res, prof
+
     def search(self, query: str, params=None, offset: int = 0, num: int = 10,
                scorer: str = "BM25STD", sort_by=None, sort_asc=True,
                shard_k_ratio: float = 1.0, **kw):
@@ -269,7 +301,10 @@ class ShardedIndex:
         if cq.knn is not None:
             hits = hits[:cq.knn.k]
             total = min(total, cq.knn.k)
-        return SearchResult(total=total, hits=hits[offset:offset + num])
+        res = SearchResult(total=total, hits=hits[offset:offset + num])
+        if "shard_counts" in out:
+            res.shard_counts = [int(c) for c in out["shard_counts"]]
+        return res
 
 
 def _shard_index_view(sharded, seg):

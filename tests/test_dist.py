@@ -108,3 +108,16 @@ def test_dist_hybrid(sharded):
                      combine="RRF", limit=5)
     rows = sh.hybrid(hq)
     assert rows and rows[0]["__key"] == "d10"
+
+
+def test_dist_profile(sharded):
+    """Distributed FT.PROFILE: per-shard sections + coordinator section
+    (reference: src/coord/dist_profile.c)."""
+    sh, ix, _ = sharded
+    res, prof = sh.profile("apple", num=5)
+    sharded = sh
+    assert prof["coordinator"]["n_shards"] == len(sharded.shards)
+    assert prof["coordinator"]["results_count"] == res.total
+    assert len(prof["shards"]) == len(sharded.shards)
+    assert sum(s["results_count"] for s in prof["shards"]) >= res.total
+    assert "total_time_ms" in prof["coordinator"]
