@@ -1,0 +1,117 @@
+"""Filtered-KNN + hybrid-fusion benchmark (BASELINE.md configs:
+vecsim-arxiv-titles-384-angular-filters-* and hybrid-*-rrf/linear).
+
+Synthetic arxiv-shape corpus: 384-dim angular vectors + a text title, a
+numeric year and a tag category.  Queries: `KNN 25 ... EF_RUNTIME 64`
+behind fulltext / numeric / tag prefilters (the reference's three filter
+variants) and FT.HYBRID RRF/LINEAR text+vector fusion.
+
+Run on the TPU host: `python benchmarks/filtered_knn_bench.py`.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(n_docs: int = 500_000, dim: int = 384, batch: int = 64,
+         iters: int = 8):
+    import redisearch_tpu as rs
+    from redisearch_tpu.aux.hybrid import HybridQuery
+
+    rng = np.random.default_rng(0)
+    words = np.array(["algebra", "graph", "neural", "quantum", "protein",
+                      "market", "vision", "speech", "logic", "random"])
+    vecs = rng.normal(size=(n_docs, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    docs = [(f"p{i}", {
+        "title": " ".join(words[rng.integers(0, 10, 3)]),
+        "year": int(1990 + (i % 35)),
+        "cat": f"c{i % 20}",
+        "emb": vecs[i]}) for i in range(n_docs)]
+
+    schema = rs.Schema(name="arxiv", fields=[
+        rs.Field("title", rs.FieldType.TEXT),
+        rs.Field("year", rs.FieldType.NUMERIC, sortable=True),
+        rs.Field("cat", rs.FieldType.TAG),
+        rs.Field("emb", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=dim,
+                                        metric=rs.VectorMetric.COSINE)),
+    ])
+    ix = rs.SearchIndex(schema)
+    t0 = time.perf_counter()
+    ix.add_documents(docs)
+    print(f"indexed {n_docs} x {dim}d in {time.perf_counter()-t0:.0f}s")
+
+    qvecs = rng.normal(size=(512, dim)).astype(np.float32)
+    results = {}
+    from redisearch_tpu.query.engine import QueryOptions, execute_batch
+    seg = ix.segments[0]
+
+    def bench_batched(name, qtext):
+        """Batched + pipelined execution — the analog of the reference's
+        32-connection memtier load (its concurrency = our batch axis)."""
+        def make(it):
+            cqs = []
+            for i in range(batch):
+                q = qtext(it * batch + i)
+                cqs.append(ix.compile(
+                    ix.parse_query(q, {"b": qvecs[(it * batch + i) % 512]}),
+                    QueryOptions(k=25)))
+            return cqs
+        for it in range(2):
+            execute_batch(make(it), seg, 25)
+        t0 = time.perf_counter()
+        pending = None
+        for it in range(iters):
+            h = execute_batch(make(it), seg, 25, async_=True)
+            if pending is not None:
+                pending.result()
+            pending = h
+        pending.result()
+        dt = time.perf_counter() - t0
+        results[name] = round(iters * batch / dt, 1)
+        print(f"{name}: {results[name]} QPS "
+              f"({dt / (iters * batch) * 1e3:.2f} ms/q, batch {batch})")
+
+    bench_batched("knn25",
+                  lambda i: "*=>[KNN 25 @emb $b EF_RUNTIME 64]")
+    bench_batched("fulltext_filter", lambda i:
+                  f"({words[i % 10]})=>[KNN 25 @emb $b EF_RUNTIME 64]")
+    bench_batched("numeric_filter", lambda i:
+                  "(@year:[2000 2012])=>[KNN 25 @emb $b EF_RUNTIME 64]")
+    bench_batched("tag_filter", lambda i:
+                  f"(@cat:{{c{i % 20}}})=>[KNN 25 @emb $b EF_RUNTIME 64]")
+
+    def bench(name, qfn):
+        for i in range(4):
+            qfn(i)
+        t0 = time.perf_counter()
+        for it in range(iters):
+            for i in range(batch // 8):
+                qfn(it * batch + i)
+        dt = time.perf_counter() - t0
+        results[name] = round(iters * (batch // 8) / dt, 1)
+        print(f"{name}: {results[name]} QPS "
+              f"({dt / (iters * batch // 8) * 1e3:.2f} ms/q, single)")
+
+    from redisearch_tpu.aux.hybrid import run_hybrid
+    bench("hybrid_rrf", lambda i: run_hybrid(
+        ix, HybridQuery(search=str(words[i % 10]), vsim_field="emb",
+                        vsim_vector=qvecs[i % 512], combine="RRF",
+                        limit=10)))
+    bench("hybrid_linear", lambda i: run_hybrid(
+        ix, HybridQuery(search=str(words[i % 10]), vsim_field="emb",
+                        vsim_vector=qvecs[i % 512], combine="LINEAR",
+                        alpha=0.5, beta=0.5, limit=10)))
+
+    print(json.dumps({
+        "metric": "filtered KNN25 EF64 QPS (500k x 384 cosine, "
+                  "fulltext filter)",
+        "value": results["fulltext_filter"], "unit": "qps",
+        "all": results}))
+
+
+if __name__ == "__main__":
+    main()

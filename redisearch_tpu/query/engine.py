@@ -772,6 +772,88 @@ class _BatchHandle:
         return out_all
 
 
+def _pure_knn_eligible(cqs: list, seg: Segment) -> bool:
+    """A batch of unfiltered KNN queries over the same field can run as
+    ONE [B, dim] x [N, dim]T MXU matmul instead of a per-query scan —
+    the per-query scan re-reads the whole vector matrix from HBM B times.
+    (This is the reference's `*=>[KNN ...]` memtier shape.)"""
+    cq0 = cqs[0]
+    if cq0.knn is None or cq0.opts.sort_field:
+        return False
+    field = cq0.schema.field(cq0.knn.field)
+    col = seg.vectors.get(field.attribute)
+    if col is None or col.multi:
+        return False
+    for cq in cqs:
+        if (cq.knn is None or cq.host_nodes
+                or cq.knn.field != cq0.knn.field
+                or cq.knn.k != cq0.knn.k
+                or cq.opts.sort_field):
+            return False
+        leaves = cq.leaves()
+        if len(leaves) != 1 or not isinstance(leaves[0][0], LAll):
+            return False
+    return True
+
+
+class _PureKnnHandle:
+    def __init__(self, entry, flat, gidx, B):
+        self._entry = entry
+        self._flat = flat
+        self._gidx = gidx
+        self._B = B
+
+    def result(self) -> list:
+        out = self._entry._unpack_out(
+            np.asarray(jax.device_get(self._flat)))
+        res = []
+        for i in range(self._B):
+            res.append(SegmentResult(
+                local_idx=out["idx"][i], scores=out["scores"][i],
+                count=int(out["count"]), knn_dists=out["knn"][i]))
+        return res
+
+
+def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
+                            async_: bool = False):
+    cq0 = cqs[0]
+    field = cq0.schema.field(cq0.knn.field)
+    col = seg.vectors[field.attribute]
+    metric = field.vector.metric.value
+    blobs = np.stack([decode_blob(cq.knn.blob, field) for cq in cqs])
+    B = len(cqs)
+    k_eff = min(max(k, 1), seg.n_pad)
+    now = int(cq0.opts.now)
+    sig = (f"pureknn|{seg.n_pad}|{col.vecs.dtype}|{metric}|B={B}"
+           f"|k={k_eff}|t={seg.has_ttl}|d={seg.n_deleted > 0}")
+    seg_args = {"vecs": col.vecs, "sq": col.sq_norms,
+                "present": col.present, "alive": seg.alive,
+                "expire_at": seg.expire_at}
+    dyn = {"blobs": blobs, "now": np.int32(now)}
+    entry = _COMPILE_CACHE.get(sig)
+    if entry is None:
+        has_ttl = seg.has_ttl
+
+        def run(sa, dy):
+            valid = sa["present"] & sa["alive"]
+            if has_ttl:
+                exp = sa["expire_at"]
+                valid = valid & ((exp == 0) | (exp > dy["now"]))
+            d = V.distances_to(sa["vecs"], sa["sq"], dy["blobs"],
+                               metric)                     # [B, N]
+            dm = jnp.where(valid[None, :], d, 3.4e38)
+            vals, idx = jax.lax.top_k(-dm, k_eff)
+            return {"idx": idx, "knn": -vals,
+                    "scores": jnp.zeros((B, k_eff), jnp.float32),
+                    "count": jnp.sum(valid.astype(jnp.int32))}
+
+        entry = _PackedExecutor(run, dyn, seg_args)
+        _COMPILE_CACHE[sig] = entry
+    flat = entry.submit(seg_args, dyn)
+    handle = _PureKnnHandle(entry, flat, None, B)
+    return handle if async_ else handle.result()
+
+
 def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
                   async_: bool = False):
     """Run a batch of same-structure queries in one device dispatch.
@@ -785,6 +867,8 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     _BatchHandle immediately (device still working); .result() collects.
     """
     cq0 = cqs[0]
+    if _pure_knn_eligible(cqs, seg):
+        return _execute_batch_pure_knn(cqs, seg, k, async_)
     bindings = []
     P = 1
     sigs = []
@@ -829,10 +913,19 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     sig = (cq0.signature(seg_sig, buckets, P, k_pad)
            + _dyn_fingerprint(dyn))
     seg_args = _segment_args(cq0, seg)
+    # filtered-KNN batches hoist the [B, N] distance matmul out of the
+    # per-query scan: queries then only gather distances at their
+    # candidate docs instead of gathering dim-wide vector rows
+    knn_row = bool(
+        cq0.knn is not None
+        and not _knn_ivf_sig(cq0, seg).endswith("multi")
+        and ":ivf:" not in _knn_ivf_sig(cq0, seg))
+    knn_field = (cq0.schema.field(cq0.knn.field) if knn_row else None)
     entry = _COMPILE_CACHE.get(sig)
     if entry is None:
         raw = _build_fn(cq0, seg, buckets, P, k_pad, has_extra=False,
-                        jit=False)
+                        jit=False, knn_row=knn_row)
+        knn_metric = (knn_field.vector.metric.value if knn_row else None)
 
         # lax.scan over the batch axis instead of vmap: the body compiles
         # once (vmap of dynamic_slice re-lowers to arbitrary gathers and
@@ -841,6 +934,19 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
         # whole batch's dynamic state in ONE h2d and the results in ONE
         # d2h transfer.
         def batched(seg_args_, dyn_stacked):
+            if knn_row:
+                D = V.distances_to(seg_args_["knn_vecs"],
+                                   seg_args_["knn_sq"],
+                                   dyn_stacked["knn_blob"],
+                                   knn_metric)             # [B, N]
+
+                def body(_, args):
+                    dyn_i, d_i = args
+                    return None, raw(seg_args_,
+                                     dict(dyn_i, knn_row=d_i))
+                _, outs = jax.lax.scan(body, None, (dyn_stacked, D))
+                return outs
+
             def body(_, dyn_i):
                 return None, raw(seg_args_, dyn_i)
             _, outs = jax.lax.scan(body, None, dyn_stacked)
@@ -1081,7 +1187,7 @@ def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
 
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
               P: int, k: int, has_extra: bool, mode: str = "topk",
-              jit: bool = True):
+              jit: bool = True, knn_row: bool = False):
     """Build + jit the window-evaluator executor for one query structure.
 
     See ops/window.py for the evaluation model: every subtree evaluates as
@@ -1526,6 +1632,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             """Distance of each candidate doc to the query blob; for
             multi-value columns, min over the doc's vector rows (VecSim
             multi-value semantics: best vector wins)."""
+            if knn_row:
+                # batch-hoisted distances: the [B, N] matmul ran once
+                # outside the per-query scan; gather this query's row
+                return dyn["knn_row"][cd_]
             q = dyn["knn_blob"]
             if knn_multi:
                 return _multi_doc_dist(seg["knn_vecs"], seg["knn_sq"],
@@ -1587,7 +1697,9 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 out["knn"] = -vals2
                 out["scores"] = sc[sel2]
             else:
-                if knn_multi:
+                if knn_row:
+                    d = dyn["knn_row"]
+                elif knn_multi:
                     # full scan: row distances once, then per-doc min via
                     # the doc_rows map (no [n, M, dim] blowup)
                     d_rows = V.distances_to(seg["knn_vecs"], seg["knn_sq"],
