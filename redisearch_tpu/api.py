@@ -314,45 +314,56 @@ class Client:
 
     def ft_search_many(self, name: str, queries: list[str],
                        params: Optional[list] = None,
-                       k: int = 10, scorer: str = "BM25STD"
-                       ) -> list[SearchResult]:
+                       k: int = 10, scorer: str = "BM25STD",
+                       dialect: int = 2) -> list[SearchResult]:
         """Batched search: all queries execute in grouped device batches
         (the serving throughput path; see engine.execute_batch)."""
-        from .query.engine import execute_batch
+        from .index.segment import next_pow2
+        from .query.engine import QueryOptions, execute_batch
         ix = self._index(name)
         ix.commit()
+        # pad the batch to a power of two (duplicating the last query) so
+        # arbitrary concurrency levels reuse a handful of executables
+        n_real = len(queries)
+        B = int(next_pow2(max(n_real, 1)))
+        queries = list(queries) + [queries[-1]] * (B - n_real)
+        params = (list(params) + [params[-1]] * (B - n_real)
+                  if params else None)
         cqs = []
         for i, q in enumerate(queries):
             p = params[i] if params else None
-            root = ix.parse_query(q, p)
-            from .query.engine import QueryOptions
+            root = ix.parse_query(q, p, dialect)
             cqs.append(ix.compile(root, QueryOptions(scorer=scorer, k=k)))
-        out = []
+        out: list = [None] * len(cqs)
         import numpy as np
-        for i, cq in enumerate(cqs):
-            out.append(None)
         for seg in ix.segments:
             results = execute_batch(cqs, seg, k)
             for i, res in enumerate(results):
                 hits = []
                 gids = np.asarray(seg.gids)
+                is_knn = res.knn_dists is not None
                 for j in range(res.local_idx.shape[0]):
                     sc = float(res.scores[j])
-                    if sc <= -3.3e38:
+                    dist = (float(res.knn_dists[j]) if is_knn else None)
+                    if is_knn:
+                        if dist >= 3.3e38:
+                            continue
+                    elif sc <= -3.3e38:
                         continue
                     meta = ix.doctable.get(int(gids[int(res.local_idx[j])]))
                     if meta is None or meta.deleted:
                         continue
                     hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
-                                    gid=meta.gid))
+                                    vector_distance=dist, gid=meta.gid))
                 prev = out[i]
                 if prev is None:
                     out[i] = SearchResult(total=res.count, hits=hits)
                 else:
                     prev.total += res.count
-                    prev.hits = sorted(prev.hits + hits,
-                                       key=lambda h: -h.score)[:k]
-        return out
+                    key = ((lambda h: h.vector_distance) if is_knn
+                           else (lambda h: -h.score))
+                    prev.hits = sorted(prev.hits + hits, key=key)[:k]
+        return out[:n_real]
 
     def ft_aggregate(self, name: str, req: AggregateRequest
                      ) -> AggregateResult:

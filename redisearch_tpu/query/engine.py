@@ -745,23 +745,36 @@ class _BatchHandle:
         self._n = n
 
     def _flat_parts(self):
-        """Flatten nested sub-batch handles into (idxs, entry, flat)."""
+        """Flatten nested sub-batch handles into (idxs, entry, flat).
+        Positions beyond the outer group (pow2 padding rows) map to -1
+        and are dropped at result time."""
         for idxs, entry, flat in self._parts:
-            if entry is None:            # nested handle from sub-batching
+            if entry is None and isinstance(flat, _BatchHandle):
                 for sub_idxs, sub_entry, sub_flat in flat._flat_parts():
-                    yield ([idxs[i] for i in sub_idxs], sub_entry, sub_flat)
+                    yield ([idxs[i] if i < len(idxs) else -1
+                            for i in sub_idxs], sub_entry, sub_flat)
             else:
                 yield (idxs, entry, flat)
 
     def result(self) -> list:
         out_all: list = [None] * self._n
-        parts = list(self._flat_parts())
+        parts = []
+        for idxs, entry, flat in self._flat_parts():
+            if entry is None:   # foreign handle (e.g. pure-KNN sub-batch)
+                sub = flat.result()
+                for j, slot in enumerate(idxs):
+                    if slot >= 0 and j < len(sub):
+                        out_all[slot] = sub[j]
+                continue
+            parts.append((idxs, entry, flat))
         # one device_get for every group's output buffer: per-group
         # blocking collects would serialize link round-trips
         flats = jax.device_get([flat for _, _, flat in parts])
         for (idxs, entry, _), flat_np in zip(parts, flats):
             out = entry._unpack_out(np.asarray(flat_np))
             for j in range(len(idxs)):
+                if idxs[j] < 0:          # pow2 padding row
+                    continue
                 out_all[idxs[j]] = SegmentResult(
                     local_idx=out["idx"][j],
                     scores=out["scores"][j],
@@ -821,7 +834,11 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
     col = seg.vectors[field.attribute]
     metric = field.vector.metric.value
     blobs = np.stack([decode_blob(cq.knn.blob, field) for cq in cqs])
-    B = len(cqs)
+    B_real = len(cqs)
+    B = int(next_pow2(B_real))     # pow2 batch -> bounded executable set
+    if B != B_real:
+        blobs = np.concatenate(
+            [blobs, np.repeat(blobs[-1:], B - B_real, axis=0)])
     k_eff = min(max(k, 1), seg.n_pad)
     now = int(cq0.opts.now)
     sig = (f"pureknn|{seg.n_pad}|{col.vecs.dtype}|{metric}|B={B}"
@@ -850,7 +867,7 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
         entry = _PackedExecutor(run, dyn, seg_args)
         _COMPILE_CACHE[sig] = entry
     flat = entry.submit(seg_args, dyn)
-    handle = _PureKnnHandle(entry, flat, None, B)
+    handle = _PureKnnHandle(entry, flat, None, B_real)
     return handle if async_ else handle.result()
 
 
@@ -895,7 +912,12 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
             order.setdefault(sg, []).append(i)
         parts = []
         for idxs in order.values():
-            h = execute_batch([cqs[i] for i in idxs], seg, k, async_=True)
+            # pad each group to a power of two so arbitrary group sizes
+            # reuse a handful of executables (the padding rows replay the
+            # last query and are dropped at result time)
+            pad = int(next_pow2(len(idxs))) - len(idxs)
+            sub = [cqs[i] for i in idxs] + [cqs[idxs[-1]]] * pad
+            h = execute_batch(sub, seg, k, async_=True)
             parts.append((idxs, None, h))
         handle = _BatchHandle(parts, len(cqs))
         return handle if async_ else handle.result()

@@ -292,13 +292,104 @@ _READ_CMDS = {
 
 class Server:
     def __init__(self, client: Optional[Client] = None, host="127.0.0.1",
-                 port: int = 6380, workers: int = 4):
+                 port: int = 6380, workers: int = 4,
+                 micro_batch: bool = True, batch_max: int = 128):
         self.client = client or Client()
         self.host = host
         self.port = port
         self._lock = _RWLock()
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=max(1, workers), thread_name_prefix="rs-worker")
+        # micro-batching: concurrent FT.SEARCHes coalesce into one device
+        # batch (the TPU analog of the reference's WORKERS pool — device
+        # batching is this hardware's concurrency axis)
+        self._micro_batch = micro_batch
+        self._batch_max = batch_max
+        self._bq: Optional[asyncio.Queue] = None
+
+    # -- micro-batching ------------------------------------------------------
+    _SIMPLE_OPTS = {"offset", "num", "params", "dialect", "scorer"}
+
+    def _batchable(self, spec: dict) -> bool:
+        return (spec["highlight"] is None and spec["summarize"] is None
+                and not spec["filters"]
+                and spec["return_fields"] is None
+                and set(spec["opts"]) <= self._SIMPLE_OPTS)
+
+    async def _batcher(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            batch = [await self._bq.get()]
+            while len(batch) < self._batch_max:
+                try:
+                    batch.append(self._bq.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            await self._lock.acquire_read()
+            try:
+                replies = await loop.run_in_executor(
+                    self._pool, self._exec_search_batch,
+                    [spec for spec, _ in batch])
+            except Exception as e:   # defensive: fail every waiter
+                replies = [RSError(str(e))] * len(batch)
+            finally:
+                await self._lock.release_read()
+            for (_spec, fut), rep in zip(batch, replies):
+                if not fut.done():
+                    fut.set_result(rep)
+
+    def _exec_search_batch(self, specs: list[dict]) -> list:
+        out: list = [None] * len(specs)
+        groups: dict = {}
+        cfg_scorer = str(self.client.config.get("DEFAULT_SCORER"))
+        cfg_dialect = int(self.client.config.get("DEFAULT_DIALECT"))
+        for i, s in enumerate(specs):
+            o = s["opts"]
+            key = (s["name"], o.get("scorer", cfg_scorer),
+                   int(o.get("dialect", cfg_dialect)))
+            groups.setdefault(key, []).append(i)
+        for (name, scorer, dialect), idxs in groups.items():
+            try:
+                if len(idxs) == 1:
+                    i = idxs[0]
+                    out[i] = self.dispatch_spec(specs[i])
+                    continue
+                queries = [specs[i]["query"] for i in idxs]
+                params = [specs[i]["opts"].get("params") for i in idxs]
+                # fixed-width batches: one executable set regardless of
+                # instantaneous concurrency (padding replays last query)
+                pad_to = min(self._batch_max, 64)
+                if len(queries) < pad_to:
+                    queries += [queries[-1]] * (pad_to - len(queries))
+                    params += [params[-1]] * (pad_to - len(params))
+                k = max(specs[i]["opts"].get("offset", 0)
+                        + specs[i]["opts"].get("num", 10) for i in idxs)
+                k = int(max(k, 10))
+                resl = self.client.ft_search_many(
+                    name, queries, params, k=k, scorer=scorer,
+                    dialect=dialect)
+                for i, res in zip(idxs, resl):
+                    off = specs[i]["opts"].get("offset", 0)
+                    num = specs[i]["opts"].get("num", 10)
+                    res.hits = res.hits[off:off + num]
+                    out[i] = self._format_search(res, specs[i])
+            except RSError as e:
+                for i in idxs:
+                    if out[i] is None:
+                        out[i] = e
+            except Exception as e:
+                for i in idxs:
+                    if out[i] is None:
+                        out[i] = RSError(f"{type(e).__name__}: {e}")
+        return out
+
+    def dispatch_spec(self, spec: dict):
+        try:
+            return self._run_search(spec)
+        except RSError as e:
+            return e
+        except Exception as e:
+            return RSError(f"{type(e).__name__}: {e}")
 
     # -- command dispatch ---------------------------------------------------
     def dispatch(self, argv: list[str]):
@@ -492,6 +583,44 @@ class Server:
 
     # -- search ----------------------------------------------------------
     def _cmd_FT_SEARCH(self, av):
+        spec = self._parse_search(av)
+        return self._run_search(spec)
+
+    def _run_search(self, spec: dict):
+        res = self.client.ft_search(
+            spec["name"], spec["query"], highlight=spec["highlight"],
+            summarize=spec["summarize"], no_content=spec["no_content"],
+            filters=spec["filters"] or None,
+            return_fields=spec["return_fields"], **spec["opts"])
+        return self._format_search(res, spec)
+
+    def _format_search(self, res, spec: dict):
+        with_scores = spec["with_scores"]
+        no_content = spec["no_content"]
+        out: list = [res.total]
+        results3: list = []
+        for h in res.hits:
+            out.append(h.key)
+            row3: dict = {"id": h.key}
+            if with_scores:
+                out.append(h.score)
+                row3["score"] = float(h.score)
+            if not no_content:
+                row: list = []
+                attrs: dict = {}
+                for k, v in (h.fields or {}).items():
+                    row.extend([k, _tostr(v)])
+                    attrs[k] = _tostr(v)
+                out.append(row)
+                row3["extra_attributes"] = attrs
+                row3["values"] = []
+            results3.append(row3)
+        r3 = {"attributes": [], "error": [],
+              "total_results": res.total, "format": "STRING",
+              "results": results3, "warning": list(res.warnings or [])}
+        return ProtoReply(out, r3)
+
+    def _parse_search(self, av) -> dict:
         name = av.next()
         query = av.next()
         opts: dict = {"offset": 0, "num": 10}
@@ -574,34 +703,11 @@ class Server:
                 av.next()
                 opts["payload"] = av.next().encode()
             else:
-                return RSError(f"Unknown argument `{av.next()}`")
-        res = self.client.ft_search(name, query, highlight=highlight,
-                                    summarize=summarize,
-                                    no_content=no_content,
-                                    filters=filters or None,
-                                    return_fields=return_fields, **opts)
-        out: list = [res.total]
-        results3: list = []
-        for h in res.hits:
-            out.append(h.key)
-            row3: dict = {"id": h.key}
-            if with_scores:
-                out.append(h.score)
-                row3["score"] = float(h.score)
-            if not no_content:
-                row: list = []
-                attrs: dict = {}
-                for k, v in (h.fields or {}).items():
-                    row.extend([k, _tostr(v)])
-                    attrs[k] = _tostr(v)
-                out.append(row)
-                row3["extra_attributes"] = attrs
-                row3["values"] = []
-            results3.append(row3)
-        r3 = {"attributes": [], "error": [],
-              "total_results": res.total, "format": "STRING",
-              "results": results3, "warning": list(res.warnings or [])}
-        return ProtoReply(out, r3)
+                raise RSError(f"Unknown argument `{av.next()}`")
+        return {"name": name, "query": query, "opts": opts,
+                "no_content": no_content, "with_scores": with_scores,
+                "return_fields": return_fields, "highlight": highlight,
+                "summarize": summarize, "filters": filters}
 
     def _parse_hl(self, av) -> dict:
         hl: dict = {}
@@ -1037,9 +1143,31 @@ class Server:
                      writer: asyncio.StreamWriter):
         loop = asyncio.get_running_loop()
         proto = 2
+        # protocol parsing runs in the native codec when available
+        # (reference analog: the C command/reply layer, module.c/reply.c)
+        native_parser = None
+        try:
+            from . import native_resp
+            if native_resp.available():
+                native_parser = native_resp.RespParser()
+        except Exception:
+            native_parser = None
+
+        async def next_command():
+            if native_parser is None:
+                return await read_command(reader)
+            while True:
+                argv = native_parser.next()
+                if argv is not None:
+                    return argv
+                data = await reader.read(65536)
+                if not data:
+                    return None
+                native_parser.feed(data)
+
         try:
             while True:
-                argv = await read_command(reader)
+                argv = await next_command()
                 if argv is None:
                     break
                 if not argv:
@@ -1064,6 +1192,20 @@ class Server:
                     writer.write(encode(_Status("RESET"), proto))
                     await writer.drain()
                     continue
+                if (cmd == "FT.SEARCH" and self._micro_batch
+                        and self._bq is not None):
+                    # coalesce with other in-flight searches (micro-batch)
+                    try:
+                        spec = self._parse_search(Argv(argv[1:]))
+                    except Exception:
+                        spec = None
+                    if spec is not None and self._batchable(spec):
+                        fut = loop.create_future()
+                        self._bq.put_nowait((spec, fut))
+                        reply = await fut
+                        writer.write(encode(reply, proto))
+                        await writer.drain()
+                        continue
                 if cmd in _READ_CMDS:
                     await self._lock.acquire_read()
                     try:
@@ -1086,6 +1228,9 @@ class Server:
             writer.close()
 
     async def serve(self):
+        if self._micro_batch and self._bq is None:
+            self._bq = asyncio.Queue()
+            self._batcher_task = asyncio.ensure_future(self._batcher())
         server = await asyncio.start_server(self.handle, self.host,
                                             self.port)
         return server

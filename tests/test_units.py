@@ -278,3 +278,39 @@ def test_snowball_languages_exact():
         st = Stemmer(lang)
         for word, want in pairs:
             assert (st.stem(word) or word) == want, (lang, word)
+
+
+def test_native_resp_parser():
+    """Native RESP codec (native/resp_codec.cpp): streaming parse of
+    arrays-of-bulk-strings, partial feeds, pipelining, inline commands."""
+    import pytest as _pytest
+    from redisearch_tpu import native_resp
+    if not native_resp.available():
+        _pytest.skip("no native toolchain")
+    p = native_resp.RespParser()
+    # pipelined commands in one feed
+    p.feed(b"*2\r\n$4\r\nPING\r\n$3\r\nfoo\r\n*1\r\n$4\r\nPING\r\n")
+    assert p.next() == ["PING", "foo"]
+    assert p.next() == ["PING"]
+    assert p.next() is None
+    # byte-at-a-time partial feed
+    msg = b"*3\r\n$3\r\nSET\r\n$1\r\nk\r\n$5\r\nhello\r\n"
+    for i in range(len(msg)):
+        assert p.next() is None or True
+        p.feed(msg[i:i + 1])
+    assert p.next() == ["SET", "k", "hello"]
+    # inline command
+    p.feed(b"PING inline arg\r\n")
+    assert p.next() == ["PING", "inline", "arg"]
+    # binary-safe payload (vector blob bytes)
+    blob = bytes(range(256))
+    p.feed(b"*2\r\n$3\r\nGET\r\n$256\r\n" + blob + b"\r\n")
+    out = p.next()
+    assert out[0] == "GET"
+    assert out[1].encode("utf-8", "surrogateescape") == blob
+    # protocol error
+    p.feed(b"*x\r\n")
+    import pytest as _p2
+    with _p2.raises(ValueError):
+        while p.next() is not None:
+            pass
