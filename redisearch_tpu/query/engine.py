@@ -841,21 +841,30 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
             [blobs, np.repeat(blobs[-1:], B - B_real, axis=0)])
     k_eff = min(max(k, 1), seg.n_pad)
     now = int(cq0.opts.now)
+    fexp = seg.field_fexp.get(field.attribute)
     sig = (f"pureknn|{seg.n_pad}|{col.vecs.dtype}|{metric}|B={B}"
-           f"|k={k_eff}|t={seg.has_ttl}|d={seg.n_deleted > 0}")
+           f"|k={k_eff}|t={seg.has_ttl}|d={seg.n_deleted > 0}"
+           f"|fx={fexp is not None}")
     seg_args = {"vecs": col.vecs, "sq": col.sq_norms,
                 "present": col.present, "alive": seg.alive,
                 "expire_at": seg.expire_at}
+    if fexp is not None:
+        seg_args["fexp"] = fexp
     dyn = {"blobs": blobs, "now": np.int32(now)}
     entry = _COMPILE_CACHE.get(sig)
     if entry is None:
         has_ttl = seg.has_ttl
+
+        has_fexp = fexp is not None
 
         def run(sa, dy):
             valid = sa["present"] & sa["alive"]
             if has_ttl:
                 exp = sa["expire_at"]
                 valid = valid & ((exp == 0) | (exp > dy["now"]))
+            if has_fexp:
+                fe = sa["fexp"]
+                valid = valid & ~((fe > 0) & (fe <= dy["now"]))
             d = V.distances_to(sa["vecs"], sa["sq"], dy["blobs"],
                                metric)                     # [B, N]
             dm = jnp.where(valid[None, :], d, 3.4e38)
@@ -1003,11 +1012,20 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args[f"tag{j}_docs"] = (tp.doc_ids if tp is not None
                                 else jnp.zeros(1, jnp.int32))
     for leaf, _idx in cq.leaves():
-        if (isinstance(leaf, (LTag, LNumeric, LGeo))
+        if (isinstance(leaf, (LTag, LNumeric, LGeo, LVecRange))
                 and leaf.field in seg.field_fexp):
             kind = ("tag" if isinstance(leaf, LTag)
-                    else "num" if isinstance(leaf, LNumeric) else "geo")
+                    else "num" if isinstance(leaf, LNumeric)
+                    else "geo" if isinstance(leaf, LGeo) else "vec")
             args[f"{kind}{leaf.ord}_fexp"] = seg.field_fexp[leaf.field]
+        if isinstance(leaf, LMissing):
+            if leaf.field in seg.field_fexp:
+                args[f"has_{leaf.field}_fexp"] = seg.field_fexp[leaf.field]
+            elif seg.text_fexp is not None:
+                fld = cq.schema.try_field(leaf.field)
+                if fld is not None and fld.type == FieldType.TEXT:
+                    args[f"has_{leaf.field}_fexp"] = \
+                        seg.text_fexp[:, fld.field_id]
         if isinstance(leaf, LNumeric):
             col = seg.numerics[leaf.field]
             args[f"num{leaf.ord}_v"] = col.values
@@ -1038,6 +1056,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_vecs"] = col.vecs
         args["knn_present"] = col.present
         args["knn_sq"] = col.sq_norms
+        if field.attribute in seg.field_fexp:
+            args["knn_fexp"] = seg.field_fexp[field.attribute]
         if col.multi:
             args["knn_doc_rows"] = col.doc_rows
         # (query blob itself is per-query dynamic state — see bind())
@@ -1114,6 +1134,10 @@ class _PackedExecutor:
             return d
 
         def packed(seg_args_, buf):
+            # transport buffer is int32, NOT float32: small ints bitcast
+            # to f32 are denormals, and TPU flushes denormals to zero in
+            # downstream ops — f32 payloads ride as bit patterns instead
+            # (integer ops never flush), mirroring the input buffer.
             out = raw_fn(seg_args_, unpack(buf))
             parts = []
             for key in sorted(out):
@@ -1122,14 +1146,16 @@ class _PackedExecutor:
                 if flat.shape[0] == 0:
                     continue
                 if flat.dtype == jnp.int32:
-                    flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
+                    pass
                 elif flat.dtype == jnp.bool_:
-                    flat = flat.astype(jnp.float32)
-                elif flat.dtype != jnp.float32:
-                    flat = flat.astype(jnp.float32)
+                    flat = flat.astype(jnp.int32)
+                else:
+                    if flat.dtype != jnp.float32:
+                        flat = flat.astype(jnp.float32)
+                    flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
                 parts.append(flat)
             return jnp.concatenate(parts) if parts else jnp.zeros(
-                (0,), jnp.float32)
+                (0,), jnp.int32)
 
         # output layout via abstract eval (no device work)
         dyn_buf = self._pack(dyn_proto)
@@ -1180,9 +1206,11 @@ class _PackedExecutor:
             if dt == "int32":
                 v = v.view(np.int32)
             elif dt == "bool":
-                v = v.astype(bool)
-            elif dt != "float32":
-                v = v.astype(np.dtype(dt))
+                v = v.view(np.int32).astype(bool)
+            else:
+                v = v.view(np.float32)
+                if dt != "float32":
+                    v = v.astype(np.dtype(dt))
             out[key] = v.reshape(shape) if shape else v[0]
         return out
 
@@ -1228,6 +1256,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     knn_nprobe = (knn.ef_runtime or cq.schema.field(knn.field).vector.nprobe
                   if knn is not None else 0)
     knn_policy = (knn.hybrid_policy if knn is not None else None)
+    knn_has_fexp = (knn is not None and cq.schema.field(knn.field).attribute
+                    in seg_proto.field_fexp)
     dismax = scorer == "DISMAX"
     n_pad_static = seg_proto.n_pad
     # segment fast-path flags: clean segments skip per-candidate
@@ -1511,6 +1541,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     m = (seg[f"vec{leaf.ord}_p"][cd]
                          & (d <= dyn[f"vrad{leaf.ord}"])
                          & (docs != W.INVALID))
+                    if leaf.field in fexp_attrs:
+                        m = field_alive("vec", leaf.ord, docs, m)
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LHostMask):
@@ -1520,9 +1552,16 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, jnp.where(m, const, 0.0)
                 return f
             if isinstance(leaf, LMissing):
+                # a field whose TTL lapsed counts as missing (reference:
+                # expired fields behave like deleted fields for
+                # ismissing(), field_expiration docs)
                 def f(docs, dl):
-                    m = (~seg[f"has_{leaf.field}"][clampdoc(docs)]
-                         & (docs != W.INVALID))
+                    cdk = clampdoc(docs)
+                    m = ~seg[f"has_{leaf.field}"][cdk]
+                    if f"has_{leaf.field}_fexp" in seg:
+                        fe = seg[f"has_{leaf.field}_fexp"][cdk]
+                        m = m | ((fe > 0) & (fe <= dyn["now"]))
+                    m = m & (docs != W.INVALID)
                     return m, jnp.zeros(docs.shape, jnp.float32)
                 return f
             if isinstance(leaf, LAll):
@@ -1666,14 +1705,24 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             return _metric_dist(seg["knn_vecs"][cd_], seg["knn_sq"][cd_],
                                 q, knn_metric)
 
+        def knn_ok(cd_=None):
+            """Vector present AND not field-expired (HEXPIRE on the KNN
+            field drops the doc from vector results at match time)."""
+            p = (seg["knn_present"] if cd_ is None
+                 else seg["knn_present"][cd_])
+            if knn_has_fexp:
+                fe = (seg["knn_fexp"] if cd_ is None
+                      else seg["knn_fexp"][cd_])
+                p = p & ~((fe > 0) & (fe <= dyn["now"]))
+            return p
+
         if mode == "window":
             out["docs"] = docs
             out["valid"] = valid
             out["score"] = score
             if knn is not None:
                 d = knn_doc_dist(cd)
-                out["knn"] = jnp.where(valid & seg["knn_present"][cd],
-                                       d, 3.4e38)
+                out["knn"] = jnp.where(valid & knn_ok(cd), d, 3.4e38)
             return out
 
         if knn is not None:
@@ -1686,7 +1735,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 or (knn_policy is None and Wc <= 16384))
             if use_exact_gather:
                 d = knn_doc_dist(cd)
-                dm = jnp.where(valid & seg["knn_present"][cd], d, 3.4e38)
+                dm = jnp.where(valid & knn_ok(cd), d, 3.4e38)
                 vals, sel = T.fast_top_k(-dm, k_eff)
                 out["idx"] = docs[sel]
                 out["knn"] = -vals
@@ -1733,13 +1782,13 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     d = V.distances_to(seg["knn_vecs"], seg["knn_sq"], q,
                                        knn_metric)
                 # window is the iota ordering here, so valid aligns by doc
-                dm = jnp.where(valid & seg["knn_present"], d, 3.4e38)
+                dm = jnp.where(valid & knn_ok(), d, 3.4e38)
                 vals, sel = T.fast_top_k(-dm, k_eff)
                 out["idx"] = sel
                 out["knn"] = -vals
                 out["scores"] = score[sel]
             out["count"] = jnp.sum(
-                (valid & seg["knn_present"][cd]).astype(jnp.int32))
+                (valid & knn_ok(cd)).astype(jnp.int32))
             return out
 
         if opts.sort_field:

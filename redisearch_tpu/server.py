@@ -1235,6 +1235,18 @@ class Server:
                                             self.port)
         return server
 
+    async def aclose(self):
+        """Cancel the micro-batcher so the event loop can shut down clean."""
+        task = getattr(self, "_batcher_task", None)
+        if task is not None and not task.done():
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+        self._batcher_task = None
+        self._bq = None
+
     def run(self):
         async def main():
             server = await self.serve()

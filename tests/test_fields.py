@@ -219,3 +219,67 @@ def test_field_ttl_match_time():
     assert c2.ft_search("fy", "soon", no_content=True).total == 1
     # HEXPIRE return codes: 1 per existing field, -2 for missing key/field
     assert c2.hexpire("a", 10, ["t", "zz"]) == [1, -2]
+
+
+def test_vector_field_ttl_knn():
+    """HEXPIRE on a VECTOR field removes the doc from KNN / range results
+    at match time (reference: ttl_table applies to every field type)."""
+    import numpy as np
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType, VectorParams
+
+    c = Client()
+    c.ft_create("vx", [Field("t", FieldType.TEXT),
+                       Field("v", FieldType.VECTOR,
+                             vector=VectorParams(dim=4, metric="L2"))])
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(6, 4)).astype(np.float32)
+    for i in range(6):
+        c.hset(f"d{i}", {"t": f"doc {i}", "v": vecs[i]})
+    q = vecs[2]
+
+    r = c.ft_search("vx", "*=>[KNN 3 @v $q]", params={"q": q},
+                    no_content=True)
+    assert r.hits[0].key == "d2"
+
+    c.hexpire("d2", -1, ["v"])          # expire d2's vector field only
+    r = c.ft_search("vx", "*=>[KNN 3 @v $q]", params={"q": q},
+                    no_content=True)
+    assert all(h.key != "d2" for h in r.hits)
+    # the text field is untouched
+    assert c.ft_search("vx", '@t:"doc"', no_content=True).total == 6
+
+    # filtered KNN path too
+    r = c.ft_search("vx", "(@t:doc)=>[KNN 3 @v $q]", params={"q": q},
+                    no_content=True)
+    assert all(h.key != "d2" for h in r.hits)
+
+    # vector range query leaf
+    r = c.ft_search("vx", "@v:[VECTOR_RANGE 100 $q]", params={"q": q},
+                    no_content=True)
+    assert all(h.key != "d2" for h in r.hits) and r.total == 5
+
+
+def test_expired_field_counts_as_missing():
+    """ismissing(@f) matches docs whose field TTL lapsed (expired fields
+    behave like absent fields, reference field-expiration semantics)."""
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    c.ft_create("mx", [Field("t", FieldType.TEXT, indexmissing=True),
+                       Field("g", FieldType.TAG, indexmissing=True)])
+    c.hset("a", {"t": "alpha words", "g": "x"})
+    c.hset("b", {"g": "y"})                      # no t at all
+    c.hset("cc", {"t": "gamma words", "g": "z"})
+
+    r = c.ft_search("mx", "ismissing(@t)", no_content=True)
+    assert sorted(h.key for h in r.hits) == ["b"]
+
+    c.hexpire("cc", -1, ["t"])                   # text-field expiry
+    r = c.ft_search("mx", "ismissing(@t)", no_content=True)
+    assert sorted(h.key for h in r.hits) == ["b", "cc"]
+
+    c.hexpire("a", -1, ["g"])                    # tag-field expiry
+    r = c.ft_search("mx", "ismissing(@g)", no_content=True)
+    assert sorted(h.key for h in r.hits) == ["a"]

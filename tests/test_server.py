@@ -80,6 +80,7 @@ def run_session(loop, coro_fn):
             c.w.close()
             server.close()
             await server.wait_closed()
+            await srv.aclose()
     return loop.run_until_complete(main())
 
 
@@ -248,6 +249,7 @@ def test_concurrent_reads(loop):
             c.w.close()
         server.close()
         await server.wait_closed()
+        await srv.aclose()
         return True
     assert loop.run_until_complete(main())
 
