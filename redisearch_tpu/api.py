@@ -94,9 +94,14 @@ class Client:
                   score_field: Optional[str] = None,
                   on_json: bool = False,
                   skip_initial_scan: bool = False,
+                  background_scan: bool = False,
                   **schema_kw) -> SearchIndex:
         """FT.CREATE — also scans existing keys matching the rule
-        (reference: background scan, indexes_scanner.c; synchronous here)."""
+        (reference: background scan, indexes_scanner.c).  Synchronous by
+        default (deterministic for an embedded client); background_scan
+        returns immediately and indexes on a thread, with progress in
+        FT.INFO (indexing / percent_indexed) and OOM-abort semantics
+        (indexes_scanner.c:116: scan stops, progress freezes)."""
         if name in self._indexes:
             raise IndexExists(f"Index {name} already exists")
         schema = Schema(name=name, fields=list(fields), prefixes=prefixes,
@@ -107,10 +112,49 @@ class Client:
         self._indexes[name] = ix
         _log.logger.info("created index %s (%d fields)",
                          _log.fmt_index(name), len(fields))
-        if not skip_initial_scan:
-            for key, fieldsv in self._keyspace.items():
+        if skip_initial_scan:
+            return ix
+        snapshot = list(self._keyspace.items())
+        if not background_scan:
+            for key, fieldsv in snapshot:
                 if self._rule_matches(schema, key, fieldsv):
                     ix.add_document(key, fieldsv)
+            return ix
+
+        import threading
+
+        ix.scan_state = {"running": True, "scanned": 0,
+                         "total": len(snapshot), "oom_abort": False}
+
+        def _scan():
+            try:
+                for j, (key, fieldsv) in enumerate(snapshot):
+                    if _scan_oom():
+                        ix.scan_state["oom_abort"] = True
+                        _log.logger.warning(
+                            "background scan of %s aborted on OOM at "
+                            "%d/%d", _log.fmt_index(name), j,
+                            len(snapshot))
+                        return
+                    if self._rule_matches(schema, key, fieldsv):
+                        ix.add_document(key, fieldsv)
+                    ix.scan_state["scanned"] = j + 1
+                ix.commit()
+            finally:
+                ix.scan_state["running"] = False
+
+        def _scan_oom() -> bool:
+            try:
+                import jax
+                stats = jax.devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit", 0)
+                return bool(limit) and (stats.get("bytes_in_use", 0)
+                                        / limit > 0.95)
+            except Exception:
+                return False
+
+        threading.Thread(target=_scan, daemon=True,
+                         name=f"rs-scan-{name}").start()
         return ix
 
     def ft_alter(self, name: str, field: Field,

@@ -24,6 +24,7 @@ from ..analysis.stopwords import StopWordList
 from ..analysis.synonyms import SynonymMap
 from ..query import ast
 from ..query.engine import CompiledQuery, QueryOptions, execute
+from ..query.engine import compile_seconds as engine_compile_seconds
 from ..query.parser import QueryParser
 from ..schema import FieldType, Schema
 from ..utils import log as _log
@@ -101,6 +102,20 @@ class SearchIndex:
         # RLock: compact() re-enters commit() (commit -> maybe_compact ->
         # compact -> commit)
         self._commit_lock = threading.RLock()
+        # background initial scan progress (reference: indexes_scanner.c
+        # scannedDocs/totalDocs surfaced in FT.INFO as indexing +
+        # percent_indexed; OOM aborts the scan with frozen progress)
+        self.scan_state: Optional[dict] = None
+
+    def wait_scan(self, timeout: float = 30.0) -> bool:
+        """Block until a background initial scan finishes (True) or the
+        timeout lapses (False).  No-op when the scan was synchronous."""
+        deadline = time.perf_counter() + timeout
+        while self.scan_state and self.scan_state.get("running"):
+            if time.perf_counter() > deadline:
+                return False
+            time.sleep(0.005)
+        return True
 
     # -- write path ---------------------------------------------------------
     def add_document(self, key: str, fields: dict[str, Any],
@@ -427,7 +442,12 @@ class SearchIndex:
                     raise TimeoutError_("Timeout limit was reached")
                 warnings.append("Timeout limit was reached")
                 break
+            comp0 = engine_compile_seconds()
             res = execute(cq, seg, k)
+            if deadline is not None:
+                # a first-use executor compile is amortized setup, not
+                # query work: it must not burn the timeout budget
+                deadline += engine_compile_seconds() - comp0
             total += res.count
             gids = seg.gids_host
             n_valid = min(k, res.local_idx.shape[0])
@@ -624,6 +644,17 @@ class SearchIndex:
                               "language": self.schema.language},
             "num_docs": self.doctable.num_docs,
             "max_doc_id": self.doctable.max_gid,
+            "indexing": int(bool(self.scan_state
+                                 and self.scan_state.get("running"))),
+            "percent_indexed": (
+                1.0 if not self.scan_state
+                else (self.scan_state["scanned"]
+                      / max(self.scan_state["total"], 1))),
+            "background_indexing_status": (
+                "OK" if not self.scan_state
+                else ("PAUSED_ON_OOM" if self.scan_state.get("oom_abort")
+                      else ("RUNNING" if self.scan_state.get("running")
+                            else "OK"))),
             "num_terms": n_terms,
             "num_records": n_records,
             "num_segments": len(self.segments),

@@ -99,6 +99,22 @@ def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
     return -vals, idx
 
 
+def knn_scan_batches(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
+                     present: jnp.ndarray, Qc: jnp.ndarray, k: int,
+                     metric: str, mask: jnp.ndarray | None = None):
+    """Chunked batched KNN: Qc [it, B, d] -> (dists [it, B, k], idx).
+
+    One XLA dispatch scans the chunk axis, so per-dispatch overhead
+    (host->device latency, program launch) amortizes over it*B queries —
+    the serving layer's deep-queue shape.  Each chunk is one MXU matmul;
+    the fp32 scan is HBM-bandwidth-bound and the top-k fuses with the
+    matmul's output reduction."""
+    def body(_, q):
+        return None, knn_batch(vecs, sq_norms, present, q, k, metric,
+                               mask=mask)
+    return jax.lax.scan(body, None, Qc)[1]
+
+
 def range_query(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
                 present: jnp.ndarray, q: jnp.ndarray, radius: float,
                 metric: str):

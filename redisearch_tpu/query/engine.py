@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time as _time
 from functools import partial
 from typing import Any, Optional
 
@@ -1093,6 +1094,16 @@ def _dyn_fingerprint(dyn: dict) -> str:
         for k, v in sorted(dyn.items()))
 
 
+_COMPILE_SECONDS = 0.0
+
+
+def compile_seconds() -> float:
+    """Cumulative wall time spent tracing/XLA-compiling executors.  Query
+    deadline loops snapshot this around execute() calls and credit the
+    delta, so a one-time compile never burns a query's timeout budget."""
+    return _COMPILE_SECONDS
+
+
 class _PackedExecutor:
     """Wraps a built executor so all per-query dynamic state crosses
     host->device as ONE int32 buffer and all outputs come back as ONE
@@ -1101,7 +1112,7 @@ class _PackedExecutor:
     transfer) and still trims dispatch overhead on local attach."""
 
     __slots__ = ("fn", "in_layout", "in_total", "out_layout", "out_total",
-                 "out_keys")
+                 "out_keys", "_warm")
 
     def __init__(self, raw_fn, dyn_proto: dict, seg_args: dict):
         # input layout from the prototype dyn (same sig => same shapes)
@@ -1170,6 +1181,7 @@ class _PackedExecutor:
             off += n
         self.out_total = off
         self.fn = jax.jit(packed)
+        self._warm = False
 
     def _pack(self, dyn: dict) -> np.ndarray:
         buf = np.empty(self.in_total, np.int32)
@@ -1186,8 +1198,21 @@ class _PackedExecutor:
         return buf
 
     def submit(self, seg_args: dict, dyn: dict):
-        """Async dispatch: returns the device value (one future)."""
-        return self.fn(seg_args, self._pack(dyn))
+        """Async dispatch: returns the device value (one future).
+
+        The first call traces + XLA-compiles synchronously; that time is
+        booked into the module compile clock so callers can exclude it
+        from query deadlines (the reference's timeout clocks execution,
+        not one-time executable builds)."""
+        buf = self._pack(dyn)
+        if self._warm:
+            return self.fn(seg_args, buf)
+        t0 = _time.perf_counter()
+        out = self.fn(seg_args, buf)
+        global _COMPILE_SECONDS
+        _COMPILE_SECONDS += _time.perf_counter() - t0
+        self._warm = True
+        return out
 
     def finish(self, flat_dev) -> dict:
         """Blocking collect: ONE d2h transfer, unpacked by layout."""

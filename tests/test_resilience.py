@@ -159,3 +159,51 @@ def test_debug_fault_injection():
     res = c.ft_aggregate("dbg", AggregateRequest("common").load("t"))
     assert len(res.rows) == 3
     assert res.warnings == ["Timeout limit was reached"]
+
+
+def test_background_initial_scan():
+    """FT.CREATE with a background scan indexes existing keys on a thread;
+    FT.INFO exposes indexing/percent_indexed while it runs (reference:
+    indexes_scanner.c scanned/total surfaced in info)."""
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    for i in range(200):
+        c.hset(f"doc{i}", {"t": f"common word{i % 5}"})
+    ix = c.ft_create("bg", [Field("t", FieldType.TEXT)],
+                     background_scan=True)
+    assert ix.wait_scan(timeout=60.0)
+    info = c.ft_info("bg")
+    assert info["indexing"] == 0
+    assert info["percent_indexed"] == 1.0
+    assert info["background_indexing_status"] == "OK"
+    r = c.ft_search("bg", "common", no_content=True)
+    assert r.total == 200
+
+    # synchronous create reports no scan state at all
+    c2 = Client()
+    c2.hset("a", {"t": "x y"})
+    c2.ft_create("sync", [Field("t", FieldType.TEXT)])
+    info2 = c2.ft_info("sync")
+    assert info2["indexing"] == 0 and info2["percent_indexed"] == 1.0
+
+
+def test_compile_time_not_charged_to_timeout():
+    """First use of a query shape XLA-compiles (seconds); that one-time
+    cost must not burn the query timeout budget and truncate segment
+    iteration (reference: timeouts clock query execution, not setup)."""
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    c.ft_create("ct", [Field("t", FieldType.TEXT)])
+    for i in range(30):
+        c.hset(f"k{i}", {"t": f"shared tok{i % 7}"})
+    c.ft_search("ct", "shared", no_content=True)   # seals segment 1
+    c.hset("k999", {"t": "shared fresh"})          # -> segment 2
+    ix = c._index("ct")
+    ix.timeout_ms = 50   # far below one compile, far above one execute
+    res = ix.search("fresh")                       # new shape: compiles
+    assert res.total == 1, (res.total, res.warnings)
+    assert not res.warnings
