@@ -5,6 +5,11 @@ groupby/reduce + SORTBY with sharded fan-out and ICI top-k merge").
 device one-hot-MXU aggregation path (ops/groupby.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -6,6 +6,11 @@ Synthetic glove-100-shaped data (1M x 100 f32, cosine).  Sweeps IVF nprobe
 exact FLAT scan as the recall=1.0 reference point.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -9,6 +9,11 @@ variants) and FT.HYBRID RRF/LINEAR text+vector fusion.
 Run on the TPU host: `python benchmarks/filtered_knn_bench.py`.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -233,7 +233,12 @@ class Client:
                     loc = seg.gid_to_local.get(meta.gid)
                     if loc is not None:
                         seg.expire_at = seg.expire_at.at[loc].set(
-                            int(meta.expires_at))
+                            int(-(-meta.expires_at // 1)))  # ceil: do not
+                        # expire earlier than the requested deadline
+                        # flip the clean-segment fast path off: sealed
+                        # segments with no TTLs compile without the
+                        # expiry check (sig carries t=has_ttl)
+                        seg.has_ttl = True
                         break
 
     def hexpire(self, key: str, seconds: float,
@@ -373,11 +378,26 @@ class Client:
         queries = list(queries) + [queries[-1]] * (B - n_real)
         params = (list(params) + [params[-1]] * (B - n_real)
                   if params else None)
+        import copy
+
         cqs = []
         for i, q in enumerate(queries):
             p = params[i] if params else None
-            root = ix.parse_query(q, p, dialect)
-            cqs.append(ix.compile(root, QueryOptions(scorer=scorer, k=k)))
+            cq = ix.prepare(q, p, QueryOptions(scorer=scorer, k=k),
+                            dialect)
+            if cq.knn is not None or cq.vec_blobs:
+                # prepare() rebinds vector payloads onto a SHARED cached
+                # object — snapshot them so two same-string KNN queries
+                # with different blobs in one batch don't alias (the
+                # shallow clone shares slots/tree/bind-memo; bind reads
+                # payloads from the clone's own state)
+                cq2 = copy.copy(cq)
+                if cq.knn is not None:
+                    cq2.knn = copy.copy(cq.knn)
+                cq2.vec_blobs = list(cq.vec_blobs)
+                cq2.vec_radii = list(cq.vec_radii)
+                cq = cq2
+            cqs.append(cq)
         out: list = [None] * len(cqs)
         import numpy as np
         for seg in ix.segments:

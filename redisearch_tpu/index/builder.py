@@ -110,6 +110,7 @@ class SegmentBuilder:
         self._stemmers: dict[str, Stemmer] = {}
         # staging
         self._gids: list[int] = []
+        self._metas: list = []       # DocMeta refs: TTLs re-read at seal
         self._doclen: list[float] = []
         self._maxfreq: list[float] = []
         self._docscore: list[float] = []
@@ -155,8 +156,10 @@ class SegmentBuilder:
         """Stage one document.  Mirrors Document_AddToIndexes."""
         local = len(self._gids)
         self._gids.append(meta.gid)
+        self._metas.append(meta)
         self._docscore.append(meta.score)
-        self._expire.append(int(meta.expires_at) if meta.expires_at else 0)
+        self._expire.append(int(-(-meta.expires_at // 1))
+                            if meta.expires_at else 0)
 
         language = str(
             meta.fields.get(self.schema.language_field, self.schema.language)
@@ -378,6 +381,13 @@ class SegmentBuilder:
         if n == 0:
             return None
         n_pad = round_up(n, LANE)
+
+        # EXPIRE can land on a doc while it is still staged (expire()
+        # only patches sealed segments): re-read doc TTLs from the live
+        # metas so the sealed columns carry them
+        for i, m in enumerate(self._metas):
+            self._expire[i] = (int(-(-m.expires_at // 1))
+                               if m.expires_at else 0)
 
         gids = np.zeros(n_pad, np.int32)
         gids[:n] = self._gids

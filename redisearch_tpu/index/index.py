@@ -345,8 +345,13 @@ class SearchIndex:
         scalar_items = []
         vec_params = {}
         for k, v in (params or {}).items():
-            if isinstance(v, (bytes, np.ndarray, list, tuple)):
+            if isinstance(v, (bytes, np.ndarray)):
                 vec_params[k] = v
+            elif isinstance(v, (list, tuple)):
+                # list params (vectors-as-lists, id lists) are baked into
+                # the AST at parse time — their VALUES must key the cache
+                vec_params[k] = v
+                scalar_items.append((k, repr(v)))
             else:
                 scalar_items.append((k, str(v)))
         key = (query, tuple(sorted(scalar_items)),
@@ -359,7 +364,7 @@ class SearchIndex:
         if cq is None:
             root = self.parse_query(query, params, dialect)
             cq = self.compile(root, opts)
-            if len(self._prepared) >= 512:
+            if len(self._prepared) >= 2048:
                 self._prepared.clear()
             self._prepared[key] = cq
         else:

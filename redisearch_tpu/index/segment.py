@@ -28,6 +28,7 @@ A segment is immutable once sealed: queries never race writers.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Any, Optional
 
 import numpy as np
@@ -320,6 +321,9 @@ class VectorColumn:
     ivf: Any = None
 
 
+_SEG_UIDS = itertools.count()
+
+
 @dataclasses.dataclass
 class Segment:
     """One sealed, immutable, device-resident index segment."""
@@ -354,6 +358,10 @@ class Segment:
     text_fexp: Any = None
     field_fexp: dict = dataclasses.field(default_factory=dict)
     _gids_np: Any = None
+    # identity for per-segment caches (bind memos): segments are immutable
+    # after seal, so a monotone uid is a sound cache key
+    uid: int = dataclasses.field(
+        default_factory=lambda: next(_SEG_UIDS))
 
     @property
     def gids_host(self) -> np.ndarray:

@@ -129,7 +129,10 @@ class QueryOptions:
     sort_asc: bool = True
     slop: int = -1                 # global SLOP request arg
     inorder: bool = False
-    now: int = 0                   # epoch seconds for TTL filtering
+    # epoch seconds for TTL filtering; defaults to the real clock so no
+    # call site can accidentally run TTL checks against t=0
+    now: int = dataclasses.field(
+        default_factory=lambda: int(_time.time()))
     max_expansions: int = expand.DEFAULT_MAX_EXPANSIONS
     min_prefix: int = expand.DEFAULT_MIN_PREFIX
     language: str = "english"
@@ -179,6 +182,7 @@ class CompiledQuery:
         self.global_avgdl: Optional[float] = None
         root = self._unwrap_knn(root)
         self.tree = self._lower(root)
+        self._bind_cache: dict = {}   # seg.uid -> (dyn template, P)
 
     # -- lowering ---------------------------------------------------------
     def _unwrap_knn(self, node: ast.Node) -> ast.Node:
@@ -338,16 +342,22 @@ class CompiledQuery:
 
     def set_synonyms(self, syn):
         self._syn = syn
+        self._bind_cache.clear()
 
     # -- signature (compile-cache key) -----------------------------------
     def signature(self, seg_sig: str, buckets: dict, P: int, k: int,
                   batch: int = 1) -> str:
-        bstr = ",".join(f"{i}:{b}" for i, b in sorted(buckets.items()))
-        return (f"{self.tree}|T={len(self.term_strings)}|B[{bstr}]|P={P}"
-                f"|k={k}|scorer={self.opts.scorer}"
+        ts = getattr(self, "_tree_str", None)
+        if ts is None:
+            # stringifying the lowered tree is O(tree) — memoize it; the
+            # rest of the key is cheap per call
+            ts = self._tree_str = (
+                f"{self.tree}|T={len(self.term_strings)}"
+                f"|scorer={self.opts.scorer}"
                 f"|sort={self.opts.sort_field}:{self.opts.sort_asc}"
-                f"|knn={self.knn.field if self.knn else None}"
-                f"|b={batch}|{seg_sig}")
+                f"|knn={self.knn.field if self.knn else None}")
+        bstr = ",".join(f"{i}:{b}" for i, b in sorted(buckets.items()))
+        return f"{ts}|B[{bstr}]|P={P}|k={k}|b={batch}|{seg_sig}"
 
     @staticmethod
     def bucket_size(n: int) -> int:
@@ -380,8 +390,34 @@ class CompiledQuery:
         return out
 
     # -- binding ----------------------------------------------------------
-    def bind(self, seg: Segment) -> tuple[SegmentBinding, int, int]:
-        """Resolve slots against one segment; returns (binding, L, P)."""
+    def bind(self, seg: Segment) -> tuple[SegmentBinding, int]:
+        """Resolve slots against one segment, memoized per segment.
+
+        Segments are immutable after seal, so everything bind computes is
+        a pure function of (this query, segment) EXCEPT the clock and the
+        vector payloads (rebound per call by prepare()).  The memo turns
+        the serving hot path's per-query numpy work into one dict copy —
+        bind dominated host time at batch-serving rates."""
+        ent = self._bind_cache.get(seg.uid)
+        if ent is None:
+            binding, P = self._bind_fresh(seg)
+            if len(self._bind_cache) > 64:
+                self._bind_cache.clear()
+            self._bind_cache[seg.uid] = (dict(binding.dyn), P)
+            return binding, P
+        dyn_t, P = ent
+        dyn = dict(dyn_t)   # callers pop/add keys on their copy
+        dyn["now"] = np.int32(self.opts.now)
+        for i, blob in enumerate(self.vec_blobs):
+            dyn[f"vblob{i}"] = blob
+            dyn[f"vrad{i}"] = np.float32(self.vec_radii[i])
+        if self.knn is not None:
+            dyn["knn_blob"] = decode_blob(
+                self.knn.blob, self.schema.field(self.knn.field))
+        return SegmentBinding(seg, dyn), P
+
+    def _bind_fresh(self, seg: Segment) -> tuple[SegmentBinding, int]:
+        """Resolve slots against one segment; returns (binding, P)."""
         opts = self.opts
         n_slots = len(self.term_strings)
         starts = np.zeros(n_slots, np.int32)
@@ -896,20 +932,31 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     cq0 = cqs[0]
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
-    bindings = []
-    P = 1
-    sigs = []
-    buckets: dict[int, tuple] = {}
+    bound = []
     for cq in cqs:
         b, p = cq.bind(seg)
         b.dyn.pop("_tagL", None)
         bk = b.dyn.pop("_buckets")
+        bound.append((cq, b, bk, p))
+    return _execute_batch_bound(bound, seg, k, async_)
+
+
+def _execute_batch_bound(bound: list, seg: Segment, k: int,
+                         async_: bool = False):
+    """Core of execute_batch over already-bound queries.  Split out so
+    the mixed-shape sub-batching path reuses bindings instead of paying
+    cq.bind() twice per query (bind is host-side numpy work that shows
+    up at serving rates)."""
+    cq0 = bound[0][0]
+    P = 1
+    sigs = []
+    buckets: dict[int, tuple] = {}
+    for _cq, _b, bk, p in bound:
         sigs.append(tuple(sorted(bk.items())) + (next_pow2(p),))
         for idx, t in bk.items():
             cur = buckets.get(idx)
             buckets[idx] = (t if cur is None else
                             tuple(max(a, c) for a, c in zip(t, cur)))
-        bindings.append(b)
         P = max(P, p)
     P = next_pow2(P)
 
@@ -926,14 +973,15 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
             # reuse a handful of executables (the padding rows replay the
             # last query and are dropped at result time)
             pad = int(next_pow2(len(idxs))) - len(idxs)
-            sub = [cqs[i] for i in idxs] + [cqs[idxs[-1]]] * pad
-            h = execute_batch(sub, seg, k, async_=True)
+            sub = [bound[i] for i in idxs] + [bound[idxs[-1]]] * pad
+            h = _execute_batch_bound(sub, seg, k, async_=True)
             parts.append((idxs, None, h))
-        handle = _BatchHandle(parts, len(cqs))
+        handle = _BatchHandle(parts, len(bound))
         return handle if async_ else handle.result()
 
+    bindings = [b for _cq, b, _bk, _p in bound]
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
-    B = len(cqs)
+    B = len(bound)
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
                f"|ivf={_knn_ivf_sig(cq0, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"

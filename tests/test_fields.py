@@ -283,3 +283,48 @@ def test_expired_field_counts_as_missing():
     c.hexpire("a", -1, ["g"])                    # tag-field expiry
     r = c.ft_search("mx", "ismissing(@g)", no_content=True)
     assert sorted(h.key for h in r.hits) == ["a"]
+
+
+def test_expire_on_staged_doc_survives_seal():
+    """EXPIRE on a document still in the staging builder must carry into
+    the sealed segment's TTL column (and into batched execution, whose
+    QueryOptions previously defaulted now=0)."""
+    import time as _time
+
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType
+
+    c = Client()
+    c.ft_create("st", [Field("t", FieldType.TEXT)])
+    for i in range(10):
+        c.hset(f"k{i}", {"t": "alpha common"})
+    c.hset("dx", {"t": "alpha gone"})
+    c.expire("dx", 0.5)                     # dx is staged, not sealed
+    _time.sleep(1.8)
+    r = c.ft_search("st", "alpha", no_content=True)   # seals + queries
+    assert r.total == 10
+    # batched path honors the wall clock too
+    many = c.ft_search_many("st", ["alpha", "common"])
+    assert [m.total for m in many] == [10, 10]
+
+
+def test_batched_same_string_knn_distinct_blobs():
+    """Two identical KNN query strings with different $vec payloads in one
+    batch must not alias through the prepared-query cache."""
+    import numpy as np
+
+    from redisearch_tpu.api import Client
+    from redisearch_tpu.schema import Field, FieldType, VectorParams
+
+    c = Client()
+    c.ft_create("kb", [Field("v", FieldType.VECTOR,
+                             vector=VectorParams(dim=4, metric="L2"))])
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(12, 4)).astype(np.float32)
+    for i in range(12):
+        c.hset(f"d{i}", {"v": vecs[i]})
+    q = "*=>[KNN 1 @v $q]"
+    many = c.ft_search_many("kb", [q, q, q],
+                            params=[{"q": vecs[2]}, {"q": vecs[7]},
+                                    {"q": vecs[9]}])
+    assert [m.hits[0].key for m in many] == ["d2", "d7", "d9"]
