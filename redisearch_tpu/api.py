@@ -417,7 +417,9 @@ class Client:
                     meta = ix.doctable.get(int(gids[int(res.local_idx[j])]))
                     if meta is None or meta.deleted:
                         continue
-                    hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
+                    # share the meta's fields dict: doctable.put replaces
+                    # metas wholesale on re-index, so the dict is stable
+                    hits.append(Hit(meta.key, sc, fields=meta.fields,
                                     vector_distance=dist, gid=meta.gid))
                 prev = out[i]
                 if prev is None:
