@@ -157,9 +157,10 @@ class AggregateResult:
 def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
     """Execute an aggregation against a SearchIndex."""
     index.commit()
-    root = index.parse_query(req.query, req.params, req.dialect)
     opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
-    cq = index.compile(root, opts)
+    # prepared-query cache: repeated aggregations (cursor reads, dashboards)
+    # skip parse+lower and reuse the per-segment bind memo
+    cq = index.prepare(req.query, req.params, opts, req.dialect)
 
     fast = _try_device_group(index, req, cq)
     if fast is not None:

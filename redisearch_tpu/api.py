@@ -402,9 +402,9 @@ class Client:
         import numpy as np
         for seg in ix.segments:
             results = execute_batch(cqs, seg, k)
+            gids = seg.gids_host   # cached host mirror, not a d2h per query
             for i, res in enumerate(results):
                 hits = []
-                gids = np.asarray(seg.gids)
                 is_knn = res.knn_dists is not None
                 for j in range(res.local_idx.shape[0]):
                     sc = float(res.scores[j])
@@ -421,6 +421,8 @@ class Client:
                     # metas wholesale on re-index, so the dict is stable
                     hits.append(Hit(meta.key, sc, fields=meta.fields,
                                     vector_distance=dist, gid=meta.gid))
+                # the device batch returns next_pow2(k) rows — trim back
+                hits = hits[:k]
                 prev = out[i]
                 if prev is None:
                     out[i] = SearchResult(total=res.count, hits=hits)

@@ -345,8 +345,10 @@ class CompiledQuery:
         self._bind_cache.clear()
 
     # -- signature (compile-cache key) -----------------------------------
-    def signature(self, seg_sig: str, buckets: dict, P: int, k: int,
-                  batch: int = 1) -> str:
+    @property
+    def tree_sig(self) -> str:
+        """Structure fingerprint: identical iff two queries can share one
+        compiled executable (same lowered tree/scorer/sort/knn shape)."""
         ts = getattr(self, "_tree_str", None)
         if ts is None:
             # stringifying the lowered tree is O(tree) — memoize it; the
@@ -356,8 +358,12 @@ class CompiledQuery:
                 f"|scorer={self.opts.scorer}"
                 f"|sort={self.opts.sort_field}:{self.opts.sort_asc}"
                 f"|knn={self.knn.field if self.knn else None}")
+        return ts
+
+    def signature(self, seg_sig: str, buckets: dict, P: int, k: int,
+                  batch: int = 1) -> str:
         bstr = ",".join(f"{i}:{b}" for i, b in sorted(buckets.items()))
-        return f"{ts}|B[{bstr}]|P={P}|k={k}|b={batch}|{seg_sig}"
+        return f"{self.tree_sig}|B[{bstr}]|P={P}|k={k}|b={batch}|{seg_sig}"
 
     @staticmethod
     def bucket_size(n: int) -> int:
@@ -952,7 +958,10 @@ def _execute_batch_bound(bound: list, seg: Segment, k: int,
     sigs = []
     buckets: dict[int, tuple] = {}
     for _cq, _b, bk, p in bound:
-        sigs.append(tuple(sorted(bk.items())) + (next_pow2(p),))
+        # tree_sig keeps structurally different queries (which cannot share
+        # an executable — and whose dyn state may not even stack) apart
+        sigs.append((_cq.tree_sig,) + tuple(sorted(bk.items()))
+                    + (next_pow2(p),))
         for idx, t in bk.items():
             cur = buckets.get(idx)
             buckets[idx] = (t if cur is None else
