@@ -367,17 +367,12 @@ class Client:
                        dialect: int = 2) -> list[SearchResult]:
         """Batched search: all queries execute in grouped device batches
         (the serving throughput path; see engine.execute_batch)."""
-        from .index.segment import next_pow2
         from .query.engine import QueryOptions, execute_batch
         ix = self._index(name)
         ix.commit()
-        # pad the batch to a power of two (duplicating the last query) so
-        # arbitrary concurrency levels reuse a handful of executables
+        # execute_batch pads each same-structure group to a power of two
+        # itself, so arbitrary concurrency levels reuse few executables
         n_real = len(queries)
-        B = int(next_pow2(max(n_real, 1)))
-        queries = list(queries) + [queries[-1]] * (B - n_real)
-        params = (list(params) + [params[-1]] * (B - n_real)
-                  if params else None)
         import copy
 
         cqs = []

@@ -183,6 +183,7 @@ class CompiledQuery:
         root = self._unwrap_knn(root)
         self.tree = self._lower(root)
         self._bind_cache: dict = {}   # seg.uid -> (dyn template, P)
+        self._row_cache: dict = {}    # seg.uid -> packed-row template
 
     # -- lowering ---------------------------------------------------------
     def _unwrap_knn(self, node: ast.Node) -> ast.Node:
@@ -343,6 +344,7 @@ class CompiledQuery:
     def set_synonyms(self, syn):
         self._syn = syn
         self._bind_cache.clear()
+        self._row_cache.clear()
 
     # -- signature (compile-cache key) -----------------------------------
     @property
@@ -421,6 +423,59 @@ class CompiledQuery:
             dyn["knn_blob"] = decode_blob(
                 self.knn.blob, self.schema.field(self.knn.field))
         return SegmentBinding(seg, dyn), P
+
+    def bind_row(self, seg: Segment):
+        """Bind against one segment as a packed int32 transport row.
+
+        The serving path's binding: everything static w.r.t.
+        (query, segment) — slot tables, window buckets, layout — is
+        computed once and cached; each execution costs one row memcpy
+        plus clock/vector-payload patches.  Returns (row, template)
+        where template = (static_row, patches, layout, total, buckets,
+        P2, group_sig, layout_fp): queries with equal group_sig can run
+        in one batched executable over stacked rows."""
+        ent = self._row_cache.get(seg.uid)
+        if ent is None:
+            binding, P = self.bind(seg)
+            dyn = binding.dyn
+            dyn.pop("_tagL", None)
+            bk = dyn.pop("_buckets")
+            layout, total = _layout_of(dyn)
+            static = np.zeros(total, np.int32)
+            _pack_into(layout, dyn, static)
+            patches = tuple(
+                e for e in layout
+                if e[0] == "now" or e[0] == "knn_blob"
+                or e[0].startswith("vblob") or e[0].startswith("vrad"))
+            P2 = int(next_pow2(P))
+            gsig = ((self.tree_sig,) + tuple(sorted(bk.items())) + (P2,))
+            lfp = ";".join(f"{k}:{s}:{d}" for k, _, _, s, d in layout)
+            ent = (static, patches, layout, total, bk, P2, gsig, lfp)
+            if len(self._row_cache) > 64:
+                self._row_cache.clear()
+            self._row_cache[seg.uid] = ent
+        static, patches = ent[0], ent[1]
+        row = static.copy()
+        for key, o, n, shape, dt in patches:
+            if key == "now":
+                row[o] = np.int32(self.opts.now)
+                continue
+            if key == "knn_blob":
+                a = decode_blob(self.knn.blob,
+                                self.schema.field(self.knn.field))
+            elif key.startswith("vblob"):
+                a = self.vec_blobs[int(key[5:])]
+            else:                       # vrad{i}
+                a = np.float32(self.vec_radii[int(key[4:])])
+            a = np.asarray(a)
+            if dt.startswith("float") or dt == "bfloat16":
+                v = a.reshape(-1).astype(np.float32).view(np.int32)
+            elif dt == "int32":
+                v = a.reshape(-1)
+            else:
+                v = a.reshape(-1).astype(np.int32)
+            row[o:o + n] = v
+        return row, ent
 
     def _bind_fresh(self, seg: Segment) -> tuple[SegmentBinding, int]:
         """Resolve slots against one segment; returns (binding, P)."""
@@ -927,81 +982,63 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
                   async_: bool = False):
     """Run a batch of same-structure queries in one device dispatch.
 
-    The throughput path (serving + benchmarks): windows batch along a vmap
-    axis and the whole batch is one XLA program — amortizing postings reads
+    The throughput path (serving + benchmarks): each group of queries
+    sharing a (tree structure, window buckets) signature becomes one XLA
+    program scanning stacked transport rows — amortizing postings reads
     and dispatch overhead the way the reference amortizes per-query cost
     across worker threads (src/util/workers.c), but on one device.
-    Queries must share a parsed structure; buckets are maxed across the
-    batch so they share one executable.  With async_=True returns a
+    Mixed batches are grouped automatically.  With async_=True returns a
     _BatchHandle immediately (device still working); .result() collects.
     """
-    cq0 = cqs[0]
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
-    bound = []
-    for cq in cqs:
-        b, p = cq.bind(seg)
-        b.dyn.pop("_tagL", None)
-        bk = b.dyn.pop("_buckets")
-        bound.append((cq, b, bk, p))
-    return _execute_batch_bound(bound, seg, k, async_)
+    # bind every query as a packed transport row (memoized per segment:
+    # one row memcpy + clock/vector patches per query), then group by
+    # group_sig — tree structure + window buckets.  Structurally different
+    # queries cannot share an executable; mixed *bucket* shapes are kept
+    # apart so one huge query never inflates everyone's windows.
+    groups: dict[tuple, list[int]] = {}
+    rows = []
+    ents = []
+    for i, cq in enumerate(cqs):
+        row, ent = cq.bind_row(seg)
+        rows.append(row)
+        ents.append(ent)
+        groups.setdefault(ent[6], []).append(i)
+    parts = []
+    for idxs in groups.values():
+        # pad each group to a power of two (replaying the last row) so
+        # arbitrary group sizes reuse a handful of executables
+        g = idxs + [idxs[-1]] * (int(next_pow2(len(idxs))) - len(idxs))
+        gr = np.stack([rows[i] for i in g])
+        entry = _rows_executor(cqs[idxs[0]], ents[idxs[0]], seg, len(g), k)
+        flat = entry.submit(_segment_args(cqs[idxs[0]], seg), {"rows": gr})
+        parts.append((g, entry, flat))
+    handle = _BatchHandle(parts, len(cqs))
+    return handle if async_ else handle.result()
 
 
-def _execute_batch_bound(bound: list, seg: Segment, k: int,
-                         async_: bool = False):
-    """Core of execute_batch over already-bound queries.  Split out so
-    the mixed-shape sub-batching path reuses bindings instead of paying
-    cq.bind() twice per query (bind is host-side numpy work that shows
-    up at serving rates)."""
-    cq0 = bound[0][0]
-    P = 1
-    sigs = []
-    buckets: dict[int, tuple] = {}
-    for _cq, _b, bk, p in bound:
-        # tree_sig keeps structurally different queries (which cannot share
-        # an executable — and whose dyn state may not even stack) apart
-        sigs.append((_cq.tree_sig,) + tuple(sorted(bk.items()))
-                    + (next_pow2(p),))
-        for idx, t in bk.items():
-            cur = buckets.get(idx)
-            buckets[idx] = (t if cur is None else
-                            tuple(max(a, c) for a, c in zip(t, cur)))
-        P = max(P, p)
-    P = next_pow2(P)
+def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
+                   k: int) -> "_PackedExecutor":
+    """Compile-cached batched executor over stacked transport rows.
 
-    # Mixed window shapes: buckets are maxed across the batch, so one huge
-    # query would make every query pay its cost.  Sub-batch by exact bucket
-    # signature — coarse pow-4 buckets keep the number of groups small.
-    if len(set(sigs)) > 1:
-        order: dict[tuple, list[int]] = {}
-        for i, sg in enumerate(sigs):
-            order.setdefault(sg, []).append(i)
-        parts = []
-        for idxs in order.values():
-            # pad each group to a power of two so arbitrary group sizes
-            # reuse a handful of executables (the padding rows replay the
-            # last query and are dropped at result time)
-            pad = int(next_pow2(len(idxs))) - len(idxs)
-            sub = [bound[i] for i in idxs] + [bound[idxs[-1]]] * pad
-            h = _execute_batch_bound(sub, seg, k, async_=True)
-            parts.append((idxs, None, h))
-        handle = _BatchHandle(parts, len(bound))
-        return handle if async_ else handle.result()
-
-    bindings = [b for _cq, b, _bk, _p in bound]
+    lax.scan over the batch axis instead of vmap: the body compiles once
+    (vmap of dynamic_slice re-lowers to arbitrary gathers and explodes
+    compile time), and per-query work stays contiguous-window shaped.
+    The packed executor then moves the whole batch's rows in ONE h2d and
+    the results in ONE d2h transfer."""
+    _static, _patches, layout, total, bk, P2, _gsig, lfp = ent
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
-    B = len(bound)
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
                f"|ivf={_knn_ivf_sig(cq0, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
                f"{sorted(seg.field_fexp)}")
-    dyn = {key: np.stack([np.asarray(b.dyn[key]) for b in bindings])
-           for key in bindings[0].dyn}
-    sig = (cq0.signature(seg_sig, buckets, P, k_pad)
-           + _dyn_fingerprint(dyn))
-    seg_args = _segment_args(cq0, seg)
+    sig = cq0.signature(seg_sig, bk, P2, k_pad) + f"|rows[{lfp}]"
+    entry = _COMPILE_CACHE.get(sig)
+    if entry is not None:
+        return entry
     # filtered-KNN batches hoist the [B, N] distance matmul out of the
     # per-query scan: queries then only gather distances at their
     # candidate docs instead of gathering dim-wide vector rows
@@ -1009,43 +1046,35 @@ def _execute_batch_bound(bound: list, seg: Segment, k: int,
         cq0.knn is not None
         and not _knn_ivf_sig(cq0, seg).endswith("multi")
         and ":ivf:" not in _knn_ivf_sig(cq0, seg))
-    knn_field = (cq0.schema.field(cq0.knn.field) if knn_row else None)
-    entry = _COMPILE_CACHE.get(sig)
-    if entry is None:
-        raw = _build_fn(cq0, seg, buckets, P, k_pad, has_extra=False,
-                        jit=False, knn_row=knn_row)
-        knn_metric = (knn_field.vector.metric.value if knn_row else None)
+    raw = _build_fn(cq0, seg, bk, P2, k_pad, has_extra=False,
+                    jit=False, knn_row=knn_row)
+    if knn_row:
+        knn_metric = cq0.schema.field(cq0.knn.field).vector.metric.value
 
-        # lax.scan over the batch axis instead of vmap: the body compiles
-        # once (vmap of dynamic_slice re-lowers to arbitrary gathers and
-        # explodes compile time), and per-query work stays
-        # contiguous-window shaped.  The packed executor then moves the
-        # whole batch's dynamic state in ONE h2d and the results in ONE
-        # d2h transfer.
-        def batched(seg_args_, dyn_stacked):
-            if knn_row:
-                D = V.distances_to(seg_args_["knn_vecs"],
-                                   seg_args_["knn_sq"],
-                                   dyn_stacked["knn_blob"],
-                                   knn_metric)             # [B, N]
+        def batched(seg_args_, dyn):
+            stacked = _device_unpack_rows(layout, dyn["rows"])
+            D = V.distances_to(seg_args_["knn_vecs"],
+                               seg_args_["knn_sq"], stacked["knn_blob"],
+                               knn_metric)               # [B, N]
 
-                def body(_, args):
-                    dyn_i, d_i = args
-                    return None, raw(seg_args_,
-                                     dict(dyn_i, knn_row=d_i))
-                _, outs = jax.lax.scan(body, None, (dyn_stacked, D))
-                return outs
+            def body(_, args):
+                dyn_i, d_i = args
+                return None, raw(seg_args_, dict(dyn_i, knn_row=d_i))
+            _, outs = jax.lax.scan(body, None, (stacked, D))
+            return outs
+    else:
+        def batched(seg_args_, dyn):
+            stacked = _device_unpack_rows(layout, dyn["rows"])
 
             def body(_, dyn_i):
                 return None, raw(seg_args_, dyn_i)
-            _, outs = jax.lax.scan(body, None, dyn_stacked)
+            _, outs = jax.lax.scan(body, None, stacked)
             return outs
 
-        entry = _PackedExecutor(batched, dyn, seg_args)
-        _COMPILE_CACHE[sig] = entry
-    flat = entry.submit(seg_args, dyn)   # async device dispatch
-    handle = _BatchHandle([(list(range(B)), entry, flat)], B)
-    return handle if async_ else handle.result()
+    proto = {"rows": np.zeros((B, total), np.int32)}
+    entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+    _COMPILE_CACHE[sig] = entry
+    return entry
 
 
 def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
@@ -1161,6 +1190,81 @@ def compile_seconds() -> float:
     return _COMPILE_SECONDS
 
 
+def _layout_of(proto: dict) -> tuple[list, int]:
+    """Canonical flat int32 transport layout for a dict of arrays:
+    sorted keys, each flattened to `size` lanes.  Shared by the packed
+    executors and the per-query row cache (bind_row) — both sides must
+    agree on it byte-for-byte."""
+    layout = []
+    off = 0
+    for key in sorted(proto):
+        a = np.asarray(proto[key])
+        n = int(a.size) if a.shape else 1
+        layout.append((key, off, n, a.shape, str(a.dtype)))
+        off += n
+    return layout, off
+
+
+def _pack_into(layout: list, dyn: dict, buf: np.ndarray) -> np.ndarray:
+    """Host-side pack by layout: floats ride as raw bit patterns (int32
+    bitcast) so TPU denormal flushing can never corrupt them."""
+    for key, o, n, shape, dt in layout:
+        if not n:
+            continue
+        a = np.asarray(dyn[key])
+        if dt.startswith("float") or dt == "bfloat16":
+            v = a.reshape(-1).astype(np.float32).view(np.int32)
+        elif dt == "int32":
+            v = a.reshape(-1)
+        else:
+            v = a.reshape(-1).astype(np.int32)
+        buf[o:o + n] = v
+    return buf
+
+
+def _device_unpack_rows(layout: list, rows) -> dict:
+    """Vectorized device-side unpack of [B, total] stacked transport rows
+    into a dict of [B, ...] arrays (one static slice per key, NOT per
+    row — a lax.scan then carries per-query slices for free)."""
+    B = rows.shape[0]
+    d = {}
+    for key, o, n, shape, dt in layout:
+        if shape and int(np.prod(shape)) == 0:
+            d[key] = jnp.zeros((B,) + shape, jnp.dtype(dt))
+            continue
+        sl = rows[:, o:o + n]
+        if dt.startswith("float") or dt == "bfloat16":
+            sl = jax.lax.bitcast_convert_type(sl, jnp.float32)
+            if dt != "float32":
+                sl = sl.astype(jnp.dtype(dt))
+        elif dt == "bool":
+            sl = sl.astype(jnp.bool_)
+        elif dt != "int32":
+            sl = sl.astype(jnp.dtype(dt))
+        d[key] = sl.reshape((B,) + shape) if shape else sl[:, 0]
+    return d
+
+
+def _device_unpack(layout: list, buf) -> dict:
+    """Device-side inverse of _pack_into (traced under jit)."""
+    d = {}
+    for key, o, n, shape, dt in layout:
+        if shape and int(np.prod(shape)) == 0:
+            d[key] = jnp.zeros(shape, jnp.dtype(dt))
+            continue
+        sl = jax.lax.dynamic_slice(buf, (o,), (n,))
+        if dt.startswith("float") or dt == "bfloat16":
+            sl = jax.lax.bitcast_convert_type(sl, jnp.float32)
+            if dt != "float32":
+                sl = sl.astype(jnp.dtype(dt))
+        elif dt == "bool":
+            sl = sl.astype(jnp.bool_)
+        elif dt != "int32":
+            sl = sl.astype(jnp.dtype(dt))
+        d[key] = sl.reshape(shape) if shape else sl[0]
+    return d
+
+
 class _PackedExecutor:
     """Wraps a built executor so all per-query dynamic state crosses
     host->device as ONE int32 buffer and all outputs come back as ONE
@@ -1173,33 +1277,11 @@ class _PackedExecutor:
 
     def __init__(self, raw_fn, dyn_proto: dict, seg_args: dict):
         # input layout from the prototype dyn (same sig => same shapes)
-        self.in_layout = []
-        off = 0
-        for key in sorted(dyn_proto):
-            a = np.asarray(dyn_proto[key])
-            n = int(a.size) if a.shape else 1
-            self.in_layout.append((key, off, n, a.shape, str(a.dtype)))
-            off += n
-        self.in_total = off
+        self.in_layout, self.in_total = _layout_of(dyn_proto)
         in_layout = self.in_layout
 
         def unpack(buf):
-            d = {}
-            for key, o, n, shape, dt in in_layout:
-                if shape and int(np.prod(shape)) == 0:
-                    d[key] = jnp.zeros(shape, jnp.dtype(dt))
-                    continue
-                sl = jax.lax.dynamic_slice(buf, (o,), (n,))
-                if dt.startswith("float") or dt == "bfloat16":
-                    sl = jax.lax.bitcast_convert_type(sl, jnp.float32)
-                    if dt != "float32":
-                        sl = sl.astype(jnp.dtype(dt))
-                elif dt == "bool":
-                    sl = sl.astype(jnp.bool_)
-                elif dt != "int32":
-                    sl = sl.astype(jnp.dtype(dt))
-                d[key] = sl.reshape(shape) if shape else sl[0]
-            return d
+            return _device_unpack(in_layout, buf)
 
         def packed(seg_args_, buf):
             # transport buffer is int32, NOT float32: small ints bitcast
@@ -1241,18 +1323,8 @@ class _PackedExecutor:
         self._warm = False
 
     def _pack(self, dyn: dict) -> np.ndarray:
-        buf = np.empty(self.in_total, np.int32)
-        for key, o, n, shape, dt in self.in_layout:
-            a = np.asarray(dyn[key])
-            if dt.startswith("float") or dt == "bfloat16":
-                v = a.reshape(-1).astype(np.float32).view(np.int32)
-            elif dt == "int32":
-                v = a.reshape(-1)
-            else:
-                v = a.reshape(-1).astype(np.int32)
-            if n:
-                buf[o:o + n] = v
-        return buf
+        return _pack_into(self.in_layout, dyn, np.empty(self.in_total,
+                                                        np.int32))
 
     def submit(self, seg_args: dict, dyn: dict):
         """Async dispatch: returns the device value (one future).
