@@ -32,6 +32,8 @@ def main():
 
     from functools import partial
 
+    import redisearch_tpu as rs
+    rs.enable_compilation_cache()
     from redisearch_tpu.ops.vector import knn_batch, knn_scan_batches
 
     rng = np.random.default_rng(0)

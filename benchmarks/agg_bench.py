@@ -18,6 +18,7 @@ import numpy as np
 
 def main(n_docs: int = 1_000_000, n_groups: int = 1000, iters: int = 20):
     import redisearch_tpu as rs
+    rs.enable_compilation_cache()
     from redisearch_tpu.agg.pipeline import DESC, AggregateRequest
 
     rng = np.random.default_rng(0)

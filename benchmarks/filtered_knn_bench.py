@@ -23,6 +23,7 @@ import numpy as np
 def main(n_docs: int = 500_000, dim: int = 384, batch: int = 64,
          iters: int = 8):
     import redisearch_tpu as rs
+    rs.enable_compilation_cache()
     from redisearch_tpu.aux.hybrid import HybridQuery
 
     rng = np.random.default_rng(0)

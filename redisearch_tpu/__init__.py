@@ -20,6 +20,19 @@ from .utils import errors
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str = "/tmp/redisearch_tpu_xla_cache",
+                             min_compile_secs: float = 1.0) -> None:
+    """Persist XLA executables across processes (serving restarts,
+    benchmark runs).  First-compile of each query shape costs seconds —
+    10-40 s through a remote attach — so a disk cache turns every warmup
+    after the first process into a cache read."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 __all__ = [
     "Field", "FieldType", "Schema", "IndexFlags", "VectorParams",
     "VectorAlgo", "VectorMetric", "GeometryParams", "SearchIndex",

@@ -280,13 +280,28 @@ def _fn_geodistance(*args):
         parts = str(v).split(",")
         return float(parts[0]), float(parts[1])
 
+    def is_num(v):
+        try:
+            return _num(v) is not None and not (isinstance(v, str)
+                                                and "," in v)
+        except (TypeError, ValueError):
+            return False
+
     if len(args) == 2:
         a, b = coords(args[0]), coords(args[1])
     elif len(args) == 4:
         a = (float(_num(args[0])), float(_num(args[1])))
         b = (float(_num(args[2])), float(_num(args[3])))
+    elif len(args) == 3:
+        # reference geo.c:71-84: (lon, lat, "lon,lat") or ("lon,lat", lon, lat)
+        if is_num(args[0]):
+            a = (float(_num(args[0])), float(_num(args[1])))
+            b = coords(args[2])
+        else:
+            a = coords(args[0])
+            b = (float(_num(args[1])), float(_num(args[2])))
     else:
-        raise QuerySyntaxError("geodistance takes 2 or 4 args")
+        raise QuerySyntaxError("geodistance takes 2 to 4 args")
     if a is None or b is None:
         return NULL
     lon1, lat1, lon2, lat2 = map(math.radians, (a[0], a[1], b[0], b[1]))

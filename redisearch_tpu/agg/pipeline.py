@@ -469,28 +469,17 @@ def _group(rows: list[dict], step: GroupStep) -> list[dict]:
 
 
 def _sort(rows: list[dict], step: SortStep) -> list[dict]:
-    def keyfn(row):
-        ks = []
-        for prop, asc in step.keys:
-            v = row.get(prop, E.NULL)
-            n = E._num(v)
-            if n is not None:
-                ks.append((0, n if asc else -n, ""))
-            elif v is E.NULL:
-                ks.append((2, 0.0, ""))
-            else:
-                # string keys can't be negated; sort desc via reverse trick
-                ks.append((1, 0.0, str(v)))
-        return tuple(ks)
-
     # handle mixed asc/desc on strings with a stable multi-pass sort
     out = rows
     for prop, asc in reversed(step.keys):
-        def single(row, p=prop):
+        def single(row, p=prop, a=asc):
             v = row.get(p, E.NULL)
-            n = E._num(v)
             if v is E.NULL:
-                return (2, 0.0, "")
+                # a missing value ranks LAST regardless of direction
+                # (reference: value/src/comparison.rs cmp_fields); pick
+                # the tier so the pass's `reverse` lands it at the end
+                return (2, 0.0, "") if a else (-1, 0.0, "")
+            n = E._num(v)
             if n is not None:
                 return (0, n, "")
             return (1, 0.0, str(v))

@@ -468,16 +468,23 @@ class SearchIndex:
                     kv = float(res.sortkeys[j])
                     if abs(kv) >= 3.3e38:
                         continue
-                    # string sort keys are per-segment dictionary ranks —
-                    # incomparable across segments; rank on the resolved
-                    # string instead (the reference merges WITHSORTKEYS
-                    # values the same way, module.c:2453)
-                    resolved = self._resolve_sortkey(seg, sort_by, kv)
-                    if isinstance(resolved, str):
-                        rank = (resolved if sort_asc
-                                else tuple(-ord(c) for c in resolved))
+                    if abs(kv) >= 2.9e38:
+                        # missing-sort-value sentinel: the doc matches but
+                        # ranks last in either direction (reference:
+                        # cmp_fields, value/src/comparison.rs)
+                        rank = (1, 0.0)
                     else:
-                        rank = kv if sort_asc else -kv
+                        # string sort keys are per-segment dictionary
+                        # ranks — incomparable across segments; rank on
+                        # the resolved string instead (the reference
+                        # merges WITHSORTKEYS values the same way,
+                        # module.c:2453)
+                        resolved = self._resolve_sortkey(seg, sort_by, kv)
+                        if isinstance(resolved, str):
+                            rank = (0, resolved if sort_asc
+                                    else tuple(-ord(c) for c in resolved))
+                        else:
+                            rank = (0, kv if sort_asc else -kv)
                 else:
                     if sc <= -3.3e38:
                         continue
@@ -511,7 +518,8 @@ class SearchIndex:
                 else:
                     fields = dict(meta.fields)
             sortkey = None
-            if skey is not None and sort_by is not None:
+            if (skey is not None and sort_by is not None
+                    and abs(skey) < 2.9e38):   # missing-value sentinel
                 sortkey = self._resolve_sortkey(seg, sort_by, skey)
             hits.append(Hit(meta.key, sc, fields=fields, sortkey=sortkey,
                             vector_distance=dist, gid=gid,

@@ -1947,8 +1947,14 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
 
         if opts.sort_field:
             keys = seg["sort_v"][cd]
-            v2 = valid & seg["sort_p"][cd]
-            keyvals, sel = T.topk_by_key(keys, v2, k_eff, opts.sort_asc)
+            # docs missing the sort value still match; they rank LAST in
+            # either direction (reference: cmp_fields in
+            # value/src/comparison.rs — a None sort key ranks "worst").
+            # 3.0e38 keeps them distinguishable from the 3.4e38 invalid
+            # filler that the result builders drop.
+            worst = jnp.float32(3.0e38 if opts.sort_asc else -3.0e38)
+            keys = jnp.where(seg["sort_p"][cd], keys, worst)
+            keyvals, sel = T.topk_by_key(keys, valid, k_eff, opts.sort_asc)
             out["idx"] = docs[sel]
             out["scores"] = score[sel]
             out["sortkeys"] = keyvals
@@ -2041,60 +2047,89 @@ def _metric_dist(rows, sq, q, metric):
 
 def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
                         slop, inorder, Pc, Pm, pivot_j):
-    """Phrase chain anchored at the rarest member term (the reference's
+    """Proximity check anchored at the rarest member term (the reference's
     intersection orders children by cardinality; same idea for offsets).
 
     Candidates are the pivot term's position keys (window Pc — small);
-    the chain walks forward from the pivot and then backward to term 0,
-    each step a block_searchsorted into that term's keys (window Pm).
-    Greedy-nearest in each direction is optimal for in-order windows.
-    Returns (candidate keys, alive mask) — keys of the PIVOT term."""
+    every other term is probed by block_searchsorted into its keys
+    (window Pm).  Semantics mirror the reference exactly
+    (index_result/src/core/proximity.rs):
+
+    - in-order (within_range_in_order): positions ascend in query order
+      (equal allowed — overlapping synonym positions) and the CUMULATIVE
+      signed span  sum(pos_i - pos_{i-1} - 1)  must be <= slop.  Greedy
+      nearest-neighbor from a fixed pivot position minimizes both the
+      forward and backward partial spans independently, and all pivot
+      positions are tried, so the windowed chain is exact.
+    - unordered (within_range_unordered): some choice of one position
+      per term must fit a token window of length n+slop containing the
+      pivot (span = max-min-(n-1) <= slop, any order), with min != max
+      (two terms may not both sit on the single same token).  Checked by
+      sliding the window across every offset that covers the pivot.
+
+    Exact phrases lower to slop=0 + in-order.  Returns (candidate keys,
+    alive mask) — keys of the PIVOT term."""
     Tn = starts.shape[0]
+    INF = 2**31 - 1
     cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[pivot_j],
                                lens[pivot_j], Pc)
-    alive_c = cand != 2**31 - 1
-    anchor = cand  # per-direction moving position; doc fixed per candidate
+    alive_c = cand != INF
+    doc = cand // pos_stride
 
-    # forward: terms pivot+1 .. Tn-1
-    for j in range(pivot_j + 1, Tn):
+    if inorder:
+        span = jnp.zeros(cand.shape, jnp.int32)
+        # forward: terms pivot+1 .. Tn-1 (smallest key >= anchor)
+        anchor = cand
+        for j in range(pivot_j + 1, Tn):
+            keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
+                                         lens[j], Pm)
+            idx = W.block_searchsorted(keys_j, anchor, side="left")
+            found = keys_j[jnp.clip(idx, 0, Pm - 1)]
+            ok = (alive_c & (found >= anchor) & (found != INF)
+                  & ((found // pos_stride) == doc))
+            span = jnp.where(ok, span + (found - anchor - 1), span)
+            anchor = jnp.where(ok, found, anchor)
+            alive_c = ok
+        # backward: terms pivot-1 .. 0 (largest key <= anchor)
+        anchor_b = cand
+        for j in range(pivot_j - 1, -1, -1):
+            keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
+                                         lens[j], Pm)
+            ub = W.block_searchsorted(keys_j, anchor_b, side="right") - 1
+            found = keys_j[jnp.clip(ub, 0, Pm - 1)]
+            ok = (alive_c & (ub >= 0) & (found <= anchor_b)
+                  & ((found // pos_stride) == doc))
+            span = jnp.where(ok, span + (anchor_b - found - 1), span)
+            anchor_b = jnp.where(ok, found, anchor_b)
+            alive_c = ok
+        # reference: only a POSITIVE span can exceed the budget
+        return cand, alive_c & (span <= max(slop, 0))
+
+    # unordered: slide a window of n+slop tokens across the pivot.
+    # Each term's probe is the smallest key >= window start; hoist the
+    # per-term gathers out of the offset loop.  Beyond a 64-token window
+    # fall back to the widest offset only (approximation for huge slop).
+    Wl = Tn + slop
+    others = []
+    for j in range(Tn):
+        if j == pivot_j:
+            continue
         keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
                                      lens[j], Pm)
-        if inorder or slop == 0:
-            lo_t = anchor + 1
-            hi_t = anchor + 2 + slop
-        else:
-            lo_t = anchor - slop
-            hi_t = anchor + 2 + slop
-        lo = jnp.minimum(W.block_searchsorted(keys_j, lo_t, side="left"),
-                         Pm - 1)
-        found = keys_j[jnp.clip(lo, 0, Pm - 1)]
-        same_doc = (found // pos_stride) == (anchor // pos_stride)
-        ok = (alive_c & (found >= lo_t) & (found < hi_t) & same_doc)
-        if not inorder and slop > 0:
-            ok = ok & (found != anchor)
-        anchor = jnp.where(ok, jnp.maximum(found, anchor), anchor)
-        alive_c = ok
-
-    # backward: terms pivot-1 .. 0 (greedy-largest predecessor)
-    anchor_b = cand
-    for j in range(pivot_j - 1, -1, -1):
-        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
-                                     lens[j], Pm)
-        if inorder or slop == 0:
-            lo_t = anchor_b - 1 - slop
-            hi_t = anchor_b - 1
-        else:
-            lo_t = anchor_b - 1 - slop
-            hi_t = anchor_b + 1 + slop
-        # largest key <= hi_t: upper_bound - 1
-        ub = W.block_searchsorted(keys_j, hi_t, side="right") - 1
-        found = keys_j[jnp.clip(ub, 0, Pm - 1)]
-        same_doc = (found // pos_stride) == (anchor_b // pos_stride)
-        ok = (alive_c & (ub >= 0) & (found >= lo_t) & (found <= hi_t)
-              & same_doc)
-        if not inorder and slop > 0:
-            ok = ok & (found != anchor_b)
-        anchor_b = jnp.where(ok, jnp.minimum(found, anchor_b), anchor_b)
-        alive_c = ok
-
-    return cand, alive_c
+        others.append(keys_j)
+    match = jnp.zeros(cand.shape, jnp.bool_)
+    offsets = range(Wl) if Wl <= 64 else [0, Wl - 1]
+    for o in offsets:
+        lo_t = cand - o
+        hi_t = lo_t + Wl - 1
+        ok_o = alive_c
+        sel_min, sel_max = cand, cand
+        for keys_j in others:
+            idx = W.block_searchsorted(keys_j, lo_t, side="left")
+            found = keys_j[jnp.clip(idx, 0, Pm - 1)]
+            ok_o = (ok_o & (found >= lo_t) & (found <= hi_t)
+                    & ((found // pos_stride) == doc))
+            sel_min = jnp.minimum(sel_min, found)
+            sel_max = jnp.maximum(sel_max, found)
+        match = match | (ok_o & (sel_max != sel_min))
+    return cand, match

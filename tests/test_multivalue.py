@@ -49,8 +49,10 @@ class TestMultiNumeric:
         assert [h.key for h in r.hits] == ["d3"]
 
     def test_sortby_uses_first_value(self, nclient):
+        # d4 has no nums value: it still matches and ranks last
+        # (reference: cmp_fields — missing sort keys rank "worst")
         r = nclient.ft_search("j", "*", sort_by="nums", no_content=True)
-        assert [h.key for h in r.hits] == ["d1", "d2", "d3"]
+        assert [h.key for h in r.hits] == ["d1", "d2", "d3", "d4"]
 
 
 @pytest.fixture()
