@@ -358,7 +358,7 @@ class SearchIndex:
                tuple(sorted(vec_params)), dialect,
                opts.scorer, opts.sort_field, opts.sort_asc, opts.slop,
                opts.inorder, opts.verbatim, opts.language,
-               opts.max_expansions, opts.expander,
+               opts.max_expansions, opts.expander, opts.in_fields,
                self.doctable.num_docs)  # stats change -> new idf
         cq = self._prepared.get(key)
         if cq is None:
@@ -401,8 +401,11 @@ class SearchIndex:
         dialect: int = 2,
         max_expansions: Optional[int] = None,
         payload: Optional[bytes] = None,
+        in_keys: Optional[Iterable[str]] = None,
+        in_fields: Optional[Iterable[str]] = None,
     ) -> SearchResult:
-        """FT.SEARCH analog."""
+        """FT.SEARCH analog.  in_keys/in_fields mirror INKEYS/INFIELDS
+        (reference: RSSearchOptions inkeys/fieldmask, aggregate_request.c)."""
         self.commit()
         self.stats["queries"] += 1
         oom = self._check_oom()
@@ -424,6 +427,7 @@ class SearchIndex:
             sort_asc=sort_asc, slop=slop, inorder=inorder,
             verbatim=verbatim, now=int(time.time()),
             language=language or self.schema.language,
+            in_fields=tuple(in_fields) if in_fields else None,
         )
         if max_expansions:
             opts.max_expansions = max_expansions
@@ -438,6 +442,15 @@ class SearchIndex:
         warnings: list[str] = []
         merged: list[tuple] = []   # (rank_key, seg_i, Hit-ish tuple)
         total = 0
+        inkey_gids = None
+        if in_keys is not None:
+            # INKEYS: restrict to the given document keys (reference
+            # lowers this to an id-list intersection; here it fuses into
+            # the query as an extra doc mask)
+            metas = (self.doctable.get_by_key(k2) for k2 in in_keys)
+            inkey_gids = np.array(sorted(m.gid for m in metas
+                                         if m is not None and not m.deleted),
+                                  np.int64)
         for seg in self.segments:
             if deadline is not None and time.perf_counter() > deadline:
                 # reference ON_TIMEOUT policies (config.h TimeoutPolicy)
@@ -448,7 +461,9 @@ class SearchIndex:
                 warnings.append("Timeout limit was reached")
                 break
             comp0 = engine_compile_seconds()
-            res = execute(cq, seg, k)
+            emask = (np.isin(seg.gids_host, inkey_gids)
+                     if inkey_gids is not None else None)
+            res = execute(cq, seg, k, extra_mask=emask)
             if deadline is not None:
                 # a first-use executor compile is amortized setup, not
                 # query work: it must not burn the timeout budget

@@ -139,6 +139,9 @@ class QueryOptions:
     verbatim: bool = False         # disable stemming expansion
     with_vector_scores: bool = True
     expander: str = ""             # custom expander name (ext.py), "" = default
+    # INFIELDS: default TEXT field mask for terms without an explicit
+    # @field modifier (reference: RSSearchOptions fieldmask)
+    in_fields: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -199,7 +202,11 @@ class CompiledQuery:
         return ("leaf", leaf, idx)
 
     def _qmask(self, node: ast.Node) -> int:
-        return self.schema.text_field_mask(node.fieldmask_attrs)
+        attrs = node.fieldmask_attrs
+        if attrs is None and self.opts.in_fields:
+            # INFIELDS narrows unscoped terms; explicit @field wins
+            attrs = list(self.opts.in_fields)
+        return self.schema.text_field_mask(attrs)
 
     def _add_term_slot(self, term: str, qmask: int, weight: float) -> int:
         self.term_strings.append(term)

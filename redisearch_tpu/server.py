@@ -702,6 +702,12 @@ class Server:
             elif opt == "PAYLOAD":
                 av.next()
                 opts["payload"] = av.next().encode()
+            elif opt == "INKEYS":
+                av.next()
+                opts["in_keys"] = av.take(av.next_int())
+            elif opt == "INFIELDS":
+                av.next()
+                opts["in_fields"] = av.take(av.next_int())
             else:
                 raise RSError(f"Unknown argument `{av.next()}`")
         return {"name": name, "query": query, "opts": opts,

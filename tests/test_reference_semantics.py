@@ -468,6 +468,25 @@ def test_exists_function_and_profile_shape(c):
 # Multi-field modifier @a|b: (dialect 2, parser.y field list)
 # ---------------------------------------------------------------------------
 
+def test_inkeys_and_infields(c):
+    # reference: FT.SEARCH INKEYS (id-list intersection) and INFIELDS
+    # (default field mask for unscoped terms; explicit @field wins)
+    c.ft_create("ik", [Field("a", FieldType.TEXT),
+                       Field("b", FieldType.TEXT)])
+    c.hset("d1", {"a": "needle here", "b": "x"})
+    c.hset("d2", {"a": "x", "b": "needle there"})
+    c.hset("d3", {"a": "needle again", "b": "x"})
+    r = c.ft_search("ik", "needle", in_keys=["d1", "d2", "nope"], num=10)
+    assert sorted(_keys(r)) == ["d1", "d2"] and r.total == 2
+    r = c.ft_search("ik", "needle", in_fields=["a"], num=10)
+    assert sorted(_keys(r)) == ["d1", "d3"]
+    r = c.ft_search("ik", "@b:needle", in_fields=["a"], num=10)
+    assert sorted(_keys(r)) == ["d2"]
+    r = c.ft_search("ik", "needle", in_keys=["d3"], in_fields=["a"],
+                    num=10)
+    assert _keys(r) == ["d3"]
+
+
 def test_multi_field_modifier(c):
     c.ft_create("mf", [Field("a", FieldType.TEXT),
                        Field("b", FieldType.TEXT),
