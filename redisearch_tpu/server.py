@@ -1254,6 +1254,12 @@ class Server:
         self._bq = None
 
     def run(self):
+        # serving processes restart; persisted executables turn the
+        # first query of each shape from a multi-second XLA compile
+        # into a cache read
+        from . import enable_compilation_cache
+        enable_compilation_cache()
+
         async def main():
             server = await self.serve()
             async with server:
