@@ -69,6 +69,11 @@ def main():
     dig("prefix", c.ft_search("smoke", "gam*", no_content=True))
     dig("tag", c.ft_search("smoke", "@tag:{red}", no_content=True))
     dig("num", c.ft_search("smoke", "@price:[5 9]", no_content=True))
+    # mixed-order union: numeric windows are value-sorted, tag/term
+    # windows doc-sorted — exercises the sort-based union dedup
+    dig("mixed_union", c.ft_search(
+        "smoke", "(alpha | @price:[3 7] | @tag:{red})", no_content=True,
+        num=50))
     dig("geo", c.ft_search("smoke",
                            "@loc:[-122.38 37.72 3 km]", no_content=True))
     dig("sort", c.ft_search("smoke", "*", sort_by="price",

@@ -28,6 +28,8 @@ access is either a contiguous dynamic_slice or a 512 B-row DMA.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -188,38 +190,43 @@ def block_searchsorted(arr: jnp.ndarray, q: jnp.ndarray,
 # Union (sort-free: concat + pairwise membership dedup)
 # ---------------------------------------------------------------------------
 
-def union_windows(windows: list, dismax: bool = False):
+def union_windows(windows: list, dismax: bool = False,
+                  extra: Optional[list] = None):
     """Merge windows into one candidate window of unique docs.
 
-    windows: list of (docs, score or None, valid) where each window's docs
-    are ASCENDING (posting windows).  Output docs are the concatenation
-    (NOT globally sorted): a doc kept by its first containing window, with
-    later windows' scores folded in (sum, or max for DISMAX) — the
-    reference's union-heap semantics without a TPU sort.
+    windows: list of (docs, score or None, valid).  Children may be in
+    ANY order — term windows are doc-ascending, but numeric/geo windows
+    are value-sorted and nested unions emit merged output — so the merge
+    STABLE-sorts the concatenation by doc id and folds each duplicate
+    run's scores (sum, or max for DISMAX; the reference's union-heap
+    semantics).  The first entry of a run (earliest window, stable sort)
+    survives; output docs are ASCENDING so parents can dedup adjacently.
+
+    extra: optional list of per-window arrays (or None) to carry through
+    the same permutation (e.g. the aligned norm operands); returns them
+    merged as a 4th result when given.
     """
-    k = len(windows)
-    outs = []
-    for i, (di, si, vi) in enumerate(windows):
-        if si is None:
-            si = jnp.zeros(di.shape, jnp.float32)
-        si = jnp.where(vi, si, 0.0)
-        for j in range(k):
-            if j == i:
-                continue
-            dj, sj, vj = windows[j]
-            hit, sjv = member(dj, vj, sj, di)
-            if j < i:
-                vi = vi & ~hit            # owned by an earlier window
-            else:
-                if sj is not None:
-                    si = (jnp.maximum(si, sjv) if dismax
-                          else si + jnp.where(hit, sjv, 0.0))
-        outs.append((di, si, vi))
-    docs = jnp.concatenate([o[0] for o in outs])
-    score = jnp.concatenate([o[1] for o in outs])
-    valid = jnp.concatenate([o[2] for o in outs])
-    docs = jnp.where(valid, docs, INVALID)
-    return docs, jnp.where(valid, score, 0.0), valid
+    docs = jnp.concatenate([jnp.where(v, d, INVALID)
+                            for d, _, v in windows])
+    score = jnp.concatenate([
+        jnp.where(v, s, 0.0) if s is not None
+        else jnp.zeros(d.shape, jnp.float32)
+        for d, s, v in windows])
+    order = jnp.argsort(docs, stable=True)
+    d = docs[order]
+    s = score[order]
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), d[1:] != d[:-1]])
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n = d.shape[0]
+    folded = (jax.ops.segment_max(s, rid, num_segments=n) if dismax
+              else jax.ops.segment_sum(s, rid, num_segments=n))[rid]
+    v = first & (d != INVALID)
+    out = (jnp.where(v, d, INVALID), jnp.where(v, folded, 0.0), v)
+    if extra is None:
+        return out
+    if any(e is None for e in extra):
+        return out + (None,)
+    return out + (jnp.concatenate(extra)[order],)
 
 
 def dedup_adjacent(docs: jnp.ndarray, valid: jnp.ndarray):

@@ -1536,9 +1536,9 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 wins = [slot_scored(leaf.lo + j, Wn) for j in range(nu)]
                 if len(wins) == 1:
                     return wins[0]
-                d, sc, v = W.union_windows([w[:3] for w in wins],
-                                           dismax=False)
-                dl = jnp.concatenate([w[3] for w in wins])
+                d, sc, v, dl = W.union_windows([w[:3] for w in wins],
+                                               dismax=False,
+                                               extra=[w[3] for w in wins])
                 return d, sc, v, dl
             if isinstance(leaf, LPhrase):
                 return gen_phrase(leaf, idx)
@@ -1757,11 +1757,9 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 return docs, jnp.where(valid, score, 0.0), valid, dl
             if tag in ("or", "dismax"):
                 wins = [eval_gen(c) for c in t[1]]
-                d, sc, v = W.union_windows([w[:3] for w in wins],
-                                           dismax=(tag == "dismax"))
-                dls = [w[3] for w in wins]
-                dl = (jnp.concatenate(dls) if all(x is not None
-                                                  for x in dls) else None)
+                d, sc, v, dl = W.union_windows([w[:3] for w in wins],
+                                               dismax=(tag == "dismax"),
+                                               extra=[w[3] for w in wins])
                 return d, sc, v, dl
             raise AssertionError(tag)
 

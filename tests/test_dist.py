@@ -93,6 +93,26 @@ def test_entry_compiles(eight_devices):
     assert "idx" in out and "scores" in out
 
 
+def test_dist_sortby_missing_rank_last(eight_devices):
+    # missing sort values rank last ACROSS shards too (the 3.0e38
+    # sentinel must survive the in-graph merge without being dropped)
+    import redisearch_tpu as rs
+    ix = rs.SearchIndex(rs.Schema(name="dm", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("n", rs.FieldType.NUMERIC, sortable=True)]))
+    for i in range(40):
+        f = {"t": "x", "n": float(i)} if i % 5 else {"t": "x"}
+        ix.add_document(f"d{i}", f)
+    ix.commit()
+    sh = ShardedIndex.build(ix)
+    r = sh.search("x", sort_by="n", sort_asc=True, num=40)
+    keys = [h.key for h in r.hits]
+    assert len(keys) == 40
+    assert set(keys[-8:]) == {f"d{i}" for i in range(0, 40, 5)}
+    vals = [int(k[1:]) for k in keys[:32]]
+    assert vals == sorted(vals)
+
+
 def test_dist_string_sortby(sharded):
     sh, ix, _ = sharded
     # TAG field "cat" is sortable; string keys must merge correctly
