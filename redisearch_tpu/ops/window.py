@@ -212,21 +212,32 @@ def union_windows(windows: list, dismax: bool = False,
         jnp.where(v, s, 0.0) if s is not None
         else jnp.zeros(d.shape, jnp.float32)
         for d, s, v in windows])
-    order = jnp.argsort(docs, stable=True)
-    d = docs[order]
-    s = score[order]
+    # multi-operand sort: payloads ride the sort network instead of
+    # paying permutation gathers afterwards.  Stability keeps the
+    # earliest window's entry first in each duplicate run.
+    ext = None
+    if extra is not None and not any(e is None for e in extra):
+        ext = jnp.concatenate(extra)
+    ops = (docs, score) + ((ext,) if ext is not None else ())
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    d, s = sorted_ops[0], sorted_ops[1]
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_), d[1:] != d[:-1]])
-    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n = d.shape[0]
-    folded = (jax.ops.segment_max(s, rid, num_segments=n) if dismax
-              else jax.ops.segment_sum(s, rid, num_segments=n))[rid]
+    # fold each duplicate run's scores.  Every child is itself deduped,
+    # so runs are at most len(windows) long: fold with static shifted
+    # adds — a segment_sum would lower to scatter-add, which runs at
+    # TPU random-access speed (~7 ns/element) and dominates big unions.
+    folded = s
+    for j in range(1, len(windows)):
+        d_sh = jnp.concatenate([d[j:], jnp.full((j,), -1, d.dtype)])
+        s_sh = jnp.concatenate([s[j:], jnp.zeros((j,), s.dtype)])
+        same = d_sh == d     # sorted: equal at distance j => one run
+        folded = (jnp.maximum(folded, jnp.where(same, s_sh, folded))
+                  if dismax else folded + jnp.where(same, s_sh, 0.0))
     v = first & (d != INVALID)
     out = (jnp.where(v, d, INVALID), jnp.where(v, folded, 0.0), v)
     if extra is None:
         return out
-    if any(e is None for e in extra):
-        return out + (None,)
-    return out + (jnp.concatenate(extra)[order],)
+    return out + (sorted_ops[2] if ext is not None else None,)
 
 
 def dedup_adjacent(docs: jnp.ndarray, valid: jnp.ndarray):

@@ -1756,12 +1756,34 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     score = score + s
                 return docs, jnp.where(valid, score, 0.0), valid, dl
             if tag in ("or", "dismax"):
-                wins = [eval_gen(c) for c in t[1]]
+                if tag == "or":
+                    # flatten union-of-unions (e.g. each term leaf is a
+                    # raw+stem slot union) into ONE merge: one sort over
+                    # the combined windows instead of one per level.
+                    # Sum-fold is associative so scores are identical;
+                    # DISMAX is not (max over BRANCH sums), keep nesting.
+                    wins = []
+                    for c in t[1]:
+                        wins.extend(gen_windows(c))
+                else:
+                    wins = [eval_gen(c) for c in t[1]]
                 d, sc, v, dl = W.union_windows([w[:3] for w in wins],
                                                dismax=(tag == "dismax"),
                                                extra=[w[3] for w in wins])
                 return d, sc, v, dl
             raise AssertionError(tag)
+
+        def gen_windows(t):
+            """Window list for a sum-fold union child, flattened."""
+            if t[0] == "or":
+                out = []
+                for c in t[1]:
+                    out.extend(gen_windows(c))
+                return out
+            if t[0] == "leaf" and isinstance(t[1], LTerms):
+                nu, Wn = buckets[t[2]]
+                return [slot_scored(t[1].lo + j, Wn) for j in range(nu)]
+            return [eval_gen(t)]
 
         def eval_pred(t):
             tag = t[0]
@@ -1888,8 +1910,14 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             q = dyn["knn_blob"]
             # mode selection (reference: hybrid BATCHES vs ADHOC_BF
             # heuristic, hybrid_reader.c): exact gather over small
-            # candidate windows; IVF probe otherwise (when built)
-            use_exact_gather = (not root_is_iota) and (
+            # candidate windows; dense BATCHES scan for wide filters;
+            # IVF probe otherwise (when built)
+            window_root = not root_is_iota
+            use_batches = (
+                window_root and not knn_multi and not knn_ivf
+                and knn_policy != "ADHOC_BF"
+                and (knn_policy == "BATCHES" or Wc >= 65536))
+            use_exact_gather = window_root and not use_batches and (
                 knn_policy == "ADHOC_BF" or not knn_ivf
                 or (knn_policy is None and Wc <= 16384))
             if use_exact_gather:
@@ -1899,6 +1927,68 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 out["idx"] = docs[sel]
                 out["knn"] = -vals
                 out["scores"] = score[sel]
+            elif use_batches:
+                # Wide filter: per-candidate gathers (d[cd],
+                # knn_present[cd], docscore[cd]) cost ~7 ns/element of
+                # random-gather traffic on TPU and dominate the query
+                # (measured 3.6 ms per 524k-window gather).  Instead
+                # take the best M docs from the batch-hoisted dense
+                # distance row — every mask is doc-aligned, no gathers —
+                # and predicate-check only those M.  Falls back to the
+                # exact candidate gather when fewer than k survive the
+                # filter and the scan didn't exhaust the live vectors
+                # (the reference grows BATCHES iteratively;
+                # hybrid_reader.c).
+                # batched execution hoisted the [B, N] matmul; a single
+                # query pays one [N, dim] x [dim] MXU matvec — far
+                # cheaper than the per-candidate gathers either way
+                d_dense = (dyn["knn_row"] if knn_row else
+                           V.distances_to(seg["knn_vecs"],
+                                          seg["knn_sq"], q, knn_metric))
+                okd = knn_ok() & seg["alive"]
+                if seg_ttl:
+                    expd = seg["expire_at"]
+                    okd = okd & ((expd == 0) | (expd > dyn["now"]))
+                dmd = jnp.where(okd, d_dense, 3.4e38)
+                # the pow-4 bucket Wc can overstate the true window by
+                # 4x, so use Wc/4 as the selectivity lower bound: with
+                # M = 4k/sel_lower the expected survivor count is >= 4k
+                # even at worst-case bucket inflation
+                M = int(min(
+                    next_pow2(max(16 * k_eff * n_pad // max(Wc, 1),
+                                  4 * k_eff, 512)),
+                    8192, n_pad))
+                negd, ids = T.fast_top_k(-dmd, M)
+                m_ids, s_ids = eval_pred(tree)(ids, normcol[ids])
+                ok_ids = m_ids
+                if has_extra:
+                    ok_ids = ok_ids & dyn["extra_mask"][ids]
+                if scorer == "DOCSCORE":
+                    s_ids = seg["docscore"][ids]
+                elif not seg_uniform_ds:
+                    s_ids = s_ids * seg["docscore"][ids]
+                if scorer == "BM25STD.TANH":
+                    s_ids = jnp.tanh(s_ids)
+                found = jnp.sum(ok_ids.astype(jnp.int32))
+                exhausted = negd[-1] <= -3.3e38  # M covered all vectors
+
+                def _batched(_):
+                    dmm = jnp.where(ok_ids, -negd, 3.4e38)
+                    vals, sel = T.fast_top_k(-dmm, k_eff)
+                    return ids[sel], -vals, s_ids[sel]
+
+                def _exact(_):
+                    d = knn_doc_dist(cd)
+                    dm = jnp.where(valid & knn_ok(cd), d, 3.4e38)
+                    vals, sel = T.fast_top_k(-dm, k_eff)
+                    return docs[sel], -vals, score[sel]
+
+                idx_o, knn_o, sc_o = jax.lax.cond(
+                    (found >= k_eff) | exhausted, _batched, _exact,
+                    None)
+                out["idx"] = idx_o
+                out["knn"] = knn_o
+                out["scores"] = sc_o
             elif knn_ivf:
                 from ..ops.ivf import ivf_probe_arrays
                 # BATCHES analog: over-fetch probe candidates, then apply
