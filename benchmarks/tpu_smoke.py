@@ -80,6 +80,9 @@ def main():
                             no_content=True))
     dig("knn", c.ft_search("smoke", "*=>[KNN 5 @v $q]",
                            params={"q": vecs[17]}, no_content=True))
+    dig("batchesknn", c.ft_search(
+        "smoke", "(@tag:{blue})=>[KNN 5 @v $q HYBRID_POLICY BATCHES]",
+        params={"q": vecs[17]}, no_content=True))
     dig("hybridknn", c.ft_search("smoke", "(@tag:{blue})=>[KNN 5 @v $q]",
                                  params={"q": vecs[17]}, no_content=True))
 

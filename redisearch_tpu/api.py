@@ -367,66 +367,9 @@ class Client:
                        dialect: int = 2) -> list[SearchResult]:
         """Batched search: all queries execute in grouped device batches
         (the serving throughput path; see engine.execute_batch)."""
-        from .query.engine import QueryOptions, execute_batch
         ix = self._index(name)
-        ix.commit()
-        # execute_batch pads each same-structure group to a power of two
-        # itself, so arbitrary concurrency levels reuse few executables
-        n_real = len(queries)
-        import copy
-
-        cqs = []
-        for i, q in enumerate(queries):
-            p = params[i] if params else None
-            cq = ix.prepare(q, p, QueryOptions(scorer=scorer, k=k),
-                            dialect)
-            if cq.knn is not None or cq.vec_blobs:
-                # prepare() rebinds vector payloads onto a SHARED cached
-                # object — snapshot them so two same-string KNN queries
-                # with different blobs in one batch don't alias (the
-                # shallow clone shares slots/tree/bind-memo; bind reads
-                # payloads from the clone's own state)
-                cq2 = copy.copy(cq)
-                if cq.knn is not None:
-                    cq2.knn = copy.copy(cq.knn)
-                cq2.vec_blobs = list(cq.vec_blobs)
-                cq2.vec_radii = list(cq.vec_radii)
-                cq = cq2
-            cqs.append(cq)
-        out: list = [None] * len(cqs)
-        import numpy as np
-        for seg in ix.segments:
-            results = execute_batch(cqs, seg, k)
-            gids = seg.gids_host   # cached host mirror, not a d2h per query
-            for i, res in enumerate(results):
-                hits = []
-                is_knn = res.knn_dists is not None
-                for j in range(res.local_idx.shape[0]):
-                    sc = float(res.scores[j])
-                    dist = (float(res.knn_dists[j]) if is_knn else None)
-                    if is_knn:
-                        if dist >= 3.3e38:
-                            continue
-                    elif sc <= -3.3e38:
-                        continue
-                    meta = ix.doctable.get(int(gids[int(res.local_idx[j])]))
-                    if meta is None or meta.deleted:
-                        continue
-                    # share the meta's fields dict: doctable.put replaces
-                    # metas wholesale on re-index, so the dict is stable
-                    hits.append(Hit(meta.key, sc, fields=meta.fields,
-                                    vector_distance=dist, gid=meta.gid))
-                # the device batch returns next_pow2(k) rows — trim back
-                hits = hits[:k]
-                prev = out[i]
-                if prev is None:
-                    out[i] = SearchResult(total=res.count, hits=hits)
-                else:
-                    prev.total += res.count
-                    key = ((lambda h: h.vector_distance) if is_knn
-                           else (lambda h: -h.score))
-                    prev.hits = sorted(prev.hits + hits, key=key)[:k]
-        return out[:n_real]
+        return ix.search_many(queries, params=params, k=k, scorer=scorer,
+                              dialect=dialect)
 
     def ft_aggregate(self, name: str, req: AggregateRequest
                      ) -> AggregateResult:

@@ -54,16 +54,20 @@ def run_hybrid(index, hq: HybridQuery,
         raise QuerySyntaxError("FT.HYBRID requires a VSIM field")
     index.commit()
 
-    # branch 1: text search, top-window
-    text_hits = index.search(hq.search, params=hq.search_params,
-                             num=hq.window, scorer=hq.search_scorer,
-                             no_content=True).hits
-    # branch 2: vector KNN, top-window
+    # both branches in one batched execution: per-branch dispatches are
+    # submitted together and collected in a single round (the
+    # reference's parallel depleter drain; here the device pipeline is
+    # the second lane and each collect costs a full link round trip)
     vec = np.asarray(hq.vsim_vector, np.float32)
-    knn_hits = index.search(
-        f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]",
-        params={"__hybrid_vec": vec}, num=hq.window,
-        no_content=True).hits
+    text_res, knn_res = index.search_many(
+        [hq.search,
+         f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]"],
+        params=[hq.search_params, {"__hybrid_vec": vec}],
+        k=hq.window,
+        opts_list=[QueryOptions(scorer=hq.search_scorer, k=hq.window),
+                   QueryOptions(k=hq.window)])
+    text_hits = text_res.hits
+    knn_hits = knn_res.hits
 
     fused: dict[str, dict] = {}
     if hq.combine.upper() == "RRF":

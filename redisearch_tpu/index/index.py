@@ -637,6 +637,82 @@ class SearchIndex:
                             payload=meta.payload))
         return SearchResult(total=total, hits=hits, query_ast=root)
 
+    def search_many(self, queries: list, params: Optional[list] = None,
+                    k: int = 10, scorer: str = "BM25STD",
+                    dialect: int = 2,
+                    opts_list: Optional[list] = None) -> list:
+        """Batched FT.SEARCH: all queries execute in grouped device
+        batches (engine.execute_batch) — per group one dispatch, all
+        groups collected together.  opts_list overrides QueryOptions per
+        query (FT.HYBRID runs its two branches with different scorers
+        through here in a single collected round)."""
+        import copy
+
+        from ..query.engine import execute_batch
+        self.commit()
+        n_real = len(queries)
+        cqs = []
+        for i, q in enumerate(queries):
+            p = params[i] if params else None
+            o = (opts_list[i] if opts_list
+                 else QueryOptions(scorer=scorer, k=k))
+            cq = self.prepare(q, p, o, dialect)
+            if cq.knn is not None or cq.vec_blobs:
+                # prepare() rebinds vector payloads onto a SHARED cached
+                # object — snapshot them so two same-string KNN queries
+                # with different blobs in one batch don't alias (the
+                # shallow clone shares slots/tree/bind-memo; bind reads
+                # payloads from the clone's own state)
+                cq2 = copy.copy(cq)
+                if cq.knn is not None:
+                    cq2.knn = copy.copy(cq.knn)
+                cq2.vec_blobs = list(cq.vec_blobs)
+                cq2.vec_radii = list(cq.vec_radii)
+                cq = cq2
+            cqs.append(cq)
+        all_hits: list = [[] for _ in cqs]
+        totals = [0] * len(cqs)
+        knn_q = [False] * len(cqs)
+        for seg in self.segments:
+            results = execute_batch(cqs, seg, k)
+            gids = seg.gids_host  # cached host mirror, not a d2h per query
+            for i, res in enumerate(results):
+                is_knn = res.knn_dists is not None
+                knn_q[i] = is_knn
+                totals[i] += res.count
+                n_hit = 0
+                for j in range(res.local_idx.shape[0]):
+                    if n_hit >= k:   # device batch returns next_pow2(k)
+                        break
+                    sc = float(res.scores[j])
+                    dist = (float(res.knn_dists[j]) if is_knn else None)
+                    if is_knn:
+                        if dist >= 3.3e38:
+                            continue
+                    elif sc <= -3.3e38:
+                        continue
+                    meta = self.doctable.get(
+                        int(gids[int(res.local_idx[j])]))
+                    if meta is None or meta.deleted:
+                        continue
+                    # share the meta's fields dict: doctable.put replaces
+                    # metas wholesale on re-index, so the dict is stable
+                    all_hits[i].append(Hit(meta.key, sc, fields=meta.fields,
+                                           vector_distance=dist,
+                                           gid=meta.gid))
+                    n_hit += 1
+        out = []
+        for i in range(n_real):
+            # deterministic merge: score (or distance) first, then doc id
+            # — the reference sorter's docid tiebreak (result_processor.c
+            # cmpByScore), which keeps RRF ranks stable across tied
+            # scores regardless of segment interleaving
+            key = ((lambda h: (h.vector_distance, h.gid)) if knn_q[i]
+                   else (lambda h: (-h.score, h.gid)))
+            out.append(SearchResult(total=totals[i],
+                                    hits=sorted(all_hits[i], key=key)[:k]))
+        return out
+
     def _resolve_sortkey(self, seg: Segment, field: str, keyval: float):
         f = self.schema.field(field)
         if f.type == FieldType.NUMERIC:
