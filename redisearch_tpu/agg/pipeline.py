@@ -194,11 +194,40 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
     return AggregateResult(total=total, rows=rows)
 
 
+def run_aggregate_many(index, reqs: list) -> list:
+    """Execute a batch of aggregations with overlapped device round
+    trips: every device-eligible GROUPBY is dispatched before any result
+    is collected (each collect costs a full link round trip on a remote
+    attach — the dashboard/multi-panel analog of batched search).
+    Non-eligible plans fall back to the sequential host pipeline."""
+    index.commit()
+    handles: list = []
+    for req in reqs:
+        opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+        cq = index.prepare(req.query, req.params, opts, req.dialect)
+        h = _device_group_submit(index, req, cq)
+        handles.append((req, h))
+    return [(_device_group_finish(index, h) if h is not None
+             else run_aggregate(index, req)) for req, h in handles]
+
+
 def _try_device_group(index, req: AggregateRequest, cq) -> \
         "Optional[AggregateResult]":
     """Device GROUPBY fast path (ops/groupby.py): single dictionary-encoded
     group key + algebraic reducers compute as one-hot MXU contractions;
     any other shape returns None and the host pipeline runs."""
+    h = _device_group_submit(index, req, cq)
+    if h is None:
+        return None
+    return _device_group_finish(index, h)
+
+
+def _device_group_submit(index, req: AggregateRequest, cq):
+    """Dispatch phase of the device GROUPBY: submits every segment's
+    fused program asynchronously and returns a handle (or None when the
+    plan isn't device-eligible).  run_aggregate_many submits a whole
+    batch of aggregations before collecting any — round trips overlap
+    the way batched search does."""
     from ..ops.groupby import DEVICE_REDUCERS, groupby_aggregate
     import jax.numpy as jnp
 
@@ -231,14 +260,10 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
     want_minmax = any(n.upper() in ("MIN", "MAX")
                       for n, _a, _al in group.reducers)
 
-    # accumulate per group VALUE (string) across segments
-    import jax as _jax
-    from ..index.segment import next_pow2 as _np2
     from ..query.engine import (_COMPILE_CACHE, _build_fn, _segment_args)
 
     op_list = sorted(operands)
-    acc: dict[str, dict[str, dict[str, float]]] = {}
-    total = 0
+    parts = []
     for seg in index.segments:
         sc = seg.strcols.get(f.attribute)
         if sc is None:
@@ -295,7 +320,19 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
             from ..query.engine import _PackedExecutor
             entry = _PackedExecutor(fused, dyn, seg_args)
             _COMPILE_CACHE[sig] = entry
-        out = entry(seg_args, dyn)
+        flat = entry.submit(seg_args, dyn)   # async device dispatch
+        parts.append((sc, entry, flat))
+    return (group, tail, key, op_list, want_minmax, parts)
+
+
+def _device_group_finish(index, h) -> "AggregateResult":
+    """Collect phase: drain every segment's packed output, merge the
+    per-group accumulators, build rows, run the SORT/LIMIT tail."""
+    group, tail, key, op_list, want_minmax, parts = h
+    acc: dict[str, dict[str, dict[str, float]]] = {}
+    total = 0
+    for sc, entry, flat in parts:
+        out = entry.finish(flat)
         total += int(out["count"])
 
         def _op_stats(tag):

@@ -371,6 +371,13 @@ class Client:
         return ix.search_many(queries, params=params, k=k, scorer=scorer,
                               dialect=dialect)
 
+    def ft_aggregate_many(self, name: str, reqs: list
+                          ) -> list:
+        """Batched FT.AGGREGATE: device-eligible GROUPBYs dispatch
+        together and collect together (see pipeline.run_aggregate_many)."""
+        from .agg.pipeline import run_aggregate_many
+        return run_aggregate_many(self._index(name), reqs)
+
     def ft_aggregate(self, name: str, req: AggregateRequest
                      ) -> AggregateResult:
         ix = self._index(name)

@@ -169,6 +169,28 @@ def test_device_groupby_matches_host(sortable_corpus, seed):
                     src, name, a, got, want)
 
 
+def test_aggregate_many_matches_sequential(sortable_corpus):
+    c, rows = sortable_corpus
+    reqs = [
+        rs.AggregateRequest("all").group_by(
+            ["@a"], ("SUM", ["@v"], "s"), ("COUNT", [], "n")),
+        rs.AggregateRequest("all").group_by(
+            ["@a"], ("MIN", ["@v"], "lo"), ("MAX", ["@v"], "hi")),
+        # host-fallback shape in the same batch (multi-key group)
+        rs.AggregateRequest("all").load("@a", "@v").group_by(
+            ["@a"], ("AVG", ["@v"], "m")),
+    ]
+    batch = c.ft_aggregate_many("agd", reqs)
+    seq = [c.ft_aggregate("agd", r) for r in reqs]
+    for b, s in zip(batch, seq):
+        bb = sorted(map(str, ({k: round(float(v), 4) if isinstance(v, (int, float)) else v
+                               for k, v in r.items()} for r in b.rows)))
+        ss = sorted(map(str, ({k: round(float(v), 4) if isinstance(v, (int, float)) else v
+                               for k, v in r.items()} for r in s.rows)))
+        assert bb == ss
+        assert b.total == s.total
+
+
 def test_quantile_and_tolist(corpus):
     c, rows = corpus
     req = (rs.AggregateRequest("all")
