@@ -200,6 +200,8 @@ def run_aggregate_many(index, reqs: list) -> list:
     is collected (each collect costs a full link round trip on a remote
     attach — the dashboard/multi-panel analog of batched search).
     Non-eligible plans fall back to the sequential host pipeline."""
+    import jax
+
     index.commit()
     handles: list = []
     for req in reqs:
@@ -207,8 +209,22 @@ def run_aggregate_many(index, reqs: list) -> list:
         cq = index.prepare(req.query, req.params, opts, req.dialect)
         h = _device_group_submit(index, req, cq)
         handles.append((req, h))
-    return [(_device_group_finish(index, h) if h is not None
-             else run_aggregate(index, req)) for req, h in handles]
+    # ONE device_get over every submitted output buffer: per-handle
+    # collects would serialize a full link round trip each
+    refs = [flat for _, h in handles if h is not None
+            for _sc, _e, flat in h[5]]
+    fetched = iter(jax.device_get(refs) if refs else [])
+    out = []
+    for req, h in handles:
+        if h is None:
+            out.append(run_aggregate(index, req))
+        else:
+            group, tail, key, op_list, mm, parts = h
+            parts = [(sc, e, np.asarray(next(fetched)))
+                     for sc, e, _ in parts]
+            out.append(_device_group_finish(
+                index, (group, tail, key, op_list, mm, parts)))
+    return out
 
 
 def _try_device_group(index, req: AggregateRequest, cq) -> \
@@ -294,13 +310,26 @@ def _device_group_submit(index, req: AggregateRequest, cq):
             raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
                             mode="window", jit=False)
             n_ops = len(op_list)
+            from ..query.engine import LAll
+            # match-all roots emit the iota window: every column is
+            # already doc-aligned, so the [n_pad] random gathers
+            # (value_ids[cd], per-op values/presence — ~7 ns/element on
+            # TPU, they dominated this path) collapse to the columns
+            # themselves
+            iota_root = (cq.tree[0] == "leaf"
+                         and isinstance(cq.tree[1], LAll))
 
-            def fused(seg_args_, dyn_args, _raw=raw, _G=G, _n=n_ops):
+            def fused(seg_args_, dyn_args, _raw=raw, _G=G, _n=n_ops,
+                      _iota=iota_root):
                 out = _raw(seg_args_, dyn_args)
                 docs, valid = out["docs"], out["valid"]
                 value_ids = seg_args_["gb_value_ids"]
-                cd = jnp.minimum(docs, value_ids.shape[0] - 1)
-                gids = value_ids[cd]
+                if _iota:
+                    cd = None
+                    gids = value_ids
+                else:
+                    cd = jnp.minimum(docs, value_ids.shape[0] - 1)
+                    gids = value_ids[cd]
                 # flat keys: one packed output buffer -> ONE d2h transfer
                 res = {"count": out["count"]}
                 base = groupby_aggregate(gids, valid,
@@ -309,9 +338,11 @@ def _device_group_submit(index, req: AggregateRequest, cq):
                 for stat, arr in base.items():
                     res[f"g.None.{stat}"] = arr
                 for j in range(_n):
-                    vm = valid & seg_args_["gb_num_pres"][j][cd]
+                    pres = seg_args_["gb_num_pres"][j]
+                    vals = seg_args_["gb_num_vals"][j]
+                    vm = valid & (pres if _iota else pres[cd])
                     gr = groupby_aggregate(
-                        gids, vm, seg_args_["gb_num_vals"][j][cd], _G,
+                        gids, vm, vals if _iota else vals[cd], _G,
                         want_minmax=want_minmax)
                     for stat, arr in gr.items():
                         res[f"g.{j}.{stat}"] = arr
@@ -332,7 +363,8 @@ def _device_group_finish(index, h) -> "AggregateResult":
     acc: dict[str, dict[str, dict[str, float]]] = {}
     total = 0
     for sc, entry, flat in parts:
-        out = entry.finish(flat)
+        out = (entry._unpack_out(flat) if isinstance(flat, np.ndarray)
+               else entry.finish(flat))
         total += int(out["count"])
 
         def _op_stats(tag):
