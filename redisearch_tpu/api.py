@@ -290,6 +290,9 @@ class Client:
             query = _fold_legacy_filters(query, filters)
         if "scorer" not in opts:
             opts["scorer"] = self.config.get("DEFAULT_SCORER")
+        if str(opts["scorer"]).upper() == "BM25STD.TANH":
+            opts.setdefault("tanh_factor",
+                            float(self.config.get("BM25STD_TANH_FACTOR")))
         ix.timeout_ms = self.config.get("TIMEOUT")
         ix.on_timeout = str(self.config.get("ON_TIMEOUT")).lower()
         ix.on_oom = str(self.config.get("ON_OOM")).lower()

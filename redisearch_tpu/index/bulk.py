@@ -127,8 +127,12 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     (terms, term_offsets, doc_ids, freqs, masks, pos_offsets, positions,
      doc_lens, max_freqs_arr, max_pos, max_postings) = nb.finish()
 
-    for meta, mf in zip(metas, max_freqs_arr):
-        index.doctable.set_doclen(meta.gid, meta.doclen, int(mf))
+    for meta, dl_i, mf in zip(metas, doc_lens, max_freqs_arr):
+        # the native indexer computed the real token count; meta.doclen
+        # is still the PRE-index value (0 for new docs) — passing it
+        # through froze total_doclen at ~0 and collapsed the BM25
+        # avgdl to 1.0 for bulk-indexed corpora
+        index.doctable.set_doclen(meta.gid, int(dl_i), int(mf))
 
     n_pad = round_up(n, LANE)
     pos_stride = min(next_pow2(int(max_pos) + 2), MAX_POS_STRIDE)

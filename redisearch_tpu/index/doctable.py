@@ -28,6 +28,10 @@ class DocMeta:
     payload: Optional[bytes] = None
     doclen: int = 0                 # total text tokens (BM25 length norm)
     max_freq: int = 0               # max term freq in doc (TFIDF norm)
+    # doclen already folded into DocTable.total_doclen — tracked apart
+    # from `doclen` so set_doclen stays correct no matter whether the
+    # indexer mutated meta.doclen before or after calling it
+    counted_doclen: int = 0
     deleted: bool = False
     # Doc-level TTL, absolute epoch seconds (reference: doc TTL on DMD).
     expires_at: Optional[float] = None
@@ -90,12 +94,14 @@ class DocTable:
         meta = self._metas[gid]
         meta.deleted = True
         self.num_docs -= 1
-        self.total_doclen -= meta.doclen
+        self.total_doclen -= meta.counted_doclen
+        meta.counted_doclen = 0
         return meta
 
     def set_doclen(self, gid: int, doclen: int, max_freq: int) -> None:
         meta = self._metas[gid]
-        self.total_doclen += doclen - meta.doclen
+        self.total_doclen += doclen - meta.counted_doclen
+        meta.counted_doclen = doclen
         meta.doclen = doclen
         meta.max_freq = max_freq
 

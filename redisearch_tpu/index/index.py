@@ -359,6 +359,7 @@ class SearchIndex:
                opts.scorer, opts.sort_field, opts.sort_asc, opts.slop,
                opts.inorder, opts.verbatim, opts.language,
                opts.max_expansions, opts.expander, opts.in_fields,
+               opts.tanh_factor,
                self.doctable.num_docs)  # stats change -> new idf
         cq = self._prepared.get(key)
         if cq is None:
@@ -403,6 +404,7 @@ class SearchIndex:
         payload: Optional[bytes] = None,
         in_keys: Optional[Iterable[str]] = None,
         in_fields: Optional[Iterable[str]] = None,
+        tanh_factor: float = 4.0,
     ) -> SearchResult:
         """FT.SEARCH analog.  in_keys/in_fields mirror INKEYS/INFIELDS
         (reference: RSSearchOptions inkeys/fieldmask, aggregate_request.c)."""
@@ -428,6 +430,7 @@ class SearchIndex:
             verbatim=verbatim, now=int(time.time()),
             language=language or self.schema.language,
             in_fields=tuple(in_fields) if in_fields else None,
+            tanh_factor=tanh_factor,
         )
         if max_expansions:
             opts.max_expansions = max_expansions

@@ -142,6 +142,9 @@ class QueryOptions:
     # INFIELDS: default TEXT field mask for terms without an explicit
     # @field modifier (reference: RSSearchOptions fieldmask)
     in_fields: Optional[tuple] = None
+    # BM25STD.TANH stretch: score = tanh(bm25 / factor)
+    # (reference: tanhStretched, ext/default.c; BM25STD_TANH_FACTOR=4)
+    tanh_factor: float = 4.0
 
 
 @dataclasses.dataclass
@@ -365,6 +368,7 @@ class CompiledQuery:
             ts = self._tree_str = (
                 f"{self.tree}|T={len(self.term_strings)}"
                 f"|scorer={self.opts.scorer}"
+                f"|th={self.opts.tanh_factor}"
                 f"|sort={self.opts.sort_field}:{self.opts.sort_asc}"
                 f"|knn={self.knn.field if self.knn else None}")
         return ts
@@ -1862,7 +1866,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
         elif not seg_uniform_ds:
             score = score * seg["docscore"][cd]
         if scorer == "BM25STD.TANH":
-            score = jnp.tanh(score)
+            score = jnp.tanh(score / opts.tanh_factor)
         score = jnp.where(valid, score, 0.0)
 
         count = jnp.sum(valid.astype(jnp.int32))
@@ -1968,7 +1972,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 elif not seg_uniform_ds:
                     s_ids = s_ids * seg["docscore"][ids]
                 if scorer == "BM25STD.TANH":
-                    s_ids = jnp.tanh(s_ids)
+                    s_ids = jnp.tanh(s_ids / opts.tanh_factor)
                 found = jnp.sum(ok_ids.astype(jnp.int32))
                 exhausted = negd[-1] <= -3.3e38  # M covered all vectors
 

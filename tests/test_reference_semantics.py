@@ -426,6 +426,40 @@ def test_highlight_wraps_matched_terms(c):
 
 
 # ---------------------------------------------------------------------------
+# Scorer formula exactness (reference: ext/default.c CalculateBM25Std,
+# k1=1.2 b=0.75; idf crate ln(1+(N-n+0.5)/(n+0.5)); BM25StdTanhScorer
+# tanh(score / BM25STD_TANH_FACTOR), default factor 4)
+# ---------------------------------------------------------------------------
+
+def test_bm25std_matches_reference_formula(c):
+    import math
+    c.ft_create("bm", [Field("t", FieldType.TEXT)])
+    # 4 docs; "hello" in 2; doc lens 2,3,4,5 -> avgdl known
+    c.hset("a", {"t": "hello world"})                  # dl 2, tf 1
+    c.hset("b", {"t": "hello hello there"})            # dl 3, tf 2
+    c.hset("cc", {"t": "one two three four"})          # dl 4
+    c.hset("d", {"t": "five six seven eight nine"})    # dl 5
+    res = c.ft_search("bm", "hello", num=10, verbatim=True)
+    got = {h.key: h.score for h in res.hits}
+    N, n = 4, 2
+    idf = math.log(1 + (N - n + 0.5) / (n + 0.5))
+    avgdl = (2 + 3 + 4 + 5) / 4
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got["a"] == pytest.approx(bm25(1, 2), rel=1e-5)
+    assert got["b"] == pytest.approx(bm25(2, 3), rel=1e-5)
+    # TANH variant: tanh(score / 4) with the reference's default factor
+    res = c.ft_search("bm", "hello", num=10, verbatim=True,
+                      scorer="BM25STD.TANH")
+    gt = {h.key: h.score for h in res.hits}
+    assert gt["a"] == pytest.approx(math.tanh(bm25(1, 2) / 4), rel=1e-5)
+    assert gt["b"] == pytest.approx(math.tanh(bm25(2, 3) / 4), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # Synonyms / phonetics expansion (reference: synonym_map.c,
 # phonetic_manager.c; expanders registered at ext/default.c:788-806)
 # ---------------------------------------------------------------------------
