@@ -682,10 +682,14 @@ class CompiledQuery:
         if self.opts.scorer.startswith("BM25"):
             # BM25 idf (reference idf crate: ln(1 + (N-n+0.5)/(n+0.5)))
             return np.log1p((N - dfs + 0.5) / (dfs + 0.5)).clip(min=0.0)
-        # TFIDF logb idf: log2(1 + N/df)
-        with np.errstate(divide="ignore"):
-            return np.where(dfs > 0, np.log2(1.0 + N / np.maximum(dfs, 1)),
-                            0.0)
+        # TFIDF idf = logb(1 + (N+1)/max(df,1)): the BINARY EXPONENT, a
+        # step function — not a smooth log2 (reference idf crate
+        # calculate_idf, idf/src/lib.rs: ilogb of the frequency ratio).
+        # frexp is exact where log2().floor() can be off by one near
+        # powers of two (the crate makes the same point).
+        v = 1.0 + (N + 1) / np.maximum(dfs, 1.0)
+        _m, e = np.frexp(v)
+        return (e - 1).astype(np.float64)
 
     def _expand_node(self, node: ast.Node, seg: Segment) -> list[str]:
         st = seg.terms.sorted_terms

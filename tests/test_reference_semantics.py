@@ -459,6 +459,24 @@ def test_bm25std_matches_reference_formula(c):
     assert gt["b"] == pytest.approx(math.tanh(bm25(2, 3) / 4), rel=1e-5)
 
 
+def test_tfidf_matches_reference_formula(c):
+    # reference: tfIdfInternal (ext/default.c:109) — score = doc_score *
+    # sum(weight * tf * idf) / maxTermFreq, idf = logb(1 + (N+1)/df)
+    # (idf/src/lib.rs calculate_idf: the BINARY EXPONENT step function)
+    import math
+    c.ft_create("tf", [Field("t", FieldType.TEXT)])
+    c.hset("a", {"t": "apple apple pie"})     # tf(apple)=2, maxfreq 2
+    c.hset("b", {"t": "apple tart"})          # tf 1, maxfreq 1
+    c.hset("cc", {"t": "cherry pie crumble"})
+    res = c.ft_search("tf", "apple", num=10, verbatim=True,
+                      scorer="TFIDF")
+    got = {h.key: h.score for h in res.hits}
+    N, df = 3, 2
+    idf = float(math.floor(math.log2(1 + (N + 1) / df)))   # logb(3)=1
+    assert got["a"] == pytest.approx(2 * idf / 2, rel=1e-5)
+    assert got["b"] == pytest.approx(1 * idf / 1, rel=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Synonyms / phonetics expansion (reference: synonym_map.c,
 # phonetic_manager.c; expanders registered at ext/default.c:788-806)
