@@ -679,6 +679,10 @@ class CompiledQuery:
         return SegmentBinding(seg, dyn), P
 
     def _idf(self, dfs: np.ndarray, N: int) -> np.ndarray:
+        if self.opts.scorer == "DISMAX":
+            # reference dismaxRecursive: term score = weight * freq —
+            # no idf at all (ext/default.c:377-455)
+            return np.ones_like(dfs)
         if self.opts.scorer.startswith("BM25"):
             # BM25 idf (reference idf crate: ln(1 + (N-n+0.5)/(n+0.5)))
             return np.log1p((N - dfs + 0.5) / (dfs + 0.5)).clip(min=0.0)
@@ -1497,6 +1501,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                                     + T.BM25_B * nv
                                     / jnp.maximum(dyn["avgdl"], 1e-9))
                 return w * tf * (T.BM25_K1 + 1.0) / (tf + norm)
+            if scorer == "DISMAX":
+                # weight * raw frequency — no normalization, no idf,
+                # no doc score (reference dismaxRecursive)
+                return w * tf
             return w * tf / jnp.maximum(nv, 1.0)
 
         # field-level TTL: expired-TEXT-field bitmask per doc, computed
@@ -1867,7 +1875,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
 
         if scorer == "DOCSCORE":
             score = seg["docscore"][cd]
-        elif not seg_uniform_ds:
+        elif not seg_uniform_ds and scorer != "DISMAX":
+            # DISMAX ignores the document score (DisMaxScorer)
             score = score * seg["docscore"][cd]
         if scorer == "BM25STD.TANH":
             score = jnp.tanh(score / opts.tanh_factor)
@@ -1973,7 +1982,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     ok_ids = ok_ids & dyn["extra_mask"][ids]
                 if scorer == "DOCSCORE":
                     s_ids = seg["docscore"][ids]
-                elif not seg_uniform_ds:
+                elif not seg_uniform_ds and scorer != "DISMAX":
                     s_ids = s_ids * seg["docscore"][ids]
                 if scorer == "BM25STD.TANH":
                     s_ids = jnp.tanh(s_ids / opts.tanh_factor)

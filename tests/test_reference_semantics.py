@@ -477,6 +477,23 @@ def test_tfidf_matches_reference_formula(c):
     assert got["b"] == pytest.approx(1 * idf / 1, rel=1e-5)
 
 
+def test_dismax_matches_reference_formula(c):
+    # reference dismaxRecursive: term = weight * freq; intersections
+    # sum, unions take the max; no idf / normalization / doc score
+    c.ft_create("dm", [Field("t", FieldType.TEXT)], score_field="__score")
+    c.hset("a", {"t": "red red blue", "__score": 0.2})   # tf r=2, b=1
+    c.hset("b", {"t": "red green", "__score": 1.0})      # tf r=1, g=1
+    res = c.ft_search("dm", "red blue", num=10, verbatim=True,
+                      scorer="DISMAX")
+    got = {h.key: h.score for h in res.hits}
+    assert got == {"a": pytest.approx(3.0)}   # 2 + 1; doc score ignored
+    res = c.ft_search("dm", "red|green", num=10, verbatim=True,
+                      scorer="DISMAX")
+    got = {h.key: h.score for h in res.hits}
+    assert got["a"] == pytest.approx(2.0)     # max(2, 0)
+    assert got["b"] == pytest.approx(1.0)     # max(1, 1)
+
+
 # ---------------------------------------------------------------------------
 # Synonyms / phonetics expansion (reference: synonym_map.c,
 # phonetic_manager.c; expanders registered at ext/default.c:788-806)
