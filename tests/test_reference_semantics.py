@@ -556,6 +556,62 @@ def test_inkeys_and_infields(c):
     assert _keys(r) == ["d3"]
 
 
+def test_cursor_pages_every_row_exactly_once(c):
+    # reference: FT.AGGREGATE WITHCURSOR + FT.CURSOR READ (cursor.c)
+    c.ft_create("cu", [Field("t", FieldType.TEXT),
+                       Field("n", FieldType.NUMERIC)])
+    for i in range(57):
+        c.hset(f"d{i}", {"t": "x", "n": i})
+    req = (rs.AggregateRequest("x").load("@n")
+           .sort_by(("@n", rs.ASC)).cursor(10))
+    res = c.ft_aggregate("cu", req)
+    rows, cid, reads = list(res.rows), res.cursor_id, 0
+    while cid:
+        nrows, cid = c.ft_cursor_read("cu", cid)
+        rows += nrows
+        reads += 1
+        assert reads < 20
+    vals = [int(float(r["n"])) for r in rows]
+    assert vals == sorted(vals) and len(set(vals)) == 57
+
+
+def test_checkpoint_roundtrip_preserves_search_and_stats(c):
+    import tempfile
+
+    import numpy as np
+
+    from redisearch_tpu import VectorMetric, VectorParams
+    from redisearch_tpu.aux import checkpoint as ckpt
+    c.ft_create("cp", [Field("t", FieldType.TEXT),
+                       Field("g", FieldType.TAG),
+                       Field("n", FieldType.NUMERIC, sortable=True),
+                       Field("v", FieldType.VECTOR,
+                             vector=VectorParams(dim=4,
+                                                 metric=VectorMetric.L2))])
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        c.hset(f"k{i}", {"t": f"word{i % 5} common", "g": "ab"[i % 2],
+                         "n": i,
+                         "v": rng.standard_normal(4,
+                                                  dtype=np.float32)
+                         .tobytes()})
+    ix = c._index("cp")
+    d = tempfile.mkdtemp()
+    ckpt.save(ix, d)
+    ix2 = ckpt.load(d)
+    q = "common @g:{a} @n:[5 25]"
+    assert ([h.key for h in ix.search(q, num=50).hits]
+            == [h.key for h in ix2.search(q, num=50).hits])
+    b = rng.standard_normal(4, dtype=np.float32).tobytes()
+    k1 = [h.key for h in ix.search("*=>[KNN 5 @v $b]", params={"b": b},
+                                   num=5).hits]
+    k2 = [h.key for h in ix2.search("*=>[KNN 5 @v $b]", params={"b": b},
+                                    num=5).hits]
+    assert k1 == k2
+    # BM25 avgdl statistics must survive the roundtrip
+    assert ix.doctable.avg_doclen == ix2.doctable.avg_doclen != 0
+
+
 def test_multi_field_modifier(c):
     c.ft_create("mf", [Field("a", FieldType.TEXT),
                        Field("b", FieldType.TEXT),
