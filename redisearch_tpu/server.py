@@ -605,6 +605,21 @@ class Server:
             if with_scores:
                 out.append(h.score)
                 row3["score"] = float(h.score)
+            if spec.get("with_payloads"):
+                pl = (h.payload.decode("utf-8", "replace")
+                      if h.payload else None)
+                out.append(pl)
+                row3["payload"] = pl
+            if spec.get("with_sortkeys"):
+                # reference serialization (aggregate_exec.c reeval_key):
+                # numbers as "#%.17g", strings prefixed "$", else Null
+                sk = h.sortkey
+                if isinstance(sk, (int, float)):
+                    sk = "#%.17g" % float(sk)
+                elif isinstance(sk, str):
+                    sk = "$" + sk
+                out.append(sk)
+                row3["sortkey"] = sk
             if not no_content:
                 row: list = []
                 attrs: dict = {}
@@ -626,6 +641,8 @@ class Server:
         opts: dict = {"offset": 0, "num": 10}
         no_content = False
         with_scores = False
+        with_sortkeys = False
+        with_payloads = False
         return_fields = None
         highlight = None
         summarize = None
@@ -649,8 +666,12 @@ class Server:
             elif opt == "WITHSCORES":
                 av.next()
                 with_scores = True
-            elif opt in ("WITHSORTKEYS", "WITHPAYLOADS"):
+            elif opt == "WITHSORTKEYS":
                 av.next()
+                with_sortkeys = True
+            elif opt == "WITHPAYLOADS":
+                av.next()
+                with_payloads = True
             elif opt == "SORTBY":
                 av.next()
                 opts["sort_by"] = av.next()
@@ -712,6 +733,8 @@ class Server:
                 raise RSError(f"Unknown argument `{av.next()}`")
         return {"name": name, "query": query, "opts": opts,
                 "no_content": no_content, "with_scores": with_scores,
+                "with_sortkeys": with_sortkeys,
+                "with_payloads": with_payloads,
                 "return_fields": return_fields, "highlight": highlight,
                 "summarize": summarize, "filters": filters}
 
