@@ -113,6 +113,10 @@ def test_end_to_end_search(loop):
         res = await c.cmd("FT.SEARCH", "idx", "hello", "WITHSCORES",
                           "RETURN", 1, "title")
         assert res[0] == 2 and float(res[2]) > 0
+        # WITHSORTKEYS: reference serialization "#<num>" (reeval_key)
+        res = await c.cmd("FT.SEARCH", "idx", "*", "SORTBY", "price",
+                          "ASC", "WITHSORTKEYS", "NOCONTENT")
+        assert res == [2, "doc:1", "#10", "doc:2", "#25"]
         return True
     assert run_session(loop, flow)
 
