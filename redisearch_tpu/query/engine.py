@@ -632,7 +632,11 @@ class CompiledQuery:
                     ncounts.append(int(po[b] - po[a]) if lens[s_] > 0
                                    else 0)
                 pos_counts = [c if c > 0 else 10**9 for c in ncounts]
-                pivot_j = int(np.argmin(pos_counts))
+                # in-order chains anchor on term 0 (reference walks
+                # children in query order with a running span check);
+                # unordered chains pivot on the rarest term
+                pivot_j = 0 if leaf.inorder else int(
+                    np.argmin(pos_counts))
                 from ..index.segment import POS_SLICE_PAD as _PSP
                 Pc = min(self.bucket_size(max(ncounts[pivot_j], 1)), _PSP)
                 Pm = min(self.bucket_size(max(max(ncounts), 1)), _PSP)
@@ -2189,10 +2193,17 @@ def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
     doc = cand // pos_stride
 
     if inorder:
+        # anchor on TERM 0 (not the rarest term): the reference's
+        # within_range_in_order walks children in QUERY order and
+        # rejects as soon as the RUNNING span exceeds the budget — a
+        # later overlapping term (negative gap) cannot redeem an
+        # earlier overflow, so prefix sums must be checked per step.
+        # Greedy smallest-position->=last per child is exactly the
+        # reference's monotonic advance for each candidate start.
+        # (bind sizes Pc for slot 0 when the leaf is in-order.)
         span = jnp.zeros(cand.shape, jnp.int32)
-        # forward: terms pivot+1 .. Tn-1 (smallest key >= anchor)
         anchor = cand
-        for j in range(pivot_j + 1, Tn):
+        for j in range(1, Tn):
             keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
                                          lens[j], Pm)
             idx = W.block_searchsorted(keys_j, anchor, side="left")
@@ -2200,22 +2211,11 @@ def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
             ok = (alive_c & (found >= anchor) & (found != INF)
                   & ((found // pos_stride) == doc))
             span = jnp.where(ok, span + (found - anchor - 1), span)
+            # running check: only a POSITIVE span can exceed the budget
+            ok = ok & (span <= max(slop, 0))
             anchor = jnp.where(ok, found, anchor)
             alive_c = ok
-        # backward: terms pivot-1 .. 0 (largest key <= anchor)
-        anchor_b = cand
-        for j in range(pivot_j - 1, -1, -1):
-            keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
-                                         lens[j], Pm)
-            ub = W.block_searchsorted(keys_j, anchor_b, side="right") - 1
-            found = keys_j[jnp.clip(ub, 0, Pm - 1)]
-            ok = (alive_c & (ub >= 0) & (found <= anchor_b)
-                  & ((found // pos_stride) == doc))
-            span = jnp.where(ok, span + (anchor_b - found - 1), span)
-            anchor_b = jnp.where(ok, found, anchor_b)
-            alive_c = ok
-        # reference: only a POSITIVE span can exceed the budget
-        return cand, alive_c & (span <= max(slop, 0))
+        return cand, alive_c
 
     # unordered: slide a window of n+slop tokens across the pivot.
     # Each term's probe is the smallest key >= window start; hoist the
