@@ -63,10 +63,19 @@ def _model_match(doc, node):
     if kind == "prefix":
         return any(w.startswith(node[1]) for w in doc["words"])
     if kind == "phrase":
+        # exact phrase = slop 0 + in-order per the REFERENCE algorithm
+        # (non-strict position ordering: a repeated query term may land
+        # on the same token, so "lima lima" matches one "lima" —
+        # proximity.rs within_range_in_order, span goes to -1)
+        from test_fuzz_proximity import within_range_in_order
         ws = doc["words"]
-        a, b = node[1], node[2]
-        return any(ws[j] == a and j + 1 < len(ws) and ws[j + 1] == b
-                   for j in range(len(ws)))
+        lists = []
+        for t in (node[1], node[2]):
+            pl = [j + 1 for j, w in enumerate(ws) if w == t]
+            if not pl:
+                return False
+            lists.append(pl)
+        return within_range_in_order(lists, 0)
     raise AssertionError(kind)
 
 
