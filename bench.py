@@ -1,19 +1,28 @@
-"""Headline benchmark: FLAT KNN top-10 QPS on SIFT1M-shaped data.
+"""Headline benchmark: BM25 top-10 QPS at 1M-doc scale, plus FLAT KNN.
 
-Matches BASELINE.md config "FLAT vector index: KNN top-10, FP32 L2, SIFT1M
-128-d (single shard)".  vs_baseline compares against the 16-core host
-roofline for redisearch brute-force FLAT scans: a per-query scan of the
-512 MB fp32 matrix at ~100 GB/s aggregate memory bandwidth → ~195 QPS
-(BASELINE.md publishes no absolute numbers; this is the documented
-memory-bandwidth bound the reference cannot exceed on that host).
+The driver records ONE JSON line.  The headline metric is deliberately the
+*weakest* north-star config — BM25 AND-2 top-10 at deep batch over a 1M-doc
+zipf corpus shaped like enwiki abstracts (BASELINE.md row "BM25 top-10:
+AND/OR/NOT + exact phrase over ~1M Wikipedia abstracts") — with exact
+phrase and the already-won FLAT KNN number carried as extra fields.
 
-Methodology: queries are staged on device, then ONE dispatch scans
-chunk-by-chunk (redisearch_tpu.ops.vector.knn_scan_batches) and the
-results come back in one collect — the deep-queue serving shape.  This
-measures device throughput without per-dispatch link latency, which on a
-tunneled dev attach would otherwise dominate (~30 ms per round trip).
+vs_baseline math (BASELINE.md publishes no absolute reference numbers, so
+these are documented estimates, not cherry-picks):
+  * BM25: reference FT.SEARCH 2-term intersection top-10 on 1M FTSB
+    enwiki-abstract docs on a 16-core host with WORKERS=6 is estimated at
+    ~10,000 QPS (tests/benchmarks/search-asm-ftsb-1M-*.yml workload; CI
+    `oss-standalone-threads-6` setup).  vs_baseline = our_qps / 10_000 —
+    the ≥10x north star means this must reach ≥10.0.
+  * FLAT KNN: per-query scan of the 512 MB fp32 SIFT1M matrix at ~100 GB/s
+    host memory bandwidth → ~195 QPS roofline on the same 16-core host.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology: queries are pre-parsed (prepared-query cache — the reference's
+memtier loops a fixed query set too), then a pipelined serving loop overlaps
+next-batch host work with device execution; KNN stages all queries on device
+and scans chunk-by-chunk in ONE dispatch.  Both avoid per-dispatch tunnel
+latency dominating the measurement (~30 ms/round trip on a tunneled attach).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -21,28 +30,76 @@ import time
 
 import numpy as np
 
-N, D, K = 1_000_000, 128, 10
-B, ITERS = 2048, 48
-BASELINE_QPS = 195.0  # 16-core redisearch FLAT roofline (see module doc)
+BM25_BASELINE_QPS = 10_000.0   # documented 16-core WORKERS=6 estimate
+KNN_BASELINE_QPS = 195.0       # 16-core FLAT scan memory-bandwidth roofline
+
+N_DOCS = 1_000_000
+KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
+KNN_B, KNN_ITERS = 2048, 48
 
 
-def main():
+def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
+    import redisearch_tpu as rs
+    from redisearch_tpu.query.engine import QueryOptions, execute_batch
+
+    rng = np.random.default_rng(0)
+    vocab = 200_000
+    words = np.array(["w%06d" % i for i in range(vocab)])
+    zipf = np.clip(rng.zipf(1.25, size=(n_docs, 24)) - 1, 0, vocab - 1)
+    docs = [(f"d{i}", {"title": " ".join(words[zipf[i, :4]]),
+                       "body": " ".join(words[zipf[i, 4:]])})
+            for i in range(n_docs)]
+    schema = rs.Schema(name="bm25", fields=[
+        rs.Field("title", rs.FieldType.TEXT, weight=2.0),
+        rs.Field("body", rs.FieldType.TEXT)])
+    ix = rs.SearchIndex(schema)
+    t0 = time.perf_counter()
+    ix.add_documents(docs)
+    build_s = time.perf_counter() - t0
+    seg = ix.segments[0]
+
+    qt = ["w%06d" % i for i in rng.integers(20, 5000, size=512)]
+    cases = {
+        "and2": lambda i, it: f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}",
+        "phrase": lambda i, it:
+            f'"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}"',
+    }
+    out = {"build_docs_per_s": round(n_docs / build_s, 0)}
+    for name, qfn in cases.items():
+        def make(it):
+            return [ix.prepare(qfn(i, it), None, QueryOptions(k=10), 2)
+                    for i in range(B)]
+        for it in range(iters):   # warm every bucket-shape combo
+            execute_batch(make(it), seg, 10)
+        # pipelined serving loop: next batch's host work (parse/bind/
+        # pack/h2d) overlaps the device executing the current batch
+        t0 = time.perf_counter()
+        pending = None
+        for it in range(iters):
+            h = execute_batch(make(it), seg, 10, async_=True)
+            if pending is not None:
+                pending.result()
+            pending = h
+        pending.result()
+        dt = time.perf_counter() - t0
+        out[name] = round(iters * B / dt, 1)
+    return out
+
+
+def bench_knn():
     import jax
     import jax.numpy as jnp
-
     from functools import partial
 
-    import redisearch_tpu as rs
-    rs.enable_compilation_cache()
     from redisearch_tpu.ops.vector import knn_batch, knn_scan_batches
 
     rng = np.random.default_rng(0)
-    vecs = rng.normal(size=(N, D)).astype(np.float32)
-    queries = rng.normal(size=(ITERS, B, D)).astype(np.float32)
+    vecs = rng.normal(size=(KNN_N, KNN_D)).astype(np.float32)
+    queries = rng.normal(size=(KNN_ITERS, KNN_B, KNN_D)).astype(np.float32)
 
     dev_vecs = jnp.asarray(vecs)
     sq = jnp.sum(dev_vecs * dev_vecs, axis=1)
-    present = jnp.ones((N,), bool)
+    present = jnp.ones((KNN_N,), bool)
 
     @partial(jax.jit, static_argnames=("k",))
     def run(vs, sqs, pres, Qc, k):
@@ -57,33 +114,46 @@ def main():
 
     dq = jnp.asarray(queries)
     jax.block_until_ready((dev_vecs, sq, present, dq))
-
-    # warmup / compile
-    d, i = run(dev_vecs, sq, present, dq[:2], K)
+    d, i = run(dev_vecs, sq, present, dq[:2], KNN_K)   # warmup / compile
     jax.block_until_ready((d, i))
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        d, i = run(dev_vecs, sq, present, dq, K)
+        d, i = run(dev_vecs, sq, present, dq, KNN_K)
         i_host = jax.device_get(i)          # one collect, forces completion
         best = min(best, time.perf_counter() - t0)
-    qps = ITERS * B / best
+    qps = KNN_ITERS * KNN_B / best
 
     # recall sanity on the first chunk vs exact host top-K
     q0 = queries[0][:64]
     dots = vecs @ q0.T
     dist = (vecs ** 2).sum(1)[:, None] - 2 * dots + (q0 ** 2).sum(1)[None, :]
-    gt = np.argsort(dist, axis=0)[:K].T
-    rec = np.mean([len(set(i_host[0][b]) & set(gt[b])) / K
+    gt = np.argsort(dist, axis=0)[:KNN_K].T
+    rec = np.mean([len(set(i_host[0][b]) & set(gt[b])) / KNN_K
                    for b in range(64)])
     assert rec >= 0.97, f"recall too low: {rec}"
+    return round(qps, 1)
+
+
+def main():
+    import redisearch_tpu as rs
+    rs.enable_compilation_cache()
+
+    bm25 = bench_bm25()
+    knn_qps = bench_knn()
 
     print(json.dumps({
-        "metric": "FLAT KNN top-10 QPS (SIFT1M-shape 1M x 128 fp32, L2)",
-        "value": round(qps, 1),
+        "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 1024)",
+        "value": bm25["and2"],
         "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),
+        "extra": {
+            "bm25_phrase_qps": bm25["phrase"],
+            "bm25_build_docs_per_s": bm25["build_docs_per_s"],
+            "flat_knn_qps": knn_qps,
+            "flat_knn_vs_baseline": round(knn_qps / KNN_BASELINE_QPS, 2),
+        },
     }))
 
 
