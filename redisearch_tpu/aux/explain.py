@@ -82,7 +82,14 @@ def explain_score(index, query: str, key: str,
                     []}
         tf = float(np.asarray(seg.text.freqs[a + pos]))
         w = float(tweight[slot])
-        if scorer.startswith("BM25"):
+        if scorer == "BM25":
+            # legacy BM25 (ext/default.c bm25Recursive): k1=1.2, b=0.5,
+            # denominator uses only avgdl; w carries the logb idf
+            norm = 1.2 * (1 - 0.5 + 0.5 * avgdl)
+            v = w * tf / (tf + norm)
+            desc = (f"'{term}': idf*w {w:.4f} * tf {tf:.1f} "
+                    f"/ (tf + k1*(1-b+b*avgdl) {norm:.4f})")
+        elif scorer.startswith("BM25"):
             norm = BM25_K1 * (1 - BM25_B + BM25_B * doclen
                               / max(avgdl, 1e-9))
             v = w * tf * (BM25_K1 + 1.0) / (tf + norm)
@@ -138,15 +145,67 @@ def explain_score(index, query: str, key: str,
                     "children": [k]}
         return {"value": 0.0, "description": tag, "children": []}
 
+    def slot_positions(slot: int) -> list[int]:
+        length = int(lens[slot])
+        if length == 0:
+            return []
+        a = int(starts[slot])
+        docs = np.asarray(seg.text.doc_ids[a:a + length])
+        pos = int(np.searchsorted(docs, local))
+        if pos >= length or docs[pos] != local:
+            return []
+        po = seg.text.pos_offsets_np
+        ks = np.asarray(seg.text.poskeys[int(po[a + pos]):
+                                         int(po[a + pos + 1])])
+        stride = seg.text.pos_stride
+        return sorted(int(k) - local * stride for k in ks)
+
+    def get_slop() -> int:
+        """Host reconstruction of the GetSlop divisor (reference:
+        IndexResult_MinOffsetDelta, index_result.c:51)."""
+        from ..query.engine import _slop_root_children
+        info = _slop_root_children(cq.tree)
+        if info is None:
+            return 1
+        mode, childs = info
+        plists = []
+        for ch in childs:
+            if ch[0] != "slots":
+                plists.append(None)   # no offsets; counted in num
+                continue
+            merged: list[int] = []
+            for s in ch[1]:
+                merged.extend(slot_positions(s))
+            plists.append(sorted(merged))
+        present = [pl is None or len(pl) > 0 for pl in plists]
+        if mode == "and":
+            present = [True] * len(childs)
+        num = sum(present)
+        if num <= 1:
+            return 1
+        offs = [pl for pl, p in zip(plists, present)
+                if pl is not None and p and pl]
+        dist = 0
+        for va, vb in zip(offs, offs[1:]):
+            cd = min((abs(a - b) for a in va for b in vb), default=0)
+            dist += cd * cd
+        return int(dist ** 0.5) if dist else max(num - 1, 1)
+
     tree = explain_tree(cq.tree)
     final = tree["value"] * docscore
+    desc = (f"final: tree {tree['value']:.4f} * docscore "
+            f"{docscore:.2f}")
+    if scorer in ("TFIDF", "TFIDF.DOCNORM", "BM25"):
+        slop = get_slop()
+        if slop > 1:
+            final = final / slop
+            desc += f" / slop {slop}"
     if scorer == "BM25STD.TANH":
         final = float(np.tanh(final))
     if scorer == "DOCSCORE":
         final = docscore
     return {"value": final,
-            "description": f"final: tree {tree['value']:.4f} * docscore "
-                           f"{docscore:.2f}",
+            "description": desc,
             "children": [tree]}
 
 

@@ -73,6 +73,62 @@ def gather_poskeys(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
     return keys, klen
 
 
+def min_offset_delta(keys_a: jnp.ndarray, keys_b: jnp.ndarray,
+                     pos_stride: int, docs: jnp.ndarray):
+    """Per-candidate-doc minimum |position_a - position_b| between two
+    sorted position-key windows (the GetSlop building block — reference:
+    IndexResult_MinOffsetDelta, src/index_result/index_result.c:51: a
+    sorted-merge walk finding the minimal delta between two offset
+    vectors).
+
+    keys_a/keys_b: ascending `local_doc * pos_stride + position` windows
+    (INT32_MAX pads).  docs: candidate doc ids (any order, INT32_MAX
+    invalid).  Returns (delta int32[C] — INT32_MAX where either side has
+    no positions at the doc — and present_a bool[C]: doc has >=1 key in
+    keys_a).
+
+    Vectorized batch-at-a-time formulation: nearest same-doc neighbor in
+    keys_b for every key of keys_a (one block_searchsorted), a segmented
+    backward min-scan over keys_a's doc runs (log2 shifted minima — sorted
+    runs are contiguous), then one run-head probe per candidate doc.  The
+    reference's early-exit at delta<=1 can return 1 where the true minimum
+    is 0 (two terms on the very same token); we return the exact minimum —
+    impossible to hit with a tokenizer that emits one token per position.
+    """
+    from . import window as W
+
+    INF = jnp.int32(2**31 - 1)
+    Pa = keys_a.shape[0]
+    Pb = keys_b.shape[0]
+    doc_a = keys_a // pos_stride
+    idx = W.block_searchsorted(keys_b, keys_a, side="left")
+    up = keys_b[jnp.clip(idx, 0, Pb - 1)]
+    dn = keys_b[jnp.clip(idx - 1, 0, Pb - 1)]
+    valid_a = keys_a != INF
+    d_up = jnp.where(valid_a & (up != INF) & (up // pos_stride == doc_a),
+                     up - keys_a, INF)
+    d_dn = jnp.where(valid_a & (idx > 0) & (dn // pos_stride == doc_a),
+                     keys_a - dn, INF)
+    d = jnp.minimum(d_up, d_dn)
+    # segmented backward min over doc runs: after the scan, the first key
+    # of each doc's run holds that doc's minimum delta
+    shift = 1
+    while shift < Pa:
+        d_sh = jnp.concatenate([d[shift:], jnp.full((shift,), INF)])
+        doc_sh = jnp.concatenate(
+            [doc_a[shift:], jnp.full((shift,), -1, jnp.int32)])
+        d = jnp.where(doc_sh == doc_a, jnp.minimum(d, d_sh), d)
+        shift <<= 1
+    # probe each candidate doc's run head
+    lim = (2**31 - 1) // max(pos_stride, 1)
+    q = jnp.minimum(docs, lim) * pos_stride
+    head = W.block_searchsorted(keys_a, q, side="left")
+    hk = keys_a[jnp.clip(head, 0, Pa - 1)]
+    hd = d[jnp.clip(head, 0, Pa - 1)]
+    present = (docs != INF) & (hk != INF) & (hk // pos_stride == docs)
+    return jnp.where(present, hd, INF), present
+
+
 def tags_match_dense(doc_ids: jnp.ndarray, starts: jnp.ndarray,
                      lengths: jnp.ndarray, n_pad: int, L: int) -> jnp.ndarray:
     """Dense bool[n_pad]: docs holding any of the T tag values.

@@ -676,6 +676,30 @@ class CompiledQuery:
                 buckets[idx] = (bool(colv is not None and colv.multi),)
             else:
                 buckets[idx] = ()
+        # GetSlop divisor buckets (TFIDF/TFIDF.DOCNORM/legacy BM25): per
+        # root-child, per-slot position-window sizes.  Computed AFTER the
+        # LTerms slot compaction above so indices line up with the
+        # compacted dyn arrays.
+        if self.opts.scorer in _SLOP_SCORERS:
+            slop_info = _slop_root_children(self.tree)
+            if slop_info is not None:
+                from ..index.segment import POS_SLICE_PAD as _PSP2
+                sb = []
+                for ch in slop_info[1]:
+                    if ch[0] != "slots":
+                        sb.append(())
+                        continue
+                    per = []
+                    for s_ in ch[1]:
+                        c = 0
+                        if lens[s_] > 0 and po_np is not None:
+                            a = int(starts[s_])
+                            b = a + int(lens[s_])
+                            c = int(po_np[b]) - int(po_np[a])
+                        per.append(min(self.bucket_size(max(c, 1)), _PSP2))
+                    sb.append(tuple(per))
+                buckets[-1] = tuple(sb)
+
         dyn["numw_start"] = numw_start
         dyn["numw_len"] = numw_len
         dyn["_buckets"] = buckets  # popped before jit
@@ -687,7 +711,12 @@ class CompiledQuery:
             # reference dismaxRecursive: term score = weight * freq —
             # no idf at all (ext/default.c:377-455)
             return np.ones_like(dfs)
-        if self.opts.scorer.startswith("BM25"):
+        if self.opts.scorer == "BM25":
+            # the legacy BM25 scorer uses the logb idf, not the BM25 idf
+            # (ext/default.c bm25Recursive: QueryTerm_GetIDF) — fall
+            # through to the TFIDF branch below
+            pass
+        elif self.opts.scorer.startswith("BM25"):
             # BM25 idf (reference idf crate: ln(1 + (N-n+0.5)/(n+0.5)))
             return np.log1p((N - dfs + 0.5) / (dfs + 0.5)).clip(min=0.0)
         # TFIDF idf = logb(1 + (N+1)/max(df,1)): the BINARY EXPONENT, a
@@ -1445,11 +1474,17 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     text_field_ttl = seg_proto.text_fexp is not None
     fexp_attrs = frozenset(seg_proto.field_fexp)
     seg_uniform_ds = seg_proto.uniform_docscore
-    # BM25/DOCNORM read the norm operand from the per-posting doclens
+    # BM25STD/DOCNORM read the norm operand from the per-posting doclens
     # column (sliced, not gathered); TFIDF needs max_freq and keeps the
-    # gather path
-    norm_from_postings = scorer.startswith("BM25") or scorer == \
-        "TFIDF.DOCNORM"
+    # gather path; legacy BM25's denominator uses only avgdl (no per-doc
+    # norm at all — ext/default.c bm25Recursive)
+    norm_from_postings = scorer in ("BM25STD", "BM25STD.TANH",
+                                    "TFIDF.DOCNORM")
+    slop_info = (_slop_root_children(tree)
+                 if scorer in _SLOP_SCORERS else None)
+    slop_buckets = buckets.get(-1)
+    if slop_buckets is None:
+        slop_info = None
 
     # ---- static analysis: which subtrees can generate, and how wide
     def can_gen(t) -> bool:
@@ -1500,6 +1535,13 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             """Scorer math given tf and the norm-column values `nv` at the
             same docs (reference formulas, ext/default.c)."""
             w = dyn["tweight"][slot]
+            if scorer == "BM25":
+                # legacy (non-standard) BM25: k1=1.2, b=0.5, and the
+                # denominator uses ONLY avgdl — no per-doc length
+                # (ext/default.c bm25Recursive:165-171); w carries the
+                # logb idf
+                norm = 1.2 * (1.0 - 0.5 + 0.5 * dyn["avgdl"])
+                return w * tf / (tf + norm)
             if scorer.startswith("BM25"):
                 norm = T.BM25_K1 * (1.0 - T.BM25_B
                                     + T.BM25_B * nv
@@ -1851,6 +1893,85 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 return f
             raise AssertionError(tag)
 
+        def slop_divide(sc, dcs):
+            """Divide final TFIDF/legacy-BM25 scores by the match's
+            proximity distance — the reference's GetSlop divisor
+            (ext/default.c:131,226 → IndexResult_MinOffsetDelta,
+            index_result.c:51): dist = sum of squared minimal offset
+            deltas over consecutive offset-bearing root children; slop =
+            floor(sqrt(dist)), or (num_children - 1) when dist == 0, or 1
+            for non-aggregate results."""
+            mode, childs = slop_info
+            INF32 = jnp.int32(2**31 - 1)
+            dlz = jnp.zeros(dcs.shape, jnp.float32)
+            okeys = []
+            for ci, ch in enumerate(childs):
+                if ch[0] != "slots":
+                    okeys.append(None)
+                    continue
+                parts = []
+                for s_, Pj in zip(ch[1], slop_buckets[ci]):
+                    kj, _ = T.gather_poskeys(
+                        seg["poskeys"], seg["pos_offsets"],
+                        dyn["tstarts"][s_], dyn["tlens"][s_], Pj)
+                    parts.append(kj)
+                okeys.append(parts[0] if len(parts) == 1
+                             else jnp.sort(jnp.concatenate(parts)))
+            oidx = [ci for ci, kk in enumerate(okeys) if kk is not None]
+            m_off = len(oidx)
+            if mode == "and":
+                # intersection: every child matched every candidate
+                num = jnp.full(dcs.shape, len(childs), jnp.int32)
+                pres = {ci: None for ci in oidx}
+                pairs = [(oidx[i], oidx[i + 1], None)
+                         for i in range(m_off - 1)]
+            else:
+                # union: the result's children are the ones that matched
+                # this doc; presence varies per candidate
+                pres = {}
+                num = jnp.zeros(dcs.shape, jnp.int32)
+                for ci, ch in enumerate(childs):
+                    if ch[0] == "pred" or ch[2] is not None:
+                        sub = ch[1] if ch[0] == "pred" else ch[2]
+                        pm, _ = eval_pred(sub)(dcs, dlz)
+                    else:
+                        # single term slot of an expanded-token union
+                        s_ = ch[1][0]
+                        Wn = buckets[tree[2]][1]
+                        wd, _wtf, wv = slot_raw(s_, Wn)
+                        pm, _ = W.member(wd, wv, None, dcs)
+                    pres[ci] = pm
+                    num = num + pm.astype(jnp.int32)
+                pairs = []
+                if m_off <= 4:
+                    # exact consecutive-present pairing
+                    for i in range(m_off):
+                        for j in range(i + 1, m_off):
+                            mk = pres[oidx[i]] & pres[oidx[j]]
+                            for t_ in range(i + 1, j):
+                                mk = mk & ~pres[oidx[t_]]
+                            pairs.append((oidx[i], oidx[j], mk))
+                else:
+                    # wide unions: adjacent-present pairs only
+                    pairs = [(oidx[i], oidx[i + 1],
+                              pres[oidx[i]] & pres[oidx[i + 1]])
+                             for i in range(m_off - 1)]
+            dist = jnp.zeros(dcs.shape, jnp.int32)
+            for ci, cj, mk in pairs:
+                dd, _pa = T.min_offset_delta(okeys[ci], okeys[cj],
+                                             pos_stride, dcs)
+                ok = dd != INF32
+                if mk is not None:
+                    ok = ok & mk
+                dist = dist + jnp.where(ok, dd * dd, 0)
+            slop = jnp.where(
+                num <= 1, 1,
+                jnp.where(dist > 0,
+                          jnp.floor(jnp.sqrt(dist.astype(jnp.float32)))
+                          .astype(jnp.int32),
+                          jnp.maximum(num - 1, 1)))
+            return sc / jnp.maximum(slop, 1).astype(jnp.float32)
+
         # ---- root
         root_gen = can_gen(tree)
         root_is_iota = ((not root_gen)
@@ -1884,6 +2005,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             score = score * seg["docscore"][cd]
         if scorer == "BM25STD.TANH":
             score = jnp.tanh(score / opts.tanh_factor)
+        if slop_info is not None:
+            score = slop_divide(score, docs)
         score = jnp.where(valid, score, 0.0)
 
         count = jnp.sum(valid.astype(jnp.int32))
@@ -1990,6 +2113,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     s_ids = s_ids * seg["docscore"][ids]
                 if scorer == "BM25STD.TANH":
                     s_ids = jnp.tanh(s_ids / opts.tanh_factor)
+                if slop_info is not None:
+                    s_ids = slop_divide(s_ids, ids)
                 found = jnp.sum(ok_ids.astype(jnp.int32))
                 exhausted = negd[-1] <= -3.3e38  # M covered all vectors
 
@@ -2093,6 +2218,72 @@ def _tree_has_terms(t) -> bool:
     if tag in ("not", "opt"):
         return _tree_has_terms(t[1])
     return any(_tree_has_terms(c) for c in t[1])
+
+
+# Scorers whose final score divides by the proximity "slop" of the match
+# (reference: ext/default.c tfIdfInternal:131 and BM25Scorer:226 both call
+# ctx->GetSlop = IndexResult_MinOffsetDelta; BM25STD/DISMAX do not).
+_SLOP_SCORERS = ("TFIDF", "TFIDF.DOCNORM", "BM25")
+
+
+def _tree_term_slots(t) -> tuple:
+    """All term slots under a subtree, in query order (the offset sources
+    of the subtree's index result — reference: an aggregate result's
+    offset iterator merges its term children's offset vectors)."""
+    tag = t[0]
+    if tag == "leaf":
+        if isinstance(t[1], LTerms):
+            return tuple(range(t[1].lo, t[1].hi))
+        if isinstance(t[1], LPhrase):
+            return tuple(t[1].slots)
+        return ()
+    if tag in ("not",):
+        return ()       # NOT children contribute no offsets to the match
+    if tag == "opt":
+        return _tree_term_slots(t[1])
+    out: list[int] = []
+    for c in t[1]:
+        out.extend(_tree_term_slots(c))
+    return tuple(out)
+
+
+def _slop_root_children(tree):
+    """Root-result children for the GetSlop divisor (reference:
+    IndexResult_MinOffsetDelta walks the ROOT aggregate's children,
+    src/index_result/index_result.c:51; ext/default.c:131,226).
+
+    Returns None when the root is not an aggregate (slop = 1), else
+    (mode, children): mode "and" = every child matched each candidate
+    (intersection), "or" = presence varies per doc (union).  Each child is
+    ("slots", slot_tuple, subtree_or_None) for offset-bearing children or
+    ("pred", subtree) for children without offsets (numeric/tag/geo —
+    counted in the child total, skipped for deltas)."""
+    tag = tree[0]
+    if tag == "leaf" and isinstance(tree[1], LPhrase):
+        slots = tuple(tree[1].slots)
+        if len(slots) < 2:
+            return None
+        return ("and", [("slots", (s,), None) for s in slots])
+    if tag == "leaf" and isinstance(tree[1], LTerms):
+        # a stem/synonym-expanded token lowers to one LTerms group, but the
+        # reference models it as a UNION of term children
+        slots = tuple(range(tree[1].lo, tree[1].hi))
+        if len(slots) < 2:
+            return None
+        return ("or", [("slots", (s,), None) for s in slots])
+    if tag in ("and", "or", "dismax"):
+        kids = tree[1]
+        if len(kids) < 2:
+            return None
+        children = []
+        for c in kids:
+            slots = _tree_term_slots(c)
+            if slots:
+                children.append(("slots", slots, c))
+            else:
+                children.append(("pred", c))
+        return ("and" if tag == "and" else "or", children)
+    return None
 
 
 def decode_blob(raw, field) -> np.ndarray:

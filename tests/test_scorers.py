@@ -120,3 +120,109 @@ def test_extension_api():
     keys = {ix.doctable.get(int(ix.segments[0].gids_host[i])).key
             for i, s in zip(r.local_idx, r.scores) if s > -3.3e38}
     assert keys == {"plain", "boosted", "rev"}
+
+
+# ---------------------------------------------------------------------------
+# Exact-value pins: legacy BM25 formula + the GetSlop proximity divisor
+# (reference: ext/default.c bm25Recursive:165-171, tfIdfInternal:131,
+# BM25Scorer:226, IndexResult_MinOffsetDelta index_result.c:51)
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _logb_idf(df, N):
+    v = 1.0 + (N + 1) / max(df, 1.0)
+    return math.frexp(v)[1] - 1
+
+
+@pytest.fixture()
+def prox_idx():
+    ix = rs.SearchIndex(rs.Schema(name="prox", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    # a: hello/world adjacent (min delta 1); b: 5 tokens apart
+    ix.add_document("a", {"t": "hello world filler filler filler"})
+    ix.add_document("b", {"t": "hello x1 x2 x3 x4 world"})
+    ix.add_document("c", {"t": "hello only here"})
+    ix.commit()
+    return ix
+
+
+def test_tfidf_slop_divisor_values(prox_idx):
+    res = prox_idx.search("hello world", scorer="TFIDF")
+    got = {h.key: h.score for h in res}
+    N = 3
+    idf_h, idf_w = _logb_idf(3, N), _logb_idf(2, N)
+    # a: maxfreq 3 (filler x3), slop 1;  b: maxfreq 1, min delta 5
+    exp_a = (idf_h / 3 + idf_w / 3) / 1
+    exp_b = (idf_h / 1 + idf_w / 1) / 5
+    assert got["a"] == pytest.approx(exp_a, rel=1e-5)
+    assert got["b"] == pytest.approx(exp_b, rel=1e-5)
+    assert "c" not in got
+
+
+def test_legacy_bm25_formula_values(prox_idx):
+    res = prox_idx.search("hello world", scorer="BM25")
+    got = {h.key: h.score for h in res}
+    N = 3
+    avgdl = (5 + 6 + 3) / 3
+    norm = 1.2 * (1 - 0.5 + 0.5 * avgdl)   # legacy: avgdl only, b=0.5
+    idf_h, idf_w = _logb_idf(3, N), _logb_idf(2, N)
+    per = idf_h * 1 / (1 + norm) + idf_w * 1 / (1 + norm)
+    assert got["a"] == pytest.approx(per / 1, rel=1e-5)
+    assert got["b"] == pytest.approx(per / 5, rel=1e-5)
+
+
+def test_legacy_bm25_differs_from_bm25std(prox_idx):
+    legacy = {h.key: h.score
+              for h in prox_idx.search("hello world", scorer="BM25")}
+    std = {h.key: h.score
+           for h in prox_idx.search("hello world", scorer="BM25STD")}
+    assert legacy != std
+
+
+def test_bm25std_has_no_slop_divisor(prox_idx):
+    # BM25STD ignores proximity entirely: same tf/doclen -> b only
+    # differs through length norm, not the 5x slop penalty
+    std = {h.key: h.score
+           for h in prox_idx.search("hello world", scorer="BM25STD")}
+    assert std["b"] > std["a"] / 2   # no /5 cliff
+
+
+def test_phrase_slop_divisor(prox_idx):
+    res = prox_idx.search('"hello world"', scorer="TFIDF")
+    got = {h.key: h.score for h in res}
+    # only a matches the exact phrase; adjacent terms -> slop 1
+    N = 3
+    exp_a = (_logb_idf(3, N) / 3 + _logb_idf(2, N) / 3)
+    assert got == {"a": pytest.approx(exp_a, rel=1e-5)}
+
+
+def test_explainscore_matches_engine_slop():
+    from redisearch_tpu.aux.explain import explain_score
+    ix = rs.SearchIndex(rs.Schema(name="exsl", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("b", {"t": "hello x1 x2 x3 x4 world"})
+    ix.commit()
+    for sc in ("TFIDF", "BM25"):
+        eng = ix.search("hello world", scorer=sc).hits[0].score
+        exp = explain_score(ix, "hello world", "b", scorer=sc)
+        assert exp["value"] == pytest.approx(eng, rel=1e-5)
+        assert "slop 5" in exp["description"]
+
+
+def test_union_slop_single_match_is_one():
+    # OR query where a doc matches only one branch: num children <= 1
+    # at that doc -> slop 1 (reference: MinOffsetDelta early return)
+    ix = rs.SearchIndex(rs.Schema(name="orsl", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("one", {"t": "hello a b c"})
+    ix.add_document("both", {"t": "hello a b c d e f world"})
+    ix.commit()
+    got = {h.key: h.score
+           for h in ix.search("hello | world", scorer="TFIDF")}
+    N = 2
+    idf_h, idf_w = _logb_idf(2, N), _logb_idf(1, N)
+    assert got["one"] == pytest.approx(idf_h / 1, rel=1e-5)
+    # both: min delta hello..world = 7 -> dist 49 -> slop 7
+    assert got["both"] == pytest.approx((idf_h + idf_w) / 7, rel=1e-5)
