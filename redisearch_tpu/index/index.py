@@ -467,6 +467,9 @@ class SearchIndex:
             emask = (np.isin(seg.gids_host, inkey_gids)
                      if inkey_gids is not None else None)
             res = execute(cq, seg, k, extra_mask=emask)
+            for w in res.warnings:
+                if w not in warnings:
+                    warnings.append(w)
             if deadline is not None:
                 # a first-use executor compile is amortized setup, not
                 # query work: it must not burn the timeout budget

@@ -52,8 +52,11 @@ def round_up(x: int, m: int) -> int:
 # engine's `dynamic_slice(arr, start, W)` window reads never clamp
 # (start <= real length, W <= the pad).  ops/window.py relies on this.
 # Position keys cap their pad (and the engine caps the P bucket) at
-# POS_SLICE_PAD — phrase windows over terms with more positions than this
-# are truncated (ultra-common words; the reference degrades there too).
+# POS_SLICE_PAD.  Terms with more positions than this stay EXACT in
+# phrase windows via slow paths (engine.py _phrase_chain_pivot): member
+# terms probe the CSR by dynamic binary search; an oversized pivot scans
+# its run in POS_SLICE_PAD chunks into a dense doc accumulator.  A
+# warning surfaces on SearchResult.warnings when either path engages.
 POS_SLICE_PAD = 262144
 
 

@@ -73,6 +73,35 @@ def gather_poskeys(poskeys: jnp.ndarray, pos_offsets: jnp.ndarray,
     return keys, klen
 
 
+def searchsorted_dynamic(arr: jnp.ndarray, q: jnp.ndarray, lo, hi,
+                         side: str = "left",
+                         rounds: int | None = None) -> jnp.ndarray:
+    """First index in the dynamic range [lo, hi) where ascending `arr`
+    crosses `q` (side "left": arr[idx] >= q; "right": arr[idx] > q).
+
+    Branchless binary search with traced bounds — used for probing into
+    posting ranges too long to window-gather (POS_SLICE_PAD overflow),
+    where `block_searchsorted` over a static window cannot apply.  Cost:
+    `rounds` serialized [Q] gathers (default ceil(log2(len(arr)))); pass
+    a smaller `rounds` when the caller knows the range length bound.
+    """
+    import numpy as _np
+
+    n = arr.shape[0]
+    if rounds is None:
+        rounds = max(int(_np.ceil(_np.log2(max(n, 2)))), 1)
+    lo_v = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), q.shape)
+    hi_v = jnp.broadcast_to(jnp.asarray(hi, jnp.int32), q.shape)
+    for _ in range(rounds):
+        mid = (lo_v + hi_v) >> 1
+        v = arr[jnp.minimum(mid, n - 1)]
+        go = (v < q) if side == "left" else (v <= q)
+        smaller = lo_v < hi_v
+        lo_v = jnp.where(smaller & go, mid + 1, lo_v)
+        hi_v = jnp.where(smaller & ~go, mid, hi_v)
+    return lo_v
+
+
 def min_offset_delta(keys_a: jnp.ndarray, keys_b: jnp.ndarray,
                      pos_stride: int, docs: jnp.ndarray):
     """Per-candidate-doc minimum |position_a - position_b| between two

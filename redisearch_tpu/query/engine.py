@@ -152,6 +152,9 @@ class SegmentBinding:
     """Dynamic argument pack for one segment."""
     seg: Segment
     dyn: dict[str, Any]
+    # bind-time notices (e.g. exact slow path engaged for a phrase over
+    # an ultra-common term) — surfaced on SearchResult.warnings
+    warnings: tuple = ()
 
 
 class CompiledQuery:
@@ -422,9 +425,10 @@ class CompiledQuery:
             binding, P = self._bind_fresh(seg)
             if len(self._bind_cache) > 64:
                 self._bind_cache.clear()
-            self._bind_cache[seg.uid] = (dict(binding.dyn), P)
+            self._bind_cache[seg.uid] = (dict(binding.dyn), P,
+                                         binding.warnings)
             return binding, P
-        dyn_t, P = ent
+        dyn_t, P, warns = ent
         dyn = dict(dyn_t)   # callers pop/add keys on their copy
         dyn["now"] = np.int32(self.opts.now)
         for i, blob in enumerate(self.vec_blobs):
@@ -433,7 +437,7 @@ class CompiledQuery:
         if self.knn is not None:
             dyn["knn_blob"] = decode_blob(
                 self.knn.blob, self.schema.field(self.knn.field))
-        return SegmentBinding(seg, dyn), P
+        return SegmentBinding(seg, dyn, warns), P
 
     def bind_row(self, seg: Segment):
         """Bind against one segment as a packed int32 transport row.
@@ -491,6 +495,7 @@ class CompiledQuery:
     def _bind_fresh(self, seg: Segment) -> tuple[SegmentBinding, int]:
         """Resolve slots against one segment; returns (binding, P)."""
         opts = self.opts
+        self._bind_warnings: list[str] = []
         n_slots = len(self.term_strings)
         starts = np.zeros(n_slots, np.int32)
         lens = np.zeros(n_slots, np.int32)
@@ -638,9 +643,26 @@ class CompiledQuery:
                 pivot_j = 0 if leaf.inorder else int(
                     np.argmin(pos_counts))
                 from ..index.segment import POS_SLICE_PAD as _PSP
+                # members past the window cap probe the poskeys CSR by
+                # dynamic binary search; a pivot past the cap scans its
+                # run in chunks — NO truncation either way
+                bigs = tuple(bool(c > _PSP) for c in ncounts)
+                big_rounds = tuple(
+                    max(int(np.ceil(np.log2(c + 1))), 1) if b else 0
+                    for c, b in zip(ncounts, bigs))
                 Pc = min(self.bucket_size(max(ncounts[pivot_j], 1)), _PSP)
-                Pm = min(self.bucket_size(max(max(ncounts), 1)), _PSP)
-                buckets[idx] = (W, Pc, Pm, pivot_j)
+                n_chunks = (
+                    -(-ncounts[pivot_j] // Pc) if bigs[pivot_j] else 1)
+                small = [c for j, c in enumerate(ncounts)
+                         if j != pivot_j and not bigs[j]]
+                Pm = min(self.bucket_size(max(max(small, default=1), 1)),
+                         _PSP)
+                if n_chunks > 1 or any(bigs):
+                    self._bind_warnings.append(
+                        "phrase over ultra-common term: exact slow path "
+                        f"engaged (positions={max(ncounts)})")
+                buckets[idx] = (W, Pc, Pm, pivot_j, bigs, big_rounds,
+                                n_chunks)
             elif isinstance(leaf, LTag):
                 ts = dyn[f"tag{leaf.ord}_starts"]
                 tl = dyn[f"tag{leaf.ord}_lens"]
@@ -704,7 +726,7 @@ class CompiledQuery:
         dyn["numw_len"] = numw_len
         dyn["_buckets"] = buckets  # popped before jit
 
-        return SegmentBinding(seg, dyn), P
+        return SegmentBinding(seg, dyn, tuple(self._bind_warnings)), P
 
     def _idf(self, dfs: np.ndarray, N: int) -> np.ndarray:
         if self.opts.scorer == "DISMAX":
@@ -830,6 +852,7 @@ class SegmentResult:
     sortkeys: Optional[np.ndarray] = None
     knn_dists: Optional[np.ndarray] = None
     valid: Optional[np.ndarray] = None   # window mode: bool per window slot
+    warnings: tuple = ()                 # bind-time notices
 
 
 def execute(cq: CompiledQuery, seg: Segment, k: int,
@@ -873,6 +896,7 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
             count=int(out["count"]),
             valid=out["valid"],
             knn_dists=out.get("knn"),
+            warnings=binding.warnings,
         )
     return SegmentResult(
         local_idx=out["idx"],
@@ -880,6 +904,7 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
         count=int(out["count"]),
         sortkeys=out.get("sortkeys"),
         knn_dists=out.get("knn"),
+        warnings=binding.warnings,
     )
 
 
@@ -1506,6 +1531,8 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             if isinstance(leaf, LTerms):
                 return bk[0] * bk[1]
             if isinstance(leaf, LPhrase):
+                if len(bk) > 4 and bk[6] > 1:
+                    return n_pad_static   # chunked dense accumulator
                 return bk[1]           # position window bound
             if isinstance(leaf, LTag):
                 return bk[0] * bk[1]
@@ -1642,13 +1669,31 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             raise AssertionError(leaf)
 
         def gen_phrase(leaf, idx):
-            Wn, Pc, Pm, pivot_j = buckets[idx]
+            Wn, Pc, Pm, pivot_j, bigs, big_rounds, n_chunks = buckets[idx]
             starts = jnp.stack([dyn["tstarts"][s] for s in leaf.slots])
             lens = jnp.stack([dyn["tlens"][s] for s in leaf.slots])
+            anylen = jnp.all(lens > 0)
+            if n_chunks > 1:
+                # pivot positions overflow the window cap: dense
+                # accumulator path (exact — no truncation)
+                _, acc = _phrase_chain_pivot(
+                    seg["poskeys"], seg["pos_offsets"], starts, lens,
+                    pos_stride, leaf.slop, leaf.inorder, Pc, Pm, pivot_j,
+                    bigs=bigs, big_rounds=big_rounds, n_chunks=n_chunks,
+                    n_pad=n_pad)
+                docs, _vi = W.iota_window(n_pad)
+                valid = acc & anylen
+                # dense scatter-add of member-term score contributions
+                score = jnp.zeros((n_pad,), jnp.float32)
+                for s in range(leaf.score_lo, leaf.score_hi):
+                    sd, ss, sv, _nv = slot_scored(s, Wn)
+                    score = score.at[clampdoc(sd)].add(
+                        jnp.where(sv, ss, 0.0), mode="drop")
+                return docs, jnp.where(valid, score, 0.0), valid, normcol
             cand, alive_c = _phrase_chain_pivot(
                 seg["poskeys"], seg["pos_offsets"], starts, lens,
-                pos_stride, leaf.slop, leaf.inorder, Pc, Pm, pivot_j)
-            anylen = jnp.all(lens > 0)
+                pos_stride, leaf.slop, leaf.inorder, Pc, Pm, pivot_j,
+                bigs=bigs, big_rounds=big_rounds)
             alive_c = alive_c & anylen
             docs = jnp.where(alive_c, cand // pos_stride,
                              W.INVALID)
@@ -2353,7 +2398,8 @@ def _metric_dist(rows, sq, q, metric):
 
 
 def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
-                        slop, inorder, Pc, Pm, pivot_j):
+                        slop, inorder, Pc, Pm, pivot_j, bigs=None,
+                        big_rounds=None, n_chunks=1, n_pad=None):
     """Proximity check anchored at the rarest member term (the reference's
     intersection orders children by cardinality; same idea for offsets).
 
@@ -2375,64 +2421,110 @@ def _phrase_chain_pivot(poskeys, pos_offsets, starts, lens, pos_stride,
       sliding the window across every offset that covers the pivot.
 
     Exact phrases lower to slop=0 + in-order.  Returns (candidate keys,
-    alive mask) — keys of the PIVOT term."""
+    alive mask) — keys of the PIVOT term — or, when the pivot term's
+    positions overflow POS_SLICE_PAD (`n_chunks` > 1), a dense
+    bool[n_pad] doc-match accumulator built by scanning the pivot's
+    position run chunk by chunk (no silent truncation).
+
+    Member terms whose positions overflow the Pm window (`bigs[j]`) are
+    probed by dynamic-bounds binary search directly into the poskeys CSR
+    (ops/text.py searchsorted_dynamic) instead of a truncated window —
+    exact at any term frequency, at log-round gather cost on the
+    degenerate ultra-common-term path only."""
     Tn = starts.shape[0]
     INF = 2**31 - 1
-    cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[pivot_j],
-                               lens[pivot_j], Pc)
-    alive_c = cand != INF
-    doc = cand // pos_stride
+    if bigs is None:
+        bigs = (False,) * Tn
 
-    if inorder:
-        # anchor on TERM 0 (not the rarest term): the reference's
-        # within_range_in_order walks children in QUERY order and
-        # rejects as soon as the RUNNING span exceeds the budget — a
-        # later overlapping term (negative gap) cannot redeem an
-        # earlier overflow, so prefix sums must be checked per step.
-        # Greedy smallest-position->=last per child is exactly the
-        # reference's monotonic advance for each candidate start.
-        # (bind sizes Pc for slot 0 when the leaf is in-order.)
-        span = jnp.zeros(cand.shape, jnp.int32)
-        anchor = cand
-        for j in range(1, Tn):
-            keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
-                                         lens[j], Pm)
-            idx = W.block_searchsorted(keys_j, anchor, side="left")
-            found = keys_j[jnp.clip(idx, 0, Pm - 1)]
-            ok = (alive_c & (found >= anchor) & (found != INF)
-                  & ((found // pos_stride) == doc))
-            span = jnp.where(ok, span + (found - anchor - 1), span)
-            # running check: only a POSITIVE span can exceed the budget
-            ok = ok & (span <= max(slop, 0))
-            anchor = jnp.where(ok, found, anchor)
-            alive_c = ok
-        return cand, alive_c
-
-    # unordered: slide a window of n+slop tokens across the pivot.
-    # Each term's probe is the smallest key >= window start; hoist the
-    # per-term gathers out of the offset loop.  Beyond a 64-token window
-    # fall back to the widest offset only (approximation for huge slop).
-    Wl = Tn + slop
-    others = []
+    # hoisted member windows (small terms) / dynamic-probe closures
+    member_keys: dict[int, Any] = {}
     for j in range(Tn):
-        if j == pivot_j:
-            continue
-        keys_j, _ = T.gather_poskeys(poskeys, pos_offsets, starts[j],
-                                     lens[j], Pm)
-        others.append(keys_j)
-    match = jnp.zeros(cand.shape, jnp.bool_)
-    offsets = range(Wl) if Wl <= 64 else [0, Wl - 1]
-    for o in offsets:
-        lo_t = cand - o
-        hi_t = lo_t + Wl - 1
-        ok_o = alive_c
-        sel_min, sel_max = cand, cand
-        for keys_j in others:
-            idx = W.block_searchsorted(keys_j, lo_t, side="left")
-            found = keys_j[jnp.clip(idx, 0, Pm - 1)]
-            ok_o = (ok_o & (found >= lo_t) & (found <= hi_t)
-                    & ((found // pos_stride) == doc))
-            sel_min = jnp.minimum(sel_min, found)
-            sel_max = jnp.maximum(sel_max, found)
-        match = match | (ok_o & (sel_max != sel_min))
-    return cand, match
+        if j != pivot_j and not bigs[j]:
+            member_keys[j] = T.gather_poskeys(
+                poskeys, pos_offsets, starts[j], lens[j], Pm)[0]
+
+    def probe_ge(j, q):
+        """Smallest position key of term j that is >= q (INF if none)."""
+        if not bigs[j]:
+            keys_j = member_keys[j]
+            idx = W.block_searchsorted(keys_j, q, side="left")
+            return keys_j[jnp.clip(idx, 0, Pm - 1)]
+        lo = pos_offsets[starts[j]]
+        hi = pos_offsets[starts[j] + lens[j]]
+        idx = T.searchsorted_dynamic(
+            poskeys, q, lo, hi,
+            rounds=big_rounds[j] if big_rounds else None)
+        v = poskeys[jnp.minimum(idx, poskeys.shape[0] - 1)]
+        return jnp.where(idx < hi, v, INF)
+
+    def chain(cand):
+        alive_c = cand != INF
+        doc = cand // pos_stride
+
+        if inorder:
+            # anchor on TERM 0 (not the rarest term): the reference's
+            # within_range_in_order walks children in QUERY order and
+            # rejects as soon as the RUNNING span exceeds the budget — a
+            # later overlapping term (negative gap) cannot redeem an
+            # earlier overflow, so prefix sums must be checked per step.
+            # Greedy smallest-position->=last per child is exactly the
+            # reference's monotonic advance for each candidate start.
+            # (bind sizes Pc for slot 0 when the leaf is in-order.)
+            span = jnp.zeros(cand.shape, jnp.int32)
+            anchor = cand
+            ok = alive_c
+            for j in range(1, Tn):
+                found = probe_ge(j, anchor)
+                ok = (ok & (found >= anchor) & (found != INF)
+                      & ((found // pos_stride) == doc))
+                span = jnp.where(ok, span + (found - anchor - 1), span)
+                # running check: only a POSITIVE span can exceed budget
+                ok = ok & (span <= max(slop, 0))
+                anchor = jnp.where(ok, found, anchor)
+            return ok
+
+        # unordered: slide a window of n+slop tokens across the pivot.
+        # Beyond a 64-token window fall back to the widest offset only
+        # (approximation for huge slop).
+        Wl = Tn + slop
+        match = jnp.zeros(cand.shape, jnp.bool_)
+        offsets = range(Wl) if Wl <= 64 else [0, Wl - 1]
+        for o in offsets:
+            lo_t = cand - o
+            hi_t = lo_t + Wl - 1
+            ok_o = alive_c
+            sel_min, sel_max = cand, cand
+            for j in range(Tn):
+                if j == pivot_j:
+                    continue
+                found = probe_ge(j, lo_t)
+                ok_o = (ok_o & (found >= lo_t) & (found <= hi_t)
+                        & ((found // pos_stride) == doc))
+                sel_min = jnp.minimum(sel_min, found)
+                sel_max = jnp.maximum(sel_max, found)
+            match = match | (ok_o & (sel_max != sel_min))
+        return match
+
+    if n_chunks <= 1:
+        cand, _ = T.gather_poskeys(poskeys, pos_offsets, starts[pivot_j],
+                                   lens[pivot_j], Pc)
+        return cand, chain(cand)
+
+    # pivot overflow: scan the pivot's position run in Pc-sized chunks,
+    # accumulating matched docs densely.  poskeys carries a
+    # POS_SLICE_PAD tail pad (index/builder.py) so chunk slices never
+    # clamp.  The scatter per chunk is the degenerate-path price of
+    # exactness on ultra-common pivot terms.
+    kstart = pos_offsets[starts[pivot_j]]
+    klen_total = pos_offsets[starts[pivot_j] + lens[pivot_j]] - kstart
+    acc = jnp.zeros((n_pad,), jnp.bool_)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Pc, 1), 0).squeeze(-1)
+    for c in range(n_chunks):
+        off = kstart + c * Pc
+        rem = klen_total - c * Pc
+        keys = jax.lax.dynamic_slice(poskeys, (off,), (Pc,))
+        cand = jnp.where(lane < rem, keys, INF)
+        m = chain(cand) & (cand != INF)
+        d = jnp.minimum(cand // pos_stride, n_pad - 1)
+        acc = acc.at[d].max(m)
+    return None, acc
