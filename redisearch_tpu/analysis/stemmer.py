@@ -99,11 +99,17 @@ def _light_stemmer(suffixes: tuple[str, ...]) -> Callable[[str], str]:
 # Languages with true Snowball implementations available (nltk ships
 # generated Snowball code; same algorithms the reference bundles from
 # deps/snowball).  Light stemmers remain the fallback for the rest.
+# English is included: the reference default is Snowball english
+# (Porter2, src/stemmer.c:70 sb_stemmer_new + language.c:96), NOT the
+# 1980 Porter algorithm — their stems diverge (e.g. "generously" ->
+# "generous" vs "gener").
 _SNOWBALL_LANGS = frozenset((
-    "arabic", "danish", "dutch", "finnish", "french", "german", "hungarian",
-    "italian", "norwegian", "portuguese", "romanian", "russian", "spanish",
-    "swedish",
+    "arabic", "danish", "dutch", "english", "finnish", "french", "german",
+    "hungarian", "italian", "norwegian", "portuguese", "romanian",
+    "russian", "spanish", "swedish",
 ))
+# Malay is not in Snowball; the reference backs it with indonesian
+# (language.c:97-101) which nltk also lacks — light fallback applies.
 _SNOWBALL_CACHE: dict = {}
 
 
@@ -112,11 +118,13 @@ def _snowball(lang: str) -> Optional[Callable[[str], str]]:
     if fn is not None:
         return fn
     try:
+        import functools
+
         from nltk.stem.snowball import SnowballStemmer
         st = SnowballStemmer(lang)
     except Exception:
         return None
-    fn = st.stem
+    fn = functools.lru_cache(maxsize=262144)(st.stem)
     _SNOWBALL_CACHE[lang] = fn
     return fn
 
@@ -124,19 +132,22 @@ def _snowball(lang: str) -> Optional[Callable[[str], str]]:
 class Stemmer:
     """Per-language stemmer handle (reference: NewStemmer, src/stemmer.c).
 
-    english -> Porter (the reference's default is Snowball's porter
-    variant); Snowball languages -> the exact Snowball algorithm; other
-    supported names -> light suffix strippers; unknown -> identity."""
+    Snowball languages (including english = Porter2) -> the exact
+    Snowball algorithm; other supported names -> light suffix strippers;
+    unknown -> identity.  Porter-1980 remains only as the no-nltk
+    fallback for english."""
 
     def __init__(self, language: str = "english"):
         lang = (language or "english").lower()
         self.language = lang
-        if lang == "english":
-            self._fn: Callable[[str], str] = porter_stem
-        elif lang in _SNOWBALL_LANGS:
+        if lang in _SNOWBALL_LANGS:
             fn = _snowball(lang)
-            self._fn = fn if fn is not None else _light_stemmer(
-                _LIGHT_SUFFIXES.get(lang, ()))
+            if fn is not None:
+                self._fn: Callable[[str], str] = fn
+            elif lang == "english":
+                self._fn = porter_stem
+            else:
+                self._fn = _light_stemmer(_LIGHT_SUFFIXES.get(lang, ()))
         elif lang in _LIGHT_SUFFIXES:
             self._fn = _light_stemmer(_LIGHT_SUFFIXES[lang])
         else:

@@ -35,10 +35,12 @@ def can_use_native(index) -> bool:
         return False
     if any(f.phonetic for f in index.schema.text_fields()):
         return False
+    if any(f.nostem for f in index.schema.text_fields()):
+        # the stem post-pass merges whole postings; it cannot split a
+        # posting's freq between stemmed and NOSTEM fields
+        return False
     if index.schema.language_field is not None:
         return False
-    if (index.schema.language or "english").lower() != "english":
-        return False  # the native tokenizer stems with Porter (english)
     return True
 
 
@@ -58,7 +60,11 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     schema = index.schema
     import jax.numpy as jnp
 
-    nb = native.NativeTextBuilder(list(index.stopwords), stem=True)
+    # the native tokenizer does NOT stem: stems are synthesized from the
+    # raw-term CSR afterwards (_merge_stems) with the exact Snowball
+    # algorithm for the index language — the native Porter-1980 would
+    # diverge from the reference's Snowball english (VERDICT r1 #8)
+    nb = native.NativeTextBuilder(list(index.stopwords), stem=False)
     text_fields = schema.text_fields()
     tf_ids = [f.field_id for f in text_fields]
     tf_w = [f.weight for f in text_fields]
@@ -126,6 +132,10 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         return 0
     (terms, term_offsets, doc_ids, freqs, masks, pos_offsets, positions,
      doc_lens, max_freqs_arr, max_pos, max_postings) = nb.finish()
+    (terms, term_offsets, doc_ids, freqs, masks, pos_offsets, positions,
+     max_postings) = _merge_stems(
+        schema.language, terms, term_offsets, doc_ids, freqs, masks,
+        pos_offsets, positions, max_postings, max_freqs_arr)
 
     for meta, dl_i, mf in zip(metas, doc_lens, max_freqs_arr):
         # the native indexer computed the real token count; meta.doclen
@@ -262,6 +272,103 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         uniform_docscore=bool((ds[:n] == 1.0).all()))
     index.segments.append(seg)
     return n
+
+
+def _merge_stems(language, terms, term_offsets, doc_ids, freqs, masks,
+                 pos_offsets, positions, max_postings, max_freqs_arr):
+    """Synthesize '+stem' postings by merging raw-term postings.
+
+    Equivalent to per-token stem forward-indexing (builder.py _add_text:
+    every stemmable token also writes STEM_PREFIX+stem into the forward
+    index — reference: StemmerExpander-compatible '+term' entries): a
+    stem's posting at doc d has freq = sum of member-term freqs, field
+    mask = OR, positions = sorted union.  `max_freqs_arr` is updated in
+    place so per-doc maxTermFreq covers stem entries like the reference's
+    forward index does.
+
+    All folds are vectorized (lexsort + reduceat) — no per-posting Python.
+    """
+    from ..analysis.stemmer import Stemmer
+
+    st = Stemmer(language or "english")
+    groups: dict[str, list[int]] = {}
+    for tid, t in enumerate(terms):
+        # tokenizer MIN_STEM_CANDIDATE_LEN: only terms of >= 4 chars stem
+        if len(t) < 4 or t[0] in ("+", "\x01", "~"):
+            continue
+        s = st.stem(t)
+        if s:
+            groups.setdefault("+" + s, []).append(tid)
+    if not groups:
+        return (terms, term_offsets, doc_ids, freqs, masks, pos_offsets,
+                positions, max_postings)
+
+    stem_terms = sorted(groups)
+    to = np.asarray(term_offsets, np.int64)
+    po_all = np.asarray(pos_offsets, np.int64)
+    member_tids = np.concatenate(
+        [np.asarray(groups[s], np.int64) for s in stem_terms])
+    member_gid = np.concatenate(
+        [np.full(len(groups[s]), gi, np.int64)
+         for gi, s in enumerate(stem_terms)])
+    starts = to[member_tids]
+    lens_ = to[member_tids + 1] - starts
+    total = int(lens_.sum())
+    cum = np.concatenate([[0], np.cumsum(lens_)[:-1]])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens_)
+    g_rep = np.repeat(member_gid, lens_)
+
+    order = np.lexsort((doc_ids[idx], g_rep))
+    oi = idx[order]
+    g_s = g_rep[order]
+    d_s = doc_ids[oi]
+    new_group = np.concatenate(
+        [[True], (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])])
+    bounds = np.flatnonzero(new_group)
+    out_gid = g_s[new_group]
+    out_doc = d_s[new_group]
+    out_freq = np.add.reduceat(freqs[oi], bounds).astype(np.float32)
+    out_mask = np.bitwise_or.reduceat(masks[oi], bounds)
+
+    # positions: concatenate member position runs in (stem, doc) order,
+    # then sort within each fold group
+    p_starts = po_all[oi]
+    p_lens = po_all[oi + 1] - p_starts
+    ptotal = int(p_lens.sum())
+    pcum = np.concatenate([[0], np.cumsum(p_lens)[:-1]])
+    pidx = (np.arange(ptotal, dtype=np.int64)
+            + np.repeat(p_starts - pcum, p_lens))
+    fold_id = np.cumsum(new_group) - 1
+    fold_per_pos = np.repeat(fold_id, p_lens)
+    s_pos = positions[pidx]
+    po_order = np.lexsort((s_pos, fold_per_pos))
+    s_pos = s_pos[po_order]
+    out_pos_lens = np.add.reduceat(
+        p_lens, bounds) if len(bounds) else np.zeros(0, np.int64)
+
+    # per-doc maxTermFreq including stem entries
+    d_order = np.argsort(out_doc, kind="stable")
+    df = out_doc[d_order]
+    db = np.concatenate([[True], df[1:] != df[:-1]])
+    dmx = np.maximum.reduceat(out_freq[d_order], np.flatnonzero(db))
+    du = df[db]
+    max_freqs_arr[du] = np.maximum(max_freqs_arr[du], dmx)
+
+    stem_counts = np.bincount(out_gid, minlength=len(stem_terms))
+    new_terms = list(terms) + stem_terms
+    new_to = np.concatenate(
+        [to, to[-1] + np.cumsum(stem_counts)]).astype(term_offsets.dtype)
+    new_doc_ids = np.concatenate([doc_ids, out_doc]).astype(doc_ids.dtype)
+    new_freqs = np.concatenate([freqs, out_freq]).astype(freqs.dtype)
+    new_masks = np.concatenate([masks, out_mask]).astype(masks.dtype)
+    new_po = np.concatenate(
+        [po_all, po_all[-1] + np.cumsum(out_pos_lens)])
+    new_positions = np.concatenate([positions, s_pos]).astype(
+        positions.dtype)
+    max_postings = max(int(max_postings), int(stem_counts.max())
+                       if len(stem_counts) else 0)
+    return (new_terms, new_to, new_doc_ids, new_freqs, new_masks,
+            new_po, new_positions, max_postings)
 
 
 def _stage_tag(field, raw, local: int, stage: dict):

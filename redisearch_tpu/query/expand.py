@@ -52,6 +52,12 @@ def expand_token(
         st = stemmer.stem(term)
         if st:
             out.append(STEM_PREFIX + st)
+            # the reference also expands the BARE stem when it differs
+            # from the token (ext/default.c:617-619) so "running"
+            # matches docs containing just "run" (which index no
+            # '+run' entry — stems equal to their token are not
+            # forward-indexed)
+            out.append(st)
         else:
             # token is its own stem: match docs whose tokens stem to it
             out.append(STEM_PREFIX + term)

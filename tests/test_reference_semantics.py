@@ -621,3 +621,95 @@ def test_multi_field_modifier(c):
     c.hset("in_c", {"a": "x", "b": "x", "cf": "needle"})
     res = c.ft_search("mf", "@a|b:(needle)", num=10)
     assert set(_keys(res)) == {"in_a", "in_b"}
+
+
+# ---------------------------------------------------------------------------
+# Stemming parity (reference: Snowball english/Porter2, stemmer.c:70;
+# StemmerExpander bare-stem expansion, ext/default.c:617-619)
+# ---------------------------------------------------------------------------
+
+
+def test_english_stems_are_porter2():
+    from redisearch_tpu.analysis.stemmer import Stemmer
+    st = Stemmer("english")
+    # Porter2-vs-Porter1 divergers (Porter-1980 gives gener/-ology etc.)
+    assert st.stem("generously") == "generous"
+    assert st.stem("running") == "run"
+    assert st.stem("dying") == "die"
+    assert st.stem("happiness") == "happi"
+
+
+def test_query_matches_bare_stem_docs():
+    import redisearch_tpu as rs
+    ix = rs.SearchIndex(rs.Schema(name="stq", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    ix.add_document("a", {"t": "run fast"})
+    ix.add_document("b", {"t": "running fast"})
+    ix.commit()
+    # "running" expands to (running | +run | run): both docs match
+    assert sorted(h.key for h in ix.search("running")) == ["a", "b"]
+    assert sorted(h.key for h in ix.search("run")) == ["a", "b"]
+
+
+def test_snowball_languages_match_nltk():
+    from nltk.stem.snowball import SnowballStemmer
+    from redisearch_tpu.analysis.stemmer import Stemmer
+    cases = {
+        "french": ["nationalement", "mangeront", "heureuses"],
+        "german": ["aufeinander", "verständnis", "kindern"],
+        "spanish": ["corriendo", "nacionales", "felicidad"],
+        "russian": ["выражение", "книгами", "бегущий"],
+    }
+    for lang, words in cases.items():
+        ours = Stemmer(lang)
+        ref = SnowballStemmer(lang)
+        for w in words:
+            got = ours.stem(w) or w
+            assert got == ref.stem(w), (lang, w)
+
+
+def test_bulk_index_stems_match_incremental():
+    """Native bulk path (stem post-merge) must produce the same stem
+    postings as the incremental Python builder."""
+    import numpy as np
+    import redisearch_tpu as rs
+
+    docs = [(f"d{i}", {"t": t}) for i, t in enumerate([
+        "running runs ran runner",
+        "generously generous generosity",
+        "the quick brown foxes jumped",
+        "dying dies died",
+        "run walk fly",
+    ])]
+    sch = lambda nm: rs.Schema(name=nm, fields=[
+        rs.Field("t", rs.FieldType.TEXT)])
+    bulk = rs.SearchIndex(sch("blk"))
+    bulk.add_documents(docs)          # native path
+    inc = rs.SearchIndex(sch("inc"))
+    for k, f in docs:
+        inc.add_document(k, f)
+    inc.commit()
+
+    sb, si = bulk.segments[0], inc.segments[0]
+    assert sorted(sb.terms.ids) == sorted(si.terms.ids)
+    for t in si.terms.ids:
+        ib, ii = sb.terms.lookup(t), si.terms.lookup(t)
+        ob = np.asarray(sb.text.term_offsets_np)
+        oi = np.asarray(si.text.term_offsets_np)
+        db = np.asarray(sb.text.doc_ids[ob[ib]:ob[ib + 1]])
+        di = np.asarray(si.text.doc_ids[oi[ii]:oi[ii + 1]])
+        assert list(db) == list(di), t
+        fb = np.asarray(sb.text.freqs[ob[ib]:ob[ib + 1]])
+        fi = np.asarray(si.text.freqs[oi[ii]:oi[ii + 1]])
+        assert list(fb) == list(fi), t
+        pb = np.asarray(sb.text.pos_offsets_np)
+        pi = np.asarray(si.text.pos_offsets_np)
+        for j in range(len(db)):
+            kb = np.asarray(sb.text.poskeys[pb[ob[ib] + j]:
+                                            pb[ob[ib] + j + 1]])
+            ki = np.asarray(si.text.poskeys[pi[oi[ii] + j]:
+                                            pi[oi[ii] + j + 1]])
+            assert list(kb % sb.text.pos_stride) == \
+                list(ki % si.text.pos_stride), t
+    assert np.allclose(np.asarray(sb.max_freq)[:5],
+                       np.asarray(si.max_freq)[:5])
