@@ -556,11 +556,18 @@ class Client:
         DUMP_TAGIDX      — tag value -> doc keys
         DUMP_TERMS       — the term dictionary
         SEGMENTS         — per-segment stats
+        DUMP_PHONETIC_HASH — [primary, secondary] double-metaphone codes
+                           of a term (reference: debug_commands.c:996)
         """
         import numpy as np
+        sub = sub.upper()
+        if sub == "DUMP_PHONETIC_HASH":
+            # `name` is the term here (this subcommand takes no index)
+            from .analysis.phonetics import dm_codes
+            p, q = dm_codes(str(name))
+            return [p, q]
         ix = self._index(name)
         ix.commit()
-        sub = sub.upper()
         if sub == "GC_FORCEINVOKE":
             ix.compact()
             return "DONE"
