@@ -56,9 +56,10 @@ from .segment import (
 
 STEM_PREFIX = "+"        # reference: STEM_PREFIX in forward index terms
 PHONETIC_PREFIX = "\x01"  # reference: PHONETIC_PREFIX
-# Device field masks are int32 for now; the schema allows 128 TEXT fields
-# (reference t_fieldMask is 128-bit) but >31 raises until we widen to 4xi32.
-DEVICE_MAX_TEXT_FIELDS = 31
+# Device field masks are int32 words; schemas with more than 32 TEXT
+# fields pack into [nnz, K] multi-word masks (K = ceil(F/32)), matching
+# the reference's 128-bit t_fieldMask (src/redisearch.h) at K=4.
+DEVICE_MAX_TEXT_FIELDS = 128
 # Positions per doc tracked for phrase matching are capped so that
 # local_doc * pos_stride + pos fits in int32 (see segment.py poskeys).
 MAX_POS_STRIDE = 4096
@@ -426,7 +427,10 @@ class SegmentBuilder:
         npos_pad = round_up(npos, LANE)
         doc_ids = np.zeros(nnz_pad, np.int32)
         freqs = np.zeros(nnz_pad, np.float32)
-        field_masks = np.zeros(nnz_pad, np.int32)
+        from .segment import mask_words, pack_mask_words
+        K_words = mask_words(self.schema.num_text_fields)
+        field_masks = (np.zeros(nnz_pad, np.int32) if K_words == 1
+                       else np.zeros((nnz_pad, K_words), np.int32))
         pos_offsets = np.zeros(nnz_pad + 1, np.int64)
         poskeys = np.zeros(npos_pad, np.int32)
         at = 0
@@ -436,7 +440,7 @@ class SegmentBuilder:
             m = len(st.docs)
             doc_ids[at:at + m] = st.docs
             freqs[at:at + m] = st.freqs
-            field_masks[at:at + m] = st.masks
+            field_masks[at:at + m] = pack_mask_words(st.masks, K_words)
             for j in range(m):
                 pos_offsets[at + j] = pat
                 d = st.docs[j]

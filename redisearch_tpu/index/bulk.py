@@ -41,6 +41,10 @@ def can_use_native(index) -> bool:
         return False
     if index.schema.language_field is not None:
         return False
+    if index.schema.num_text_fields > 31:
+        # the native tokenizer packs field bits into a single int32;
+        # multi-word masks (up to 128 TEXT fields) use the Python builder
+        return False
     return True
 
 

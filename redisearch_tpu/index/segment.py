@@ -61,9 +61,27 @@ POS_SLICE_PAD = 262144
 
 
 def tail_pad(arr: np.ndarray, extra: int, fill=0) -> np.ndarray:
-    out = np.full(arr.shape[0] + extra, fill, arr.dtype)
+    out = np.full((arr.shape[0] + extra,) + arr.shape[1:], fill, arr.dtype)
     out[:arr.shape[0]] = arr
     return out
+
+
+def mask_words(n_text_fields: int) -> int:
+    """int32 words per field mask (reference t_fieldMask is 128-bit:
+    up to 4 words; single-word masks keep the flat fast path)."""
+    return max(1, -(-n_text_fields // 32))
+
+
+def pack_mask_words(masks, K: int) -> np.ndarray:
+    """Pack python-int field masks into K int32 words.
+
+    Returns int32[n] when K == 1 (bit 31 wraps through uint32 so a
+    32-field mask still fits one word), else int32[n, K]."""
+    a = np.asarray(
+        [[(int(m) >> (32 * j)) & 0xFFFFFFFF for j in range(K)]
+         for m in masks], dtype=np.uint64).reshape(-1, K)
+    out = a.astype(np.uint32).view(np.int32)
+    return out[:, 0] if K == 1 else out
 
 
 def next_pow2(x: int) -> int:

@@ -59,30 +59,52 @@ def slot_window(doc_ids: jnp.ndarray, freqs: jnp.ndarray,
     """One term slot's postings as a window (docs ascending).
 
     Entries filtered by the query field mask stay in place (docs remain
-    sorted) but are invalid.  `emask` (optional int32[n_pad]) carries each
-    doc's expired-TEXT-field bitmask (field-level TTL — reference:
-    ttl_table + expiration_checker iterator): postings surviving only in
-    expired fields are invalid."""
+    sorted) but are invalid.  `emask` (optional int32[n_pad] or
+    [n_pad, K]) carries each doc's expired-TEXT-field bitmask
+    (field-level TTL — reference: ttl_table + expiration_checker
+    iterator): postings surviving only in expired fields are invalid.
+
+    `field_masks` is int32[nnz] for <=32 TEXT fields or int32[nnz, K]
+    multi-word masks beyond (reference t_fieldMask is 128-bit); `qmask`
+    is a scalar or a [K] word row accordingly."""
     lane = _iota(W)
     in_range = lane < length
     docs = jnp.where(in_range, _slice(doc_ids, start, W), INVALID)
-    fm = _slice(field_masks, start, W)
+    wide = field_masks.ndim == 2
+    if wide:
+        K = field_masks.shape[1]
+        fm = jax.lax.dynamic_slice(field_masks, (start, 0), (W, K))
+    else:
+        fm = _slice(field_masks, start, W)
     live_mask = qmask
     if emask is not None:
         n = emask.shape[0]
         live_mask = qmask & ~emask[jnp.minimum(docs, n - 1)]
-    valid = in_range & ((fm & live_mask) != 0)
+    hit = fm & live_mask
+    valid = in_range & (jnp.any(hit != 0, axis=-1) if wide else (hit != 0))
     tf = jnp.where(valid, _slice(freqs, start, W), 0.0)
     return docs, tf, valid
 
 
 def expired_field_mask(fexp: jnp.ndarray, now) -> jnp.ndarray:
-    """Per-doc expired-TEXT-field bitmask from [n_pad, F] expiry times."""
+    """Per-doc expired-TEXT-field bitmask from [n_pad, F] expiry times.
+    Returns int32[n_pad] for F <= 32, else int32[n_pad, K] words."""
     F = fexp.shape[1]
-    bits = jnp.left_shift(jnp.int32(1), jnp.arange(F, dtype=jnp.int32))
     expired = (fexp > 0) & (fexp <= now)
-    return jnp.sum(jnp.where(expired, bits[None, :], 0),
-                   axis=1).astype(jnp.int32)
+    if F <= 32:
+        bits = jnp.left_shift(jnp.int32(1), jnp.arange(F, dtype=jnp.int32))
+        return jnp.sum(jnp.where(expired, bits[None, :], 0),
+                       axis=1).astype(jnp.int32)
+    K = (F + 31) // 32
+    words = []
+    for k in range(K):
+        f0, f1 = 32 * k, min(32 * (k + 1), F)
+        bits = jnp.left_shift(jnp.int32(1),
+                              jnp.arange(f1 - f0, dtype=jnp.int32))
+        words.append(jnp.sum(
+            jnp.where(expired[:, f0:f1], bits[None, :], 0),
+            axis=1).astype(jnp.int32))
+    return jnp.stack(words, axis=-1)
 
 
 def tag_window(doc_ids: jnp.ndarray, start, length, W: int):

@@ -499,9 +499,12 @@ class CompiledQuery:
         n_slots = len(self.term_strings)
         starts = np.zeros(n_slots, np.int32)
         lens = np.zeros(n_slots, np.int32)
-        qmasks = np.asarray(self.term_qmasks or [0], np.int32)
+        from ..index.segment import mask_words, pack_mask_words
+        K_words = mask_words(self.schema.num_text_fields)
+        qmasks = pack_mask_words(self.term_qmasks or [0], K_words)
         if n_slots == 0:
-            qmasks = np.zeros(0, np.int32)
+            qmasks = (np.zeros(0, np.int32) if K_words == 1
+                      else np.zeros((0, K_words), np.int32))
 
         # resolve dynamic expansions (affix/fuzzy/wildcard) per segment
         term_strings = list(self.term_strings)

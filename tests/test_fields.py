@@ -328,3 +328,47 @@ def test_batched_same_string_knn_distinct_blobs():
                             params=[{"q": vecs[2]}, {"q": vecs[7]},
                                     {"q": vecs[9]}])
     assert [m.hits[0].key for m in many] == ["d2", "d7", "d9"]
+
+
+# ---------------------------------------------------------------------------
+# >32 TEXT fields: multi-word field masks (reference: t_fieldMask is
+# 128-bit, src/redisearch.h)
+# ---------------------------------------------------------------------------
+
+
+def test_many_text_fields_scoped_queries():
+    import redisearch_tpu as rs
+    F = 40
+    fields = [rs.Field(f"f{i}", rs.FieldType.TEXT) for i in range(F)]
+    ix = rs.SearchIndex(rs.Schema(name="wide", fields=fields))
+    # each doc i puts its marker word in field f{i} only
+    for i in range(F):
+        ix.add_document(f"d{i}", {f"f{i}": f"marker common"})
+    ix.commit()
+    # unscoped: every doc matches
+    assert ix.search("marker", num=100).total == F
+    # field-scoped across both mask words (f1 = word 0, f35 = word 1)
+    for i in (0, 1, 30, 31, 32, 35, 39):
+        r = ix.search(f"@f{i}:marker", num=100)
+        assert [h.key for h in r.hits] == [f"d{i}"], i
+    # multi-field scope spanning the word boundary
+    r = ix.search("@f31|f32:marker", num=100)
+    assert sorted(h.key for h in r.hits) == ["d31", "d32"]
+    # AND across fields + phrase in a high field
+    ix.add_document("both", {"f5": "alpha beta", "f37": "gamma"})
+    ix.commit()
+    assert [h.key for h in ix.search('@f5:"alpha beta" @f37:gamma').hits] \
+        == ["both"]
+
+
+def test_exactly_32_text_fields_single_word_mask():
+    import redisearch_tpu as rs
+    F = 32
+    fields = [rs.Field(f"g{i}", rs.FieldType.TEXT) for i in range(F)]
+    ix = rs.SearchIndex(rs.Schema(name="w32", fields=fields))
+    ix.add_document("hi", {"g31": "topbit"})   # bit 31: sign bit of int32
+    ix.add_document("lo", {"g0": "topbit"})
+    ix.commit()
+    assert [h.key for h in ix.search("@g31:topbit").hits] == ["hi"]
+    assert [h.key for h in ix.search("@g0:topbit").hits] == ["lo"]
+    assert ix.search("topbit").total == 2
