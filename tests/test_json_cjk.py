@@ -63,3 +63,63 @@ def test_cjk_mixed_latin():
     assert ix.search("加速器").total == 1
     assert ix.search("hardware").total == 1
     assert ix.search("tpu").total == 1
+
+
+# ---------------------------------------------------------------------------
+# Full JSONPath: filters / recursive descent / slices / unions / negative
+# indices (reference: ReJSON JSONPath consumed via src/json.c)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonpath_full_grammar():
+    from redisearch_tpu.utils.jsonpath import resolve
+    doc = {"store": {"book": [
+        {"title": "A", "price": 5, "tags": ["x", "y"]},
+        {"title": "B", "price": 15},
+        {"title": "C", "price": 8, "sale": True}],
+        "bike": {"price": 20}}, "n": 3}
+    assert resolve(doc, "$.store.book[0].title") == "A"
+    assert resolve(doc, "$.store.book[*].title") == ["A", "B", "C"]
+    assert resolve(doc, "$..price") == [5, 15, 8, 20]
+    assert resolve(doc, "$.store.book[1:3].title") == ["B", "C"]
+    assert resolve(doc, "$.store.book[::2].title") == ["A", "C"]
+    assert resolve(doc, "$.store.book[-1].title") == "C"
+    assert resolve(doc, "$.store.book[0,2].title") == ["A", "C"]
+    assert resolve(doc, "$['store']['bike']['price']") == 20
+    assert resolve(doc, "$.store.book[?(@.price < 10)].title") == \
+        ["A", "C"]
+    assert resolve(doc, "$.store.book[?(@.price < 10 && @.sale == true)]"
+                   ".title") == ["C"]
+    assert resolve(doc, "$.store.book[?(@.title == 'B' || @.price == 5)]"
+                   ".title") == ["A", "B"]
+    assert resolve(doc, "$.store.book[?(@.sale)].title") == ["C"]
+    assert resolve(doc, "$.store.book[?(!@.sale)].title") == ["A", "B"]
+    assert resolve(doc, "$..book[?(@.tags[0] == 'x')].title") == ["A"]
+    assert resolve(doc, "$.store.book[?(@.title =~ '^[AB]$')].title") == \
+        ["A", "B"]
+    assert resolve(doc, "$.nope") is None
+    assert resolve(doc, "$.store.book[9]") is None
+
+
+def test_jsonpath_indexing_with_filters_and_descent():
+    import redisearch_tpu as rs
+    c = rs.Client()
+    c.ft_create("jfull", [
+        rs.Field("$.items[?(@.active == true)].name", rs.FieldType.TAG,
+                 alias="active_names"),
+        rs.Field("$..price", rs.FieldType.NUMERIC, alias="prices"),
+    ], on_json=True, prefixes=["j:"])
+    c.hset("j:1", {"items": [
+        {"name": "red", "active": True},
+        {"name": "blue", "active": False}],
+        "top": {"price": 9}})
+    c.hset("j:2", {"items": [{"name": "green", "active": True}],
+                       "deep": {"nest": {"price": 50}}})
+    r = c.ft_search("jfull", "@active_names:{red}")
+    assert [h.key for h in r.hits] == ["j:1"]
+    r = c.ft_search("jfull", "@active_names:{blue}")
+    assert r.total == 0
+    r = c.ft_search("jfull", "@prices:[40 60]")
+    assert [h.key for h in r.hits] == ["j:2"]
+    r = c.ft_search("jfull", "@prices:[5 10]")
+    assert [h.key for h in r.hits] == ["j:1"]
