@@ -219,11 +219,11 @@ def run_aggregate_many(index, reqs: list) -> list:
         if h is None:
             out.append(run_aggregate(index, req))
         else:
-            group, tail, key, op_list, mm, parts = h
-            parts = [(sc, e, np.asarray(next(fetched)))
-                     for sc, e, _ in parts]
+            group, tail, op_list, mm, _u, parts = h
+            parts = [(ki, e, np.asarray(next(fetched)))
+                     for ki, e, _ in parts]
             out.append(_device_group_finish(
-                index, (group, tail, key, op_list, mm, parts)))
+                index, (group, tail, op_list, mm, _u, parts)))
     return out
 
 
@@ -238,112 +238,221 @@ def _try_device_group(index, req: AggregateRequest, cq) -> \
     return _device_group_finish(index, h)
 
 
+def _key_encoding(index, seg, keyname):
+    """Dictionary encoding of a group key column for one segment:
+    (value_ids int32[n_pad] with -1 missing, table list).  TAG/TEXT
+    sortable columns are already dict-encoded; NUMERIC columns encode
+    their unique present values (cached per segment — segments are
+    immutable after seal)."""
+    f = index.schema.try_field(keyname)
+    if f is None:
+        return None
+    if f.sortable and f.type in (FieldType.TAG, FieldType.TEXT):
+        sc = seg.strcols.get(f.attribute)
+        if sc is None:
+            return None
+        return (sc.value_ids, list(sc.table))
+    if f.type == FieldType.NUMERIC:
+        col = seg.numerics.get(f.attribute)
+        if col is None or col.multi:
+            return None
+        cache = getattr(seg, "_numdict_cache", None)
+        if cache is None:
+            cache = {}
+            seg._numdict_cache = cache
+        ent = cache.get(f.attribute)
+        if ent is None:
+            import jax.numpy as jnp
+            vals_np = np.asarray(col.values)
+            pres_np = np.asarray(col.present)
+            uniq = np.unique(vals_np[pres_np])
+            ids = np.searchsorted(uniq, vals_np).astype(np.int32)
+            ids = np.where(pres_np, np.minimum(ids, max(len(uniq) - 1, 0)),
+                           -1).astype(np.int32)
+            ent = (jnp.asarray(ids), [float(u) for u in uniq])
+            cache[f.attribute] = ent
+        return ent
+    return None
+
+
+_MAX_DEVICE_GROUPS = 65536
+
+
 def _device_group_submit(index, req: AggregateRequest, cq):
     """Dispatch phase of the device GROUPBY: submits every segment's
     fused program asynchronously and returns a handle (or None when the
     plan isn't device-eligible).  run_aggregate_many submits a whole
     batch of aggregations before collecting any — round trips overlap
-    the way batched search does."""
+    the way batched search does.
+
+    Eligible plans: [numeric APPLY/FILTER]* -> GROUPBY(1..3 dict-
+    encodable keys) with algebraic reducers -> [SORTBY/LIMIT]*.  APPLY/
+    FILTER expressions compile into the program (agg/device_expr.py);
+    reducer operands may be numeric fields or compiled APPLY aliases."""
     from ..ops.groupby import DEVICE_REDUCERS, groupby_aggregate
+    from .device_expr import compile_device_expr
     import jax.numpy as jnp
 
     if cq.knn is not None or not req.steps:
         return None
-    if not isinstance(req.steps[0], GroupStep):
+    steps = req.steps
+    i = 0
+    pre: list = []
+    while i < len(steps) and isinstance(steps[i],
+                                        (ApplyStep, FilterStep)):
+        pre.append(steps[i])
+        i += 1
+    if i >= len(steps) or not isinstance(steps[i], GroupStep):
         return None
-    group = req.steps[0]
-    tail = req.steps[1:]
-    if len(group.by) != 1:
-        return None
+    group = steps[i]
+    tail = steps[i + 1:]
     if not all(isinstance(s, (SortStep, LimitStep)) for s in tail):
         return None
-    key = group.by[0]
-    f = index.schema.try_field(key)
-    if f is None or f.type != FieldType.TAG or not f.sortable:
+    if not 1 <= len(group.by) <= 3:
         return None
-    operands = set()
-    for name, args, _alias in group.reducers:
-        if name.upper() not in DEVICE_REDUCERS:
+
+    num_fields = {f.attribute for f in index.schema.fields
+                  if f.type == FieldType.NUMERIC}
+    avail = set(num_fields)
+    compiled_pre: list = []      # ("apply", alias, fn) | ("filter", fn)
+    apply_aliases: set[str] = set()
+    for s in pre:
+        fn = compile_device_expr(s.parsed, avail)
+        if fn is None:
             return None
-        if name.upper() != "COUNT":
+        if isinstance(s, ApplyStep):
+            compiled_pre.append(("apply", s.alias, fn))
+            avail.add(s.alias)
+            apply_aliases.add(s.alias)
+        else:
+            compiled_pre.append(("filter", None, fn))
+
+    if any(b in apply_aliases for b in group.by):
+        return None              # computed group keys stay host-side
+
+    operands: list[str] = []     # reducer operand columns, order-stable
+    for name, args, _alias in group.reducers:
+        nm = name.upper()
+        if nm not in DEVICE_REDUCERS:
+            return None
+        if nm != "COUNT":
             if len(args) != 1:
                 return None
             op = args[0].lstrip("@")
-            opf = index.schema.try_field(op)
-            if opf is None or opf.type != FieldType.NUMERIC:
+            if op not in apply_aliases and op not in num_fields:
                 return None
-            operands.add(op)
+            if op not in operands:
+                operands.append(op)
     want_minmax = any(n.upper() in ("MIN", "MAX")
                       for n, _a, _al in group.reducers)
 
+    # numeric field columns the program needs: expr inputs + operands
+    in_fields: list[str] = []
+    for s in pre:
+        for prop in E.properties(s.parsed):
+            if prop in num_fields and prop not in in_fields:
+                in_fields.append(prop)
+    for op in operands:
+        if op in num_fields and op not in in_fields:
+            in_fields.append(op)
+
     from ..query.engine import (_COMPILE_CACHE, _build_fn, _segment_args)
 
-    op_list = sorted(operands)
+    pre_sig = ";".join(
+        f"{k}:{getattr(s, 'alias', '')}:{s.expression}"
+        for (k, _a, _f), s in zip(compiled_pre, pre))
     parts = []
     for seg in index.segments:
-        sc = seg.strcols.get(f.attribute)
-        if sc is None:
+        key_infos = []
+        for b in group.by:
+            enc = _key_encoding(index, seg, b)
+            if enc is None:
+                return None
+            key_infos.append(enc)
+        sizes = tuple(len(t) + 1 for _ids, t in key_infos)  # +1 missing
+        G = 1
+        for s_ in sizes:
+            G *= s_
+        if G > _MAX_DEVICE_GROUPS:
             return None
-        G = max(len(sc.table), 1)
 
         # ONE fused jitted program per (query shape, segment, G, ops):
-        # window eval -> key/operand gathers -> one-hot aggregation.
-        # Eager composition costs a device round trip per op on a remote
-        # link; fused it's one dispatch, one h2d, one d2h.
+        # window eval -> compiled pre steps -> key/operand gathers ->
+        # one-hot aggregation.  Eager composition costs a device round
+        # trip per op on a remote link; fused it's one dispatch, one
+        # h2d, one d2h.
         binding, P = cq.bind(seg)
         dyn = binding.dyn
         dyn.pop("_tagL", None)
         buckets = dyn.pop("_buckets")
         sig = ("devgroup|" + cq.signature(
-            f"n={seg.n_pad}|G={G}|ops={op_list}|mm={want_minmax}",
+            f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
+            f"|mm={want_minmax}|by={tuple(group.by)}|pre={pre_sig}",
             buckets, P, 1))
-        num_vals = (jnp.stack([seg.numerics[o].values for o in op_list])
-                    if op_list else jnp.zeros((0, seg.n_pad), jnp.float32))
-        num_pres = (jnp.stack([seg.numerics[o].present for o in op_list])
-                    if op_list else jnp.zeros((0, seg.n_pad), bool))
+        num_vals = (jnp.stack([seg.numerics[o].values for o in in_fields])
+                    if in_fields
+                    else jnp.zeros((0, seg.n_pad), jnp.float32))
+        num_pres = (jnp.stack([seg.numerics[o].present
+                               for o in in_fields])
+                    if in_fields else jnp.zeros((0, seg.n_pad), bool))
         seg_args = dict(_segment_args(cq, seg))
-        seg_args["gb_value_ids"] = sc.value_ids
+        seg_args["gb_keys"] = jnp.stack([ids for ids, _t in key_infos])
         seg_args["gb_num_vals"] = num_vals
         seg_args["gb_num_pres"] = num_pres
         entry = _COMPILE_CACHE.get(sig)
         if entry is None:
             raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
                             mode="window", jit=False)
-            n_ops = len(op_list)
             from ..query.engine import LAll
             # match-all roots emit the iota window: every column is
             # already doc-aligned, so the [n_pad] random gathers
-            # (value_ids[cd], per-op values/presence — ~7 ns/element on
-            # TPU, they dominated this path) collapse to the columns
+            # (key ids, per-op values/presence — ~7 ns/element on TPU,
+            # they dominated this path) collapse to the columns
             # themselves
             iota_root = (cq.tree[0] == "leaf"
                          and isinstance(cq.tree[1], LAll))
 
-            def fused(seg_args_, dyn_args, _raw=raw, _G=G, _n=n_ops,
-                      _iota=iota_root):
+            def fused(seg_args_, dyn_args, _raw=raw, _G=G,
+                      _sizes=sizes, _iota=iota_root,
+                      _in_fields=tuple(in_fields),
+                      _pre=tuple(compiled_pre),
+                      _ops=tuple(operands)):
                 out = _raw(seg_args_, dyn_args)
                 docs, valid = out["docs"], out["valid"]
-                value_ids = seg_args_["gb_value_ids"]
-                if _iota:
-                    cd = None
-                    gids = value_ids
-                else:
-                    cd = jnp.minimum(docs, value_ids.shape[0] - 1)
-                    gids = value_ids[cd]
-                # flat keys: one packed output buffer -> ONE d2h transfer
+                n_pad_ = seg_args_["gb_keys"].shape[1]
+                cd = (None if _iota
+                      else jnp.minimum(docs, n_pad_ - 1))
+                cols = {}
+                for j, nm_ in enumerate(_in_fields):
+                    v = seg_args_["gb_num_vals"][j]
+                    p = seg_args_["gb_num_pres"][j]
+                    cols[nm_] = (v, p) if _iota else (v[cd], p[cd])
+                for kind, alias, fn_ in _pre:
+                    if kind == "apply":
+                        cols[alias] = fn_(cols)
+                    else:
+                        fv, fp = fn_(cols)
+                        valid = valid & fp & (fv != 0.0)
+                gid = jnp.zeros(docs.shape, jnp.int32)
+                for k_, sz_ in enumerate(_sizes):
+                    idk = seg_args_["gb_keys"][k_]
+                    if not _iota:
+                        idk = idk[cd]
+                    idk = jnp.where(idk < 0, sz_ - 1, idk)
+                    gid = gid * sz_ + idk
+                # flat keys: one packed output buffer -> ONE d2h
                 res = {"count": out["count"]}
-                base = groupby_aggregate(gids, valid,
-                                         jnp.zeros(docs.shape, jnp.float32),
-                                         _G, want_minmax=False)
+                base = groupby_aggregate(
+                    gid, valid, jnp.zeros(docs.shape, jnp.float32),
+                    _G, want_minmax=False)
                 for stat, arr in base.items():
                     res[f"g.None.{stat}"] = arr
-                for j in range(_n):
-                    pres = seg_args_["gb_num_pres"][j]
-                    vals = seg_args_["gb_num_vals"][j]
-                    vm = valid & (pres if _iota else pres[cd])
-                    gr = groupby_aggregate(
-                        gids, vm, vals if _iota else vals[cd], _G,
-                        want_minmax=want_minmax)
+                for j, op_ in enumerate(_ops):
+                    vals, pres = cols[op_]
+                    vals = jnp.broadcast_to(vals, docs.shape)
+                    pres = jnp.broadcast_to(pres, docs.shape)
+                    gr = groupby_aggregate(gid, valid & pres, vals, _G,
+                                           want_minmax=want_minmax)
                     for stat, arr in gr.items():
                         res[f"g.{j}.{stat}"] = arr
                 return res
@@ -352,17 +461,17 @@ def _device_group_submit(index, req: AggregateRequest, cq):
             entry = _PackedExecutor(fused, dyn, seg_args)
             _COMPILE_CACHE[sig] = entry
         flat = entry.submit(seg_args, dyn)   # async device dispatch
-        parts.append((sc, entry, flat))
-    return (group, tail, key, op_list, want_minmax, parts)
+        parts.append(((key_infos, sizes), entry, flat))
+    return (group, tail, operands, want_minmax, None, parts)
 
 
 def _device_group_finish(index, h) -> "AggregateResult":
     """Collect phase: drain every segment's packed output, merge the
     per-group accumulators, build rows, run the SORT/LIMIT tail."""
-    group, tail, key, op_list, want_minmax, parts = h
-    acc: dict[str, dict[str, dict[str, float]]] = {}
+    group, tail, op_list, want_minmax, _unused, parts = h
+    acc: dict[tuple, dict[str, dict[str, float]]] = {}
     total = 0
-    for sc, entry, flat in parts:
+    for (key_infos, sizes), entry, flat in parts:
         out = (entry._unpack_out(flat) if isinstance(flat, np.ndarray)
                else entry.finish(flat))
         total += int(out["count"])
@@ -376,8 +485,17 @@ def _device_group_finish(index, h) -> "AggregateResult":
         for j, o in enumerate(op_list):
             per_op[o] = _op_stats(str(j))
         counts0 = np.asarray(per_op[None]["count"])
+
+        def _decode(g: int) -> tuple:
+            vals = []
+            for (ids_, table), sz in zip(reversed(key_infos),
+                                         reversed(sizes)):
+                g, r = divmod(g, sz)
+                vals.append(table[r] if r < len(table) else E.NULL)
+            return tuple(reversed(vals))
+
         for g in np.nonzero(counts0 > 0)[0]:
-            val = sc.table[int(g)]
+            val = _decode(int(g))
             slot = acc.setdefault(val, {})
             for op in [None] + op_list:
                 stats = slot.setdefault(str(op), {
@@ -393,7 +511,7 @@ def _device_group_finish(index, h) -> "AggregateResult":
 
     rows = []
     for val, slot in acc.items():
-        row = {key: val}
+        row = {b: v for b, v in zip(group.by, val)}
         for name, args, alias in group.reducers:
             nm = name.upper()
             alias = alias or make_reducer(name, list(args)).default_alias()

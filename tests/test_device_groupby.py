@@ -91,3 +91,118 @@ def test_fallback_for_unsupported_shapes(idx):
     assert _try_device_group(idx, req, cq) is None
     rows = idx.aggregate(req).rows
     assert len(rows) == 17
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions: multi-key groups, numeric group keys, and compiled
+# APPLY/FILTER pre-steps (VERDICT r1 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _cmp_rows(dev, host, keys):
+    dk = {tuple(r.get(k) for k in keys): r for r in dev}
+    hk = {tuple(r.get(k) for k in keys): r for r in host}
+    assert dk.keys() == hk.keys(), (
+        sorted(dk.keys() - hk.keys())[:3], sorted(hk.keys() - dk.keys())[:3])
+    for key, hr in hk.items():
+        dr = dk[key]
+        for k, v in hr.items():
+            if isinstance(v, float):
+                assert abs(dr[k] - v) < 1e-3 * max(1.0, abs(v)), \
+                    (key, k, dr[k], v)
+            else:
+                assert dr[k] == v, (key, k)
+
+
+def test_multikey_device_group(idx):
+    def mk():
+        return AggregateRequest("*").group_by(
+            ["@cat", "@y"], ("COUNT", [], "n"), ("SUM", ["@x"], "sx"))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    assert _device_group_submit(idx, mk(), cq) is not None
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    _cmp_rows(dev, host, ["cat", "y"])
+
+
+def test_multikey_requires_sortable_text(idx):
+    # "@t" is TEXT but NOT sortable -> host fallback, still correct
+    req = AggregateRequest("*").group_by(
+        ["@cat", "@t"], ("COUNT", [], "n"))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    # just verify result parity whichever path ran
+    dev = idx.aggregate(req).rows
+    host = _host_rows(idx, AggregateRequest("*").group_by(
+        ["@cat", "@t"], ("COUNT", [], "n")))
+    _cmp_rows(dev, host, ["cat", "t"])
+
+
+def test_numeric_key_device_group(idx):
+    def mk():
+        return AggregateRequest("*").group_by(
+            ["@y"], ("COUNT", [], "n"), ("AVG", ["@x"], "ax"))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    assert _device_group_submit(idx, mk(), cq) is not None
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    _cmp_rows(dev, host, ["y"])
+
+
+def test_apply_filter_compiled_pre_steps(idx):
+    def mk():
+        return (AggregateRequest("*")
+                .apply("@x * 2 + @y", "z")
+                .filter("@x >= 100 && @y < 40")
+                .group_by("@cat", ("COUNT", [], "n"),
+                          ("SUM", ["@z"], "sz"),
+                          ("MAX", ["@z"], "mz"))
+                .sort_by(("@sz", DESC)))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    assert _device_group_submit(idx, mk(), cq) is not None
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    _cmp_rows(dev, host, ["cat"])
+
+
+def test_apply_math_functions_device(idx):
+    def mk():
+        return (AggregateRequest("*")
+                .apply("floor(sqrt(@x))", "r")
+                .group_by("@cat", ("SUM", ["@r"], "sr"),
+                          ("AVG", ["@r"], "ar")))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    assert _device_group_submit(idx, mk(), cq) is not None
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    _cmp_rows(dev, host, ["cat"])
+
+
+def test_filter_division_null_semantics(idx):
+    # x / (y - y) -> division by zero -> NULL -> filtered rows keep
+    # host semantics (NULL is not truthy)
+    def mk():
+        return (AggregateRequest("*")
+                .filter("@x / (@y - @y) || @x > 500")
+                .group_by("@cat", ("COUNT", [], "n")))
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    _cmp_rows(dev, host, ["cat"])
+
+
+def test_string_apply_falls_back(idx):
+    req = (AggregateRequest("*")
+           .apply("upper(@cat)", "u")
+           .group_by("@cat", ("COUNT", [], "n")))
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    from redisearch_tpu.agg.pipeline import _device_group_submit
+    assert _device_group_submit(idx, req, cq) is None
+    host = _host_rows(idx, req)
+    dev = idx.aggregate((AggregateRequest("*")
+                         .apply("upper(@cat)", "u")
+                         .group_by("@cat", ("COUNT", [], "n")))).rows
+    _cmp_rows(dev, host, ["cat"])
