@@ -502,8 +502,11 @@ class Client:
         ix.synonyms.update(group_id, terms)
         if not skip_initial_scan:
             # reindex so existing docs pick up the group terms (the
-            # reference only applies to future docs; we can do better)
-            ix.compact()
+            # reference only applies to future docs; we can do better).
+            # reanalyze: the '~group' virtual terms only appear by
+            # re-running the tokenize chain — a CSR-slice compaction
+            # would keep the old analysis
+            ix.compact(reanalyze=True)
 
     def ft_syndump(self, name: str) -> dict[str, list[str]]:
         return self._index(name).synonyms.dump()

@@ -278,9 +278,27 @@ class SearchIndex:
         if dead / (dead + live) >= dead_ratio:
             self.compact()
 
-    def compact(self) -> None:
-        """Rebuild all segments dropping deleted docs (replaces fork-GC)."""
+    def compact(self, reanalyze: bool = False) -> None:
+        """Rebuild all segments dropping deleted docs (replaces fork-GC).
+
+        reanalyze=True forces the full tokenize path (needed when the
+        analysis chain changed, e.g. after FT.SYNUPDATE); otherwise a
+        single sealed segment compacts by slicing its CSR arrays
+        (index/slice.py) with no re-tokenization."""
         self.commit()
+        if not reanalyze and len(self.segments) == 1:
+            # fast path: compaction is a doc-subset slice of the CSR
+            # arrays — no re-tokenization (index/slice.py)
+            from .slice import live_locals, slice_segment
+            src = self.segments[0]
+            live = live_locals(src, self.doctable)
+            if live.size == 0:
+                self.segments = []
+                return
+            if live.size == src.num_alive == src.n_docs:
+                return   # nothing to drop
+            self.segments = [slice_segment(src, live)]
+            return
         builder = SegmentBuilder(self.schema, self.stopwords, self.synonyms)
         for seg in self.segments:
             alive = np.asarray(seg.alive)
