@@ -57,14 +57,17 @@ def main(n_docs: int = 500_000, dim: int = 384, batch: int = 64,
 
     def bench_batched(name, qtext):
         """Batched + pipelined execution — the analog of the reference's
-        32-connection memtier load (its concurrency = our batch axis)."""
+        32-connection memtier load (its concurrency = our batch axis).
+        Queries go through the prepared-query cache (parse+lower once per
+        distinct string, vector blob rebound per call) — the warm serving
+        shape; memtier also loops a fixed query set."""
         def make(it):
             cqs = []
             for i in range(batch):
                 q = qtext(it * batch + i)
-                cqs.append(ix.compile(
-                    ix.parse_query(q, {"b": qvecs[(it * batch + i) % 512]}),
-                    QueryOptions(k=25)))
+                cqs.append(ix.prepare(
+                    q, {"b": qvecs[(it * batch + i) % 512]},
+                    QueryOptions(k=25), 2))
             return cqs
         for it in range(2):
             execute_batch(make(it), seg, 25)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import time
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -154,20 +155,32 @@ class AggregateResult:
 # Execution
 # ---------------------------------------------------------------------------
 
-def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
-    """Execute an aggregation against a SearchIndex."""
+def run_aggregate(index, req: AggregateRequest,
+                  profile: Optional[dict] = None) -> AggregateResult:
+    """Execute an aggregation against a SearchIndex.  When `profile` is
+    given, measured per-stage timings land in profile["result_processors"]
+    (reference: per-RP profile sections, result_processor.h)."""
+    import time as _t
+
     index.commit()
     opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
     # prepared-query cache: repeated aggregations (cursor reads, dashboards)
     # skip parse+lower and reuse the per-segment bind memo
     cq = index.prepare(req.query, req.params, opts, req.dialect)
 
+    t_start = _t.perf_counter()
     fast = _try_device_group(index, req, cq)
     if fast is not None:
+        if profile is not None:
+            profile["result_processors"] = [
+                {"name": "RP_INDEX+DeviceGroupBy(fused)",
+                 "time_ms": round((_t.perf_counter() - t_start) * 1e3, 3),
+                 "rows": len(fast.rows)}]
         return fast
 
     rows: list[dict] = []
     total = 0
+    t_index0 = _t.perf_counter()
     for seg in index.segments:
         if cq.knn is not None:
             res = execute(cq, seg, cq.knn.k, mode="topk")
@@ -190,7 +203,14 @@ def run_aggregate(index, req: AggregateRequest) -> AggregateResult:
                    "__gid": gid, "__meta": meta}
             rows.append(row)
 
-    rows = _run_steps(index, req, rows)
+    if profile is not None:
+        timings: list = [{"name": "RP_INDEX", "rows": len(rows),
+                          "time_ms": round(
+                              (time.perf_counter() - t_index0) * 1e3, 3)}]
+        rows = _run_steps(index, req, rows, timings=timings)
+        profile["result_processors"] = timings
+    else:
+        rows = _run_steps(index, req, rows)
     return AggregateResult(total=total, rows=rows)
 
 
@@ -543,12 +563,14 @@ def _device_group_finish(index, h) -> "AggregateResult":
     return AggregateResult(total=total, rows=rows)
 
 
-def _run_steps(index, req: AggregateRequest, rows: list[dict]) -> list[dict]:
+def _run_steps(index, req: AggregateRequest, rows: list[dict],
+               timings: Optional[list] = None) -> list[dict]:
     # implicit behavior: fields referenced anywhere auto-load from stored
     # docs unless produced by an earlier APPLY/GROUPBY (the reference
     # resolves via RLookup: sorting vector, loaded doc, or computed key)
     produced: set[str] = set()
     for step in req.steps:
+        t_step = time.perf_counter() if timings is not None else 0.0
         needed = _step_props(step) - produced
         if needed:
             _materialize(index, rows, needed)
@@ -572,6 +594,11 @@ def _run_steps(index, req: AggregateRequest, rows: list[dict]) -> list[dict]:
             rows = _sort(rows, step)
         elif isinstance(step, LimitStep):
             rows = rows[step.offset:step.offset + step.num]
+        if timings is not None:
+            timings.append({
+                "name": type(step).__name__.replace("Step", "").upper(),
+                "time_ms": round((time.perf_counter() - t_step) * 1e3, 3),
+                "rows": len(rows)})
     # scrub internals
     for row in rows:
         row.pop("__meta", None)

@@ -434,7 +434,14 @@ class Client:
             from .query import ast as A
             prof["query_tree"] = A.dump(root)
             prof["results_count"] = res.total
-            # per-node counters (reference: Profile_AddIters sections)
+            # warm re-execution: the clock the iterator timings should
+            # reconcile against (first execution may pay an XLA compile)
+            t2 = time.perf_counter()
+            ix.search(query, **opts)
+            prof["warm_execution_time_ms"] = \
+                (time.perf_counter() - t2) * 1e3
+            # per-node counters + measured warm timings (reference:
+            # Profile_AddIters sections)
             from .aux.explain import profile_query
             prof["iterators"] = profile_query(ix, query,
                                               opts.get("params"))
@@ -444,14 +451,14 @@ class Client:
                                   getattr(query, "dialect", 2))
             prof["parsing_time_ms"] = (time.perf_counter() - t0) * 1e3
             t1 = time.perf_counter()
-            res = run_aggregate(ix, query)
+            # measured per-stage timings land in
+            # prof["result_processors"] (reference: per-RP profile
+            # sections with counters + timers, result_processor.h)
+            res = run_aggregate(ix, query, profile=prof)
             prof["total_time_ms"] = (time.perf_counter() - t0) * 1e3
             prof["execution_time_ms"] = (time.perf_counter() - t1) * 1e3
             from .query import ast as A
             prof["query_tree"] = A.dump(root)
-            # result-processor chain (reference: per-RP profile sections)
-            prof["result_processors"] = (
-                ["RP_INDEX"] + [type(s).__name__ for s in query.steps])
             prof["results_count"] = res.total
             return res, prof
         raise IndexError_(f"bad profile type {query_type}")

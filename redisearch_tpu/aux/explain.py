@@ -211,24 +211,36 @@ def explain_score(index, query: str, key: str,
 
 def profile_query(index, query: str, params: Optional[dict] = None,
                   **opts_kw) -> dict:
-    """Per-node match counters + timings (FT.PROFILE iterator section)."""
+    """Per-node match counters + MEASURED timings (FT.PROFILE iterator
+    section — reference: Profile_AddIters wraps every iterator with
+    counters/timers, rqe_iterators/src/profile.rs).
+
+    Counters come from executing each AST node as its own counting
+    sub-query — i.e. from the executed program's outputs, not a host
+    estimate.  Timings are measured on a SECOND, warm execution (the
+    first one may pay the XLA compile, which the reference's clocks also
+    exclude from per-iterator time), synced so device work is included.
+    The root node's time is the real full-tree evaluation time."""
     index.commit()
     root = index.parse_query(query, params)
 
-    def count_node(node: ast.Node) -> int:
+    def run_node(node: ast.Node):
+        """(count, warm_ms) for one subtree, or (-1, 0) if unevaluable."""
         try:
             cq = index.compile(node, QueryOptions())
             total = 0
-            for seg in index.segments:
+            for seg in index.segments:      # warm pass (count + compile)
                 total += execute(cq, seg, 1, mode="window").count
-            return total
+            t0 = time.perf_counter()
+            for seg in index.segments:      # measured warm pass
+                execute(cq, seg, 1, mode="window")
+            ms = (time.perf_counter() - t0) * 1e3
+            return total, ms
         except Exception:
-            return -1
+            return -1, 0.0
 
     def walk(node: ast.Node) -> dict:
-        t0 = time.perf_counter()
-        cnt = count_node(node)
-        ms = (time.perf_counter() - t0) * 1e3
+        cnt, ms = run_node(node)
         entry = {
             "type": type(node).__name__.replace("Node", ""),
             "counter": cnt,

