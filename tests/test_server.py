@@ -283,6 +283,10 @@ def test_profile_aggregate(loop):
         assert res[0] == 2
         d = {prof[i]: prof[i + 1] for i in range(0, len(prof), 2)}
         assert "query_tree" in d and "result_processors" in d
-        assert "GroupStep" in d["result_processors"]
+        # measured per-stage entries: [["name", <stage>, "time_ms", t,
+        # "rows", r], ...]; this plan runs as the fused device GROUPBY
+        rp_blob = str(d["result_processors"])
+        assert "GROUP" in rp_blob.upper() or "DeviceGroupBy" in rp_blob
+        assert "time_ms" in rp_blob
         return True
     assert run_session(loop, flow)
