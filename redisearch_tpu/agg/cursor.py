@@ -27,9 +27,24 @@ class Cursor:
     count: int = 1000              # chunk size (READ COUNT override allowed)
     idle_timeout_s: float = 300.0  # reference default CURSOR_MAX_IDLE 300s
     last_access: float = dataclasses.field(default_factory=time.time)
+    # streaming source: a chunk iterator pulled lazily on reads (the
+    # RPNet analog — rows materialize only as the client drains them)
+    source: Optional[object] = None
+
+    def _pull(self, upto: int) -> None:
+        """Fill the buffer from the source until `upto` rows are
+        available past the read position (or the source drains)."""
+        if self.source is None:
+            return
+        while len(self.rows) - self.pos < upto:
+            try:
+                self.rows.extend(next(self.source))
+            except StopIteration:
+                self.source = None
+                break
 
     def exhausted(self) -> bool:
-        return self.pos >= len(self.rows)
+        return self.source is None and self.pos >= len(self.rows)
 
 
 class CursorList:
@@ -38,10 +53,11 @@ class CursorList:
         self._ids = itertools.count(1)
 
     def create(self, index_name: str, rows: list, count: int = 1000,
-               idle_timeout_s: float = 300.0) -> Cursor:
+               idle_timeout_s: float = 300.0, source=None) -> Cursor:
         cid = next(self._ids)
-        c = Cursor(cid=cid, index_name=index_name, rows=rows,
-                   count=count, idle_timeout_s=idle_timeout_s)
+        c = Cursor(cid=cid, index_name=index_name, rows=list(rows),
+                   count=count, idle_timeout_s=idle_timeout_s,
+                   source=source)
         self._cursors[cid] = c
         return c
 
@@ -54,6 +70,7 @@ class CursorList:
             raise CursorNotFound(f"Cursor not found, id: {cid}")
         c.last_access = time.time()
         n = count or c.count
+        c._pull(n + 1)   # +1: learn whether more rows exist past n
         chunk = c.rows[c.pos:c.pos + n]
         c.pos += n
         if c.exhausted():

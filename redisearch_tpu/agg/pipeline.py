@@ -563,6 +563,187 @@ def _device_group_finish(index, h) -> "AggregateResult":
     return AggregateResult(total=total, rows=rows)
 
 
+# ---------------------------------------------------------------------------
+# Streaming execution (WITHCURSOR): the input side yields row-dict chunks
+# lazily and APPLY/FILTER/GROUP consume them incrementally — the analog of
+# the reference coordinator's RPNet pulling shard cursor chunks into the
+# local pipeline (src/coord/rpnet.c:268-420).  Aggregations no longer
+# materialize every matching row before the first step runs; SORT (and
+# group finalization) are the only barriers.
+# ---------------------------------------------------------------------------
+
+_STREAM_CHUNK = 4096
+
+
+def run_aggregate_streaming(index, req: AggregateRequest):
+    """Returns (chunk_iterator, total) for cursor-driven plans.
+
+    Device-eligible GROUPBYs and KNN plans produce small outputs and run
+    materialized; everything else streams: the device window pass runs
+    per segment up front (total comes from its counts), but row-dict
+    construction and the host steps pull chunk by chunk — a LIMIT that
+    fills early never touches the remaining rows."""
+    index.commit()
+    opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+    cq = index.prepare(req.query, req.params, opts, req.dialect)
+
+    fast = _try_device_group(index, req, cq)
+    if fast is not None:
+        return iter([fast.rows]), fast.total
+    if cq.knn is not None:
+        res = run_aggregate(index, req)
+        return iter([res.rows]), res.total
+
+    seg_results = [(seg, execute(cq, seg, 1, mode="window"))
+                   for seg in index.segments]
+    total = sum(int(r.count) for _, r in seg_results)
+
+    def input_chunks():
+        for seg, res in seg_results:
+            sel = res.local_idx[res.valid]
+            scores = res.scores[res.valid]
+            gids = seg.gids_host
+            for start in range(0, len(sel), _STREAM_CHUNK):
+                rows = []
+                for j in range(start, min(start + _STREAM_CHUNK,
+                                          len(sel))):
+                    gid = int(gids[int(sel[j])])
+                    meta = index.doctable.get(gid)
+                    if meta is None or meta.deleted:
+                        continue
+                    rows.append({"__key": meta.key,
+                                 "__score": float(scores[j]),
+                                 "__gid": gid, "__meta": meta})
+                if rows:
+                    yield rows
+
+    return _steps_streaming(index, req, input_chunks()), total
+
+
+def _steps_streaming(index, req: AggregateRequest, chunks):
+    """Compose the step chain as chunk generators (same semantics as
+    _run_steps, including implicit field materialization)."""
+    produced: set[str] = set()
+    for step in req.steps:
+        needed = _step_props(step) - produced
+        if needed:
+            chunks = _gen_materialize(index, chunks, needed)
+        if isinstance(step, LoadStep):
+            chunks = _gen_materialize(index, chunks, step.fields)
+            if step.fields:
+                produced |= set(step.fields)
+        elif isinstance(step, ApplyStep):
+            chunks = _gen_apply(chunks, step)
+            produced.add(step.alias)
+        elif isinstance(step, FilterStep):
+            chunks = _gen_filter(chunks, step)
+        elif isinstance(step, GroupStep):
+            chunks = _gen_group(chunks, step)
+            produced = set(step.by)
+            for name, args, alias in step.reducers:
+                produced.add(alias or make_reducer(name, args)
+                             .default_alias())
+        elif isinstance(step, SortStep):
+            chunks = _gen_sort(chunks, step)
+        elif isinstance(step, LimitStep):
+            chunks = _gen_limit(chunks, step)
+    return _gen_scrub(chunks, req)
+
+
+def _gen_materialize(index, chunks, fields):
+    for rows in chunks:
+        _materialize(index, rows, fields)
+        yield rows
+
+
+def _gen_apply(chunks, step):
+    for rows in chunks:
+        for row in rows:
+            row[step.alias] = E.evaluate(step.parsed, row)
+        yield rows
+
+
+def _gen_filter(chunks, step):
+    for rows in chunks:
+        out = [r for r in rows
+               if E._truthy(E.evaluate(step.parsed, r))]
+        if out:
+            yield out
+
+
+def _gen_group(chunks, step):
+    """Incremental grouping: accumulators update per chunk; finalized
+    group rows stream out once the input drains (the reference Grouper
+    also yields groups only at upstream EOF, group_by.c:158)."""
+    groups: dict[tuple, tuple[dict, list]] = {}
+    specs = [(name, args, alias) for name, args, alias in step.reducers]
+    for rows in chunks:
+        for row in rows:
+            keyvals = []
+            for b in step.by:
+                v = row.get(b, E.NULL)
+                keyvals.append(tuple(v) if isinstance(v, list) else v)
+            key = tuple(keyvals)
+            ent = groups.get(key)
+            if ent is None:
+                grow = {b: row.get(b, E.NULL) for b in step.by}
+                reds = [make_reducer(n, a) for n, a, _ in specs]
+                ent = (grow, reds)
+                groups[key] = ent
+            for red in ent[1]:
+                red.add(row)
+    out = []
+    for grow, reds in groups.values():
+        for (name, args, alias), red in zip(specs, reds):
+            grow[alias or red.default_alias()] = red.finalize()
+        out.append(grow)
+        if len(out) >= _STREAM_CHUNK:
+            yield out
+            out = []
+    if out:
+        yield out
+
+
+def _gen_sort(chunks, step):
+    rows: list[dict] = []
+    for c in chunks:
+        rows.extend(c)
+    rows = _sort(rows, step)
+    for start in range(0, len(rows), _STREAM_CHUNK):
+        yield rows[start:start + _STREAM_CHUNK]
+
+
+def _gen_limit(chunks, step):
+    """Early-terminating LIMIT: once offset+num rows have streamed out,
+    the upstream generators are never pulled again."""
+    skip = step.offset
+    want = step.num
+    for rows in chunks:
+        if want <= 0:
+            return
+        if skip >= len(rows):
+            skip -= len(rows)
+            continue
+        rows = rows[skip:]
+        skip = 0
+        if len(rows) > want:
+            rows = rows[:want]
+        want -= len(rows)
+        yield rows
+        if want <= 0:
+            return
+
+
+def _gen_scrub(chunks, req):
+    for rows in chunks:
+        for row in rows:
+            row.pop("__meta", None)
+            row.pop("__gid", None)
+            if not req.add_scores:
+                row.pop("__score", None)
+        yield rows
+
+
 def _run_steps(index, req: AggregateRequest, rows: list[dict],
                timings: Optional[list] = None) -> list[dict]:
     # implicit behavior: fields referenced anywhere auto-load from stored

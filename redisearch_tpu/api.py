@@ -385,6 +385,19 @@ class Client:
                      ) -> AggregateResult:
         ix = self._index(name)
         dbg = ix.take_debug_hooks()
+        if req.with_cursor and not dbg:
+            # streaming path (reference: RPNet shard-cursor pulls): rows
+            # materialize lazily as FT.CURSOR READ drains them
+            from .agg.pipeline import run_aggregate_streaming
+            chunks, total = run_aggregate_streaming(ix, req)
+            if getattr(req, "dialect", None) in (1, 2, 3, 4):
+                ix.dialect_stats[req.dialect] = 1
+            c = self.cursors.create(name, [],
+                                    count=req._cursor_count or 1000,
+                                    source=chunks)
+            chunk, cid = self.cursors.read(c.cid)
+            return AggregateResult(total=total, rows=chunk,
+                                   cursor_id=cid)
         res = run_aggregate(ix, req)
         if getattr(req, "dialect", None) in (1, 2, 3, 4):
             ix.dialect_stats[req.dialect] = 1
