@@ -35,12 +35,16 @@ def _is_cjk(ch: str) -> bool:
 
 
 def cjk_segment(token: str) -> list[str]:
-    """Bigram segmentation for CJK runs (the friso/Chinese-dict analog,
-    reference: src/tokenize_cn.c + deps/friso).  Dictionary-free overlapping
-    bigrams give recall-equivalent matching: a query segmented the same way
-    always matches."""
+    """Segmentation for CJK runs (reference: src/tokenize_cn.c +
+    deps/friso MMSEG complex mode).  Dictionary segmentation via the
+    bundled friso lexicon (analysis/cjk.py); overlapping bigrams remain
+    the fallback when the dictionary data is unavailable — a query
+    segmented the same way always matches either way."""
     if len(token) == 1:
         return [token]
+    from . import cjk
+    if cjk.dict_available():
+        return cjk.mmseg(token)
     return [token[i:i + 2] for i in range(len(token) - 1)]
 
 

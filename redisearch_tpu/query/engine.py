@@ -2177,9 +2177,13 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     vals, sel = T.fast_top_k(-dm, k_eff)
                     return docs[sel], -vals, score[sel]
 
-                idx_o, knn_o, sc_o = jax.lax.cond(
-                    (found >= k_eff) | exhausted, _batched, _exact,
-                    None)
+                import os as _os
+                if _os.environ.get("RS_TPU_NO_EXACT_FALLBACK"):
+                    idx_o, knn_o, sc_o = _batched(None)
+                else:
+                    idx_o, knn_o, sc_o = jax.lax.cond(
+                        (found >= k_eff) | exhausted, _batched, _exact,
+                        None)
                 out["idx"] = idx_o
                 out["knn"] = knn_o
                 out["scores"] = sc_o

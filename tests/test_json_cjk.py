@@ -40,7 +40,11 @@ def test_json_array_index():
     assert resolve(doc, "$.a[*].b") == [1, 2]
 
 
-def test_cjk_bigram_search():
+def test_cjk_dictionary_search():
+    """Dictionary (MMSEG) segmentation: queries match when they segment
+    to the same words as the document (reference: friso complex mode —
+    a sub-word of a longer lexicon word does NOT match, same as the
+    reference's Chinese search semantics)."""
     ix = rs.SearchIndex(rs.Schema(name="cn", fields=[
         rs.Field("t", rs.FieldType.TEXT)]))
     ix.add_document("d1", {"t": "我爱北京天安门"})
@@ -50,9 +54,22 @@ def test_cjk_bigram_search():
     assert [h.key for h in res] == ["d1"]
     res = ix.search("天安门")
     assert [h.key for h in res] == ["d1"]
-    res = ix.search("机场")
+    res = ix.search("浦东机场")      # the lexicon word the doc indexed
+    assert [h.key for h in res] == ["d2"]
+    res = ix.search("上海")
     assert [h.key for h in res] == ["d2"]
     assert ix.search("广州").total == 0
+
+
+def test_cjk_mmseg_ambiguity():
+    """The classic MMSEG disambiguation cases (rule order: length, avg,
+    variance, degree of morphemic freedom)."""
+    from redisearch_tpu.analysis.cjk import dict_available, mmseg
+    assert dict_available()
+    assert mmseg("研究生命起源") == ["研究", "生命", "起源"]
+    assert mmseg("中华人民共和国") == ["中华人民共和国"]
+    assert mmseg("主要研究生物学") == ["主要", "研究", "生物学"]
+    assert mmseg("世界卫生组织成立了") == ["世界卫生组织", "成立", "了"]
 
 
 def test_cjk_mixed_latin():
