@@ -34,12 +34,34 @@ from ..query.engine import (_COMPILE_CACHE, CompiledQuery, _build_fn,
                             _segment_args)
 
 AXIS = "shards"
+DCN_AXIS = "dcn"
 
 
-def make_mesh(n_shards: Optional[int] = None) -> Mesh:
+def make_mesh(n_shards: Optional[int] = None,
+              n_dcn: int = 1) -> Mesh:
+    """Device mesh for doc-axis sharding.
+
+    n_dcn > 1 builds a 2D ("dcn", "shards") mesh modeling a multi-slice
+    deployment: the outer axis is the slow DCN (cross-slice) network,
+    the inner axis the fast ICI ring.  The query merge then runs
+    hierarchically — per-slice top-k rides ICI, and only k candidates
+    per slice cross the DCN (SURVEY §5.8 / §2.6 mapping).  On a single
+    host the axes are virtual but produce exactly the collective
+    structure a real multi-slice mesh would."""
     devs = jax.devices()
     n = n_shards or len(devs)
+    if n_dcn > 1:
+        assert n % n_dcn == 0, (n, n_dcn)
+        arr = np.asarray(devs[:n]).reshape(n_dcn, n // n_dcn)
+        return Mesh(arr, (DCN_AXIS, AXIS))
     return Mesh(np.asarray(devs[:n]), (AXIS,))
+
+
+def _shard_spec(mesh: Mesh):
+    """PartitionSpec sharding axis 0 across every mesh axis."""
+    if DCN_AXIS in mesh.axis_names:
+        return P((DCN_AXIS, AXIS))
+    return P(AXIS)
 
 
 def _stack_pad(arrays: list, fill=0):
@@ -141,12 +163,13 @@ class ShardedIndex:
         key = cq.signature(
             f"dist|n={max(s.n_pad for s in self.shards)}"
             f"|stride={self.shards[0].text.pos_stride}"
-            f"|S={n}|m={merge}", buckets, P_, k_local)
+            f"|S={n}|m={merge}|mesh={tuple(self.mesh.shape.items())}",
+            buckets, P_, k_local)
         fn = _COMPILE_CACHE.get(key)
         if fn is None:
             fn = self._build_dist_fn(cq, buckets, P_, k_local, merge)
             _COMPILE_CACHE[key] = fn
-        sharding = NamedSharding(self.mesh, P(AXIS))
+        sharding = NamedSharding(self.mesh, _shard_spec(self.mesh))
         seg_dev = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), seg_stack)
         dyn_dev = jax.tree.map(
@@ -175,13 +198,17 @@ class ShardedIndex:
                 res["sortkeys"] = out["sortkeys"][None]
             return res
 
+        spec = _shard_spec(mesh)
+        dcn = DCN_AXIS in mesh.axis_names
+        n_dcn = mesh.shape[DCN_AXIS] if dcn else 1
+
         @jax.jit
         def dist(seg, dyn):
-            specs_in = (jax.tree.map(lambda _: P(AXIS), seg),
-                        jax.tree.map(lambda _: P(AXIS), dyn))
+            specs_in = (jax.tree.map(lambda _: spec, seg),
+                        jax.tree.map(lambda _: spec, dyn))
             out = jax.shard_map(
                 shard_body, mesh=mesh, in_specs=specs_in,
-                out_specs=P(AXIS))(seg, dyn)
+                out_specs=spec)(seg, dyn)
             # out leaves: [S, k_local] (counts [S]); final merge is a tiny
             # top-k over S*k_local candidates — the "coordinator" reduce
             if not merge:
@@ -190,35 +217,51 @@ class ShardedIndex:
                 return out
             merged = {"count": jnp.sum(out["count"]),
                       "shard_counts": out["count"]}
-            flat_scores = out["scores"].reshape(-1)
-            flat_gids = out["gids"].reshape(-1)
-            kk = min(k_local, flat_scores.shape[0])
+            kk = min(k_local, out["scores"].size)
 
-            def merge2(primary, payloads):
+            def merge2(primary, gids, payloads, k_out):
                 """k-merge with the single-index tie-break: ascending
                 primary key, then ascending gid (index.py sorts merged
                 candidates by (rank, gid) — lax.top_k alone would break
-                ties by shard order and diverge from the local path)."""
-                ops = (primary, flat_gids) + tuple(payloads)
-                sorted_ops = jax.lax.sort(ops, num_keys=2)
-                return tuple(o[:kk] for o in sorted_ops)
+                ties by shard order and diverge from the local path).
+                Works batched over a leading axis (per-slice merges)."""
+                ops = (primary, gids) + tuple(payloads)
+                sorted_ops = jax.lax.sort(ops, num_keys=2,
+                                          dimension=-1)
+                return tuple(o[..., :k_out] for o in sorted_ops)
+
+            def hierarchical(primary, payloads):
+                """Per-DCN-slice merge first (candidates ride ICI), then
+                the cross-slice merge moves only k per slice over DCN —
+                the RPNet/coordinator analog of SURVEY §5.8."""
+                gids = out["gids"]
+                if dcn:
+                    p1 = primary.reshape(n_dcn, -1)
+                    g1 = gids.reshape(n_dcn, -1)
+                    pl1 = tuple(p.reshape(n_dcn, -1) for p in payloads)
+                    k1 = min(kk, p1.shape[1])
+                    outs = merge2(p1, g1, pl1, k1)
+                    outs = tuple(o.reshape(-1) for o in outs)
+                else:
+                    outs = (primary.reshape(-1), gids.reshape(-1)) + \
+                        tuple(p.reshape(-1) for p in payloads)
+                return merge2(outs[0], outs[1], outs[2:], kk)
 
             if "knn" in out:
-                d = out["knn"].reshape(-1)
-                dm, g, s = merge2(d, (flat_scores,))
+                dm, g, s = hierarchical(out["knn"], (out["scores"],))
                 merged["knn"] = dm
                 merged["gids"] = g
                 merged["scores"] = s
             elif "sortkeys" in out:
-                sk = out["sortkeys"].reshape(-1)
+                sk = out["sortkeys"]
                 asc = cq.opts.sort_asc
-                key, g, s, sk_o = merge2(sk if asc else -sk,
-                                         (flat_scores, sk))
+                key, g, s, sk_o = hierarchical(
+                    sk if asc else -sk, (out["scores"], sk))
                 merged["sortkeys"] = sk_o
                 merged["gids"] = g
                 merged["scores"] = s
             else:
-                neg, g = merge2(-flat_scores, ())
+                neg, g = hierarchical(-out["scores"], ())
                 merged["scores"] = -neg
                 merged["gids"] = g
             return merged

@@ -184,3 +184,22 @@ def test_dist_hybrid_is_spmd(sharded, monkeypatch):
     rows = sh.hybrid(hq)
     assert calls["n"] >= 2          # one SPMD execute per branch
     assert rows and rows[0]["__key"] == "d10"   # exact vector match wins
+
+
+def test_dcn_mesh_hierarchical_merge(sharded):
+    """2D ("dcn" x ici) mesh: per-slice merge rides ICI, only k per
+    slice crosses the DCN axis — results identical to the 1D mesh."""
+    sh, ix, vecs = sharded
+    from redisearch_tpu.parallel.dist import (DCN_AXIS, ShardedIndex,
+                                              make_mesh)
+    mesh2 = make_mesh(8, n_dcn=2)
+    assert mesh2.axis_names == (DCN_AXIS, "shards")
+    sh2 = ShardedIndex.build(ix, mesh2)
+    for q, kw in [("apple banana", {}),
+                  ("@cat:{a} @n:[5 40]", {}),
+                  ("*", {"sort_by": "n", "sort_asc": False}),
+                  ("*=>[KNN 6 @v $b]", {"params": {"b": vecs[3]}})]:
+        r1 = sh.search(q, num=10, **kw)
+        r2 = sh2.search(q, num=10, **kw)
+        assert r2.total == r1.total, q
+        assert [h.key for h in r2.hits] == [h.key for h in r1.hits], q
