@@ -1128,6 +1128,12 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         and ":ivf:" not in _knn_ivf_sig(cq0, seg))
     raw = _build_fn(cq0, seg, bk, P2, k_pad, has_extra=False,
                     jit=False, knn_row=knn_row)
+    # batch-axis execution shape: lax.scan, NOT vmap.  Measured on TPU
+    # v5e (round 2): a chunked-vmap variant ([C, W]-shaped kernels, scan
+    # over B/C chunks) was 2-5x SLOWER end to end — vmapped
+    # dynamic_slice window reads lower to arbitrary-offset gathers,
+    # losing the contiguous-DMA property the window algebra is built on.
+    # The scan body keeps every window read a dynamic_slice.
     if knn_row:
         knn_metric = cq0.schema.field(cq0.knn.field).vector.metric.value
 

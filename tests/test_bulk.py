@@ -80,3 +80,35 @@ def test_bulk_phrase_positions():
     assert {h.key for h in res} == {"p1"}
     res = ix.search('"two one"')
     assert {h.key for h in res} == {"p2"}
+
+
+def test_execute_batch_vmap_matches_single():
+    """Chunked-vmap batched execution returns exactly the same results
+    as per-query execute() across query shapes."""
+    import numpy as np
+    import redisearch_tpu as rs
+    from redisearch_tpu.query.engine import (QueryOptions, execute,
+                                             execute_batch)
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    ix = rs.SearchIndex(rs.Schema(name="vb", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("x", rs.FieldType.NUMERIC)]))
+    for i in range(400):
+        ix.add_document(f"d{i}", {
+            "t": " ".join(rng.choice(words, 5)), "x": float(i)})
+    ix.commit()
+    seg = ix.segments[0]
+    queries = []
+    for i in range(32):
+        a, b = rng.choice(words, 2, replace=False)
+        q = [f"{a} {b}", f"{a} | {b}", f'"{a} {b}"',
+             f"{a} @x:[{i} {i+200}]"][i % 4]
+        queries.append(q)
+    cqs = [ix.prepare(q, None, QueryOptions(k=10), 2) for q in queries]
+    batch = execute_batch(cqs, seg, 10)
+    for cq, got in zip(cqs, batch):
+        want = execute(cq, seg, 10)
+        assert got.count == want.count, cq
+        assert list(got.local_idx) == list(want.local_idx)
+        assert np.allclose(got.scores, want.scores, rtol=1e-5)
