@@ -80,9 +80,9 @@ _MIN_STEM = 3
 SUPPORTED_LANGUAGES = (
     "arabic", "armenian", "basque", "catalan", "danish", "dutch", "english",
     "finnish", "french", "german", "greek", "hindi", "hungarian",
-    "indonesian", "irish", "italian", "lithuanian", "nepali", "norwegian",
-    "portuguese", "romanian", "russian", "serbian", "spanish", "swedish",
-    "tamil", "turkish", "yiddish", "chinese", "none",
+    "indonesian", "irish", "italian", "lithuanian", "malay", "nepali",
+    "norwegian", "portuguese", "romanian", "russian", "serbian", "spanish",
+    "swedish", "tagalog", "tamil", "turkish", "yiddish", "chinese", "none",
 )
 
 
