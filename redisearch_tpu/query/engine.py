@@ -792,13 +792,17 @@ class CompiledQuery:
     def _host_mask(self, node: ast.Node, seg: Segment) -> np.ndarray:
         mask = np.zeros(seg.n_pad, bool)
         if isinstance(node, ast.GeometryNode):
-            shapes = seg.geometries.get(
-                self.schema.field(node.field).attribute)
+            f = self.schema.field(node.field)
+            shapes = seg.geometries.get(f.attribute)
             if shapes:
                 q = wkt.parse(node.wkt)
                 pred = wkt.PREDICATES[node.predicate]
+                # geographic (SPHERICAL) is the reference default
+                # (spec.c:1261-1265); FLAT is opt-in cartesian
+                sph = (f.geometry.system != "FLAT"
+                       if f.geometry is not None else True)
                 for i, s in enumerate(shapes):
-                    if s is not None and pred(s, q):
+                    if s is not None and pred(s, q, spherical=sph):
                         mask[i] = True
         elif isinstance(node, ast.IdsNode):
             for key in node.keys:

@@ -70,6 +70,34 @@ def parse(text: str) -> Shape:
     raise WrongFieldType(f"unsupported WKT geometry: {text!r}")
 
 
+# -- coordinate systems ----------------------------------------------------
+
+def _lon_shift(shape: Shape, ref_lon: float) -> Shape:
+    """Clone `shape` with its longitudes wrapped by a multiple of 360
+    into the frame of `ref_lon` — the geographic (SPHERICAL) coordinate
+    handling (reference: GEOMETRY_COORDS_Geographic, the FT.CREATE
+    default; geometry_api.cpp "SPHERICAL").  Shapes remain evaluated
+    with planar edges in lon/lat after framing (geodesic-vs-planar edge
+    divergence only matters for continent-scale polygons)."""
+    c = shape.coords.reshape(-1, 2)
+    shift = float(np.round((ref_lon - c[:, 0].mean()) / 360.0) * 360.0)
+    if shift == 0.0:
+        return shape
+    c2 = c.copy()
+    c2[:, 0] += shift
+    holes = [h + np.asarray([shift, 0.0]) for h in shape.holes]
+    coords = c2[0] if shape.kind == "point" else c2
+    return Shape(shape.kind, coords, holes)
+
+
+def _frame(a: Optional[Shape], b: Shape,
+           spherical: bool) -> Optional[Shape]:
+    if a is None or not spherical:
+        return a
+    ref = (b.bbox[0] + b.bbox[2]) / 2.0
+    return _lon_shift(a, ref)
+
+
 # -- predicates ------------------------------------------------------------
 
 def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
@@ -121,8 +149,10 @@ def _bbox_disjoint(a: Shape, b: Shape) -> bool:
             or a.bbox[3] < b.bbox[1] or b.bbox[3] < a.bbox[1])
 
 
-def within(inner: Optional[Shape], outer: Shape) -> bool:
+def within(inner: Optional[Shape], outer: Shape,
+           spherical: bool = False) -> bool:
     """inner WITHIN outer."""
+    inner = _frame(inner, outer, spherical)
     if inner is None:
         return False
     if _bbox_disjoint(inner, outer):
@@ -138,13 +168,16 @@ def within(inner: Optional[Shape], outer: Shape) -> bool:
     return all(_point_in_polygon(p, outer) for p in inner.coords)
 
 
-def contains(a: Optional[Shape], b: Shape) -> bool:
+def contains(a: Optional[Shape], b: Shape,
+             spherical: bool = False) -> bool:
     if a is None:
         return False
-    return within(b, a)
+    return within(_frame(b, a, spherical), a)
 
 
-def intersects(a: Optional[Shape], b: Shape) -> bool:
+def intersects(a: Optional[Shape], b: Shape,
+               spherical: bool = False) -> bool:
+    a = _frame(a, b, spherical)
     if a is None:
         return False
     if _bbox_disjoint(a, b):
@@ -159,10 +192,11 @@ def intersects(a: Optional[Shape], b: Shape) -> bool:
             or _point_in_polygon(b.coords[0], a))
 
 
-def disjoint(a: Optional[Shape], b: Shape) -> bool:
+def disjoint(a: Optional[Shape], b: Shape,
+             spherical: bool = False) -> bool:
     if a is None:
         return False
-    return not intersects(a, b)
+    return not intersects(a, b, spherical)
 
 
 PREDICATES = {

@@ -372,3 +372,35 @@ def test_exactly_32_text_fields_single_word_mask():
     assert [h.key for h in ix.search("@g31:topbit").hits] == ["hi"]
     assert [h.key for h in ix.search("@g0:topbit").hits] == ["lo"]
     assert ix.search("topbit").total == 2
+
+
+def test_geometry_spherical_antimeridian():
+    """SPHERICAL (geographic) coordinates — the reference default —
+    wrap longitudes: a query polygon spanning the antimeridian still
+    matches points given at equivalent longitudes mod 360."""
+    import redisearch_tpu as rs
+    ix = rs.SearchIndex(rs.Schema(name="geosph", fields=[
+        rs.Field("g", rs.FieldType.GEOMETRY)]))
+    # fiji-ish point at lon 179.5 and its -180.5 alias
+    ix.add_document("east", {"g": "POINT (179.5 -17)"})
+    ix.add_document("west_alias", {"g": "POINT (-180.5 -17)"})
+    ix.add_document("far", {"g": "POINT (10 50)"})
+    ix.commit()
+    # polygon around the antimeridian written in the +180 frame
+    poly = "POLYGON ((178 -20, 182 -20, 182 -14, 178 -14, 178 -20))"
+    r = ix.search("@g:[WITHIN $p]", params={"p": poly}, num=10)
+    assert sorted(h.key for h in r.hits) == ["east", "west_alias"]
+
+
+def test_geometry_flat_no_wrap():
+    import redisearch_tpu as rs
+    ix = rs.SearchIndex(rs.Schema(name="geoflat", fields=[
+        rs.Field("g", rs.FieldType.GEOMETRY,
+                 geometry=rs.GeometryParams(system="FLAT"))]))
+    ix.add_document("a", {"g": "POINT (179.5 -17)"})
+    ix.add_document("alias", {"g": "POINT (-180.5 -17)"})
+    ix.commit()
+    poly = "POLYGON ((178 -20, 182 -20, 182 -14, 178 -14, 178 -20))"
+    r = ix.search("@g:[WITHIN $p]", params={"p": poly}, num=10)
+    # cartesian: -180.5 is just a coordinate far away, no wrapping
+    assert [h.key for h in r.hits] == ["a"]
