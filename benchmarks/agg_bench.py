@@ -56,10 +56,35 @@ def main(n_docs: int = 1_000_000, n_groups: int = 1000, iters: int = 20):
         run("*" if i % 2 else f"w{i % 31}")
     dt = time.perf_counter() - t0
     qps = iters / dt
+    print(f"sequential: {qps:.1f} QPS ({dt/iters*1e3:.1f} ms/agg)")
+
+    # batched concurrency (the reference measures under memtier
+    # concurrency; run_aggregate_many overlaps device dispatches and
+    # collects once — a sequential loop pays a full link round trip per
+    # aggregation on a tunneled attach)
+    from redisearch_tpu.agg.pipeline import run_aggregate_many
+    B = 32
+
+    def mk(i):
+        return (AggregateRequest("*" if i % 2 else f"w{i % 31}")
+                .group_by("@cat", ("COUNT", [], "n"),
+                          ("SUM", ["@price"], "s"),
+                          ("AVG", ["@price"], "a"))
+                .sort_by(("@s", DESC)).limit(0, 10))
+    run_aggregate_many(ix, [mk(i) for i in range(B)])   # warm
+    t0 = time.perf_counter()
+    rounds = max(2, iters // 4)
+    for r in range(rounds):
+        run_aggregate_many(ix, [mk(r * B + i) for i in range(B)])
+    dtb = time.perf_counter() - t0
+    qps_b = rounds * B / dtb
+    print(f"batched x{B}: {qps_b:.1f} QPS ({dtb/(rounds*B)*1e3:.1f} "
+          f"ms/agg)")
     print(json.dumps({
         "metric": "FT.AGGREGATE groupby(1000)+3 reducers+sortby over 1M docs",
-        "value": round(qps, 2), "unit": "qps",
-        "ms_per_query": round(dt / iters * 1000, 1)}))
+        "value": round(qps_b, 2), "unit": "qps",
+        "sequential_qps": round(qps, 2),
+        "ms_per_query_batched": round(dtb / (rounds * B) * 1000, 1)}))
 
 
 if __name__ == "__main__":
