@@ -1102,6 +1102,72 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     return handle if async_ else handle.result()
 
 
+def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
+    """Eligibility for the Pallas intersection mega-kernel
+    (ops/intersect.py).  Returns (slots, flags, Ws, Wp, pivot_idx) or
+    None.  Covered: BM25STD top-k over AND/NOT/OPT of single-slot term
+    groups on a clean segment — the serving hot path."""
+    import os
+    if os.environ.get("RS_TPU_NO_INTERSECT_KERNEL"):
+        return None
+    opts = cq0.opts
+    if (opts.scorer != "BM25STD" or opts.sort_field is not None
+            or cq0.knn is not None or k_pad > 64):
+        return None
+    if (seg.n_deleted > 0 or seg.has_ttl or seg.text_fexp is not None
+            or not seg.uniform_docscore or seg.field_fexp):
+        return None
+    try:
+        if seg.text.field_masks.ndim != 1:
+            return None
+    except Exception:
+        return None
+    from ..ops import intersect as IK
+
+    def leaf_slot(t):
+        if (t[0] == "leaf" and isinstance(t[1], LTerms)
+                and bk.get(t[2]) and bk[t[2]][0] == 1):
+            return t[1].lo, bk[t[2]][1]
+        return None
+
+    tree = cq0.tree
+    entries = []        # (slot, W, flag)
+    if tree[0] == "leaf":
+        ls = leaf_slot(tree)
+        if ls is None:
+            return None
+        entries.append((ls[0], ls[1], IK.REQ))
+    elif tree[0] == "and":
+        if not 2 <= len(tree[1]) <= 4:
+            return None
+        for kid in tree[1]:
+            if kid[0] == "leaf":
+                ls = leaf_slot(kid)
+                if ls is None:
+                    return None
+                entries.append((ls[0], ls[1], IK.REQ))
+            elif kid[0] in ("not", "opt"):
+                ls = leaf_slot(kid[1])
+                if ls is None:
+                    return None
+                entries.append((ls[0], ls[1],
+                                IK.NOT if kid[0] == "not" else IK.OPT))
+            else:
+                return None
+        if not any(f == IK.REQ for _s, _w, f in entries):
+            return None
+    else:
+        return None
+    if any(w > IK.MAX_W or w % 1024 for _s, w, _f in entries):
+        return None
+    req = [(i, w) for i, (_s, w, f) in enumerate(entries) if f == IK.REQ]
+    pivot_idx = min(req, key=lambda e: e[1])[0]
+    slots = tuple(s for s, _w, _f in entries)
+    Ws = tuple(w for _s, w, _f in entries)
+    flags = tuple(f for _s, _w, f in entries)
+    return slots, flags, Ws, Ws[pivot_idx], pivot_idx
+
+
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    k: int) -> "_PackedExecutor":
     """Compile-cached batched executor over stacked transport rows.
@@ -1126,6 +1192,41 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     # filtered-KNN batches hoist the [B, N] distance matmul out of the
     # per-query scan: queries then only gather distances at their
     # candidate docs instead of gathering dim-wide vector rows
+    # Pallas intersection mega-kernel fast path (ops/intersect.py): one
+    # grid step per query instead of a scan of ~6 small XLA kernels
+    kplan = _kernel_plan(cq0, seg, bk, k_pad)
+    if kplan is not None:
+        from ..ops import intersect as IK
+        slots, flags, Ws, Wp, pivot_idx = kplan
+        slots_l = list(slots)
+
+        def batched(seg_args_, dyn, _slots=slots_l, _flags=flags,
+                    _Ws=Ws, _Wp=Wp, _piv=pivot_idx, _k=k_pad):
+            stacked = _device_unpack_rows(layout, dyn["rows"])
+            meta = jnp.concatenate(
+                [stacked["tstarts"][:, _slots],
+                 stacked["tlens"][:, _slots],
+                 stacked["tmasks"][:, _slots]], axis=1).astype(jnp.int32)
+            fmeta = jnp.concatenate(
+                [stacked["tweight"][:, _slots],
+                 stacked["avgdl"].reshape(-1, 1)],
+                axis=1).astype(jnp.float32)
+            docs, scores = IK.intersect_batch(
+                meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
+                seg_args_["field_masks"], seg_args_["posting_dl"],
+                T=len(_slots), Ws=_Ws, Wp=_Wp, pivot_t=_piv,
+                flags=_flags)
+            count = jnp.sum((docs != 2**31 - 1).astype(jnp.int32),
+                            axis=1)
+            vals, sel = IK.iter_topk(scores, docs, _k)
+            idx = jnp.take_along_axis(docs, sel, axis=1)
+            return {"idx": idx, "scores": vals, "count": count}
+
+        proto = {"rows": np.zeros((B, total), np.int32)}
+        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        _COMPILE_CACHE[sig] = entry
+        return entry
+
     knn_row = bool(
         cq0.knn is not None
         and not _knn_ivf_sig(cq0, seg).endswith("multi")
