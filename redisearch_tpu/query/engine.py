@@ -922,9 +922,12 @@ class _BatchHandle:
     with the device executing this one (the reference overlaps via worker
     threads; here the device pipeline is the second lane)."""
 
-    def __init__(self, parts, n: int):
+    def __init__(self, parts, n: int, cqs=None, seg=None, k: int = 10):
         self._parts = parts      # list of (idxs|None, entry|handle, flat)
         self._n = n
+        self._cqs = cqs          # for host-side exact refires
+        self._seg = seg
+        self._k = k
 
     def _flat_parts(self):
         """Flatten nested sub-batch handles into (idxs, entry, flat).
@@ -952,10 +955,15 @@ class _BatchHandle:
         # one device_get for every group's output buffer: per-group
         # blocking collects would serialize link round-trips
         flats = jax.device_get([flat for _, _, flat in parts])
+        refire = []
         for (idxs, entry, _), flat_np in zip(parts, flats):
             out = entry._unpack_out(np.asarray(flat_np))
+            under = out.get("underfill")
             for j in range(len(idxs)):
                 if idxs[j] < 0:          # pow2 padding row
+                    continue
+                if under is not None and int(under[j]):
+                    refire.append(idxs[j])
                     continue
                 out_all[idxs[j]] = SegmentResult(
                     local_idx=out["idx"][j],
@@ -964,6 +972,13 @@ class _BatchHandle:
                     sortkeys=(out["sortkeys"][j]
                               if "sortkeys" in out else None),
                     knn_dists=(out["knn"][j] if "knn" in out else None))
+        # batched filtered-KNN skips the in-graph exact fallback;
+        # underfilled queries (selective filter beat the dense top-M)
+        # re-run exactly, one by one — rare by construction
+        if refire and self._cqs is not None:
+            for slot in refire:
+                out_all[slot] = execute(self._cqs[slot], self._seg,
+                                        self._k)
         return out_all
 
 
@@ -1098,7 +1113,7 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
         entry = _rows_executor(cqs[idxs[0]], ents[idxs[0]], seg, len(g), k)
         flat = entry.submit(_segment_args(cqs[idxs[0]], seg), {"rows": gr})
         parts.append((g, entry, flat))
-    handle = _BatchHandle(parts, len(cqs))
+    handle = _BatchHandle(parts, len(cqs), cqs=cqs, seg=seg, k=k)
     return handle if async_ else handle.result()
 
 
@@ -1232,7 +1247,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         and not _knn_ivf_sig(cq0, seg).endswith("multi")
         and ":ivf:" not in _knn_ivf_sig(cq0, seg))
     raw = _build_fn(cq0, seg, bk, P2, k_pad, has_extra=False,
-                    jit=False, knn_row=knn_row)
+                    jit=False, knn_row=knn_row, host_fallback=True)
     # batch-axis execution shape: lax.scan, NOT vmap.  Measured on TPU
     # v5e (round 2): a chunked-vmap variant ([C, W]-shaped kernels, scan
     # over B/C chunks) was 2-5x SLOWER end to end — vmapped
@@ -1582,7 +1597,8 @@ def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
 
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
               P: int, k: int, has_extra: bool, mode: str = "topk",
-              jit: bool = True, knn_row: bool = False):
+              jit: bool = True, knn_row: bool = False,
+              host_fallback: bool = False):
     """Build + jit the window-evaluator executor for one query structure.
 
     See ops/window.py for the evaluation model: every subtree evaluates as
@@ -2288,9 +2304,17 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     vals, sel = T.fast_top_k(-dm, k_eff)
                     return docs[sel], -vals, score[sel]
 
-                import os as _os
-                if _os.environ.get("RS_TPU_NO_EXACT_FALLBACK"):
+                if host_fallback:
+                    # batched executors skip the in-graph exact branch:
+                    # a lax.cond's branches can both execute under XLA,
+                    # and the exact branch's window gather is the
+                    # filtered-KNN cost cliff.  Underfilled queries are
+                    # flagged and re-run host-side through execute()
+                    # (_BatchHandle.result) — rare at sane selectivity.
                     idx_o, knn_o, sc_o = _batched(None)
+                    out["underfill"] = jnp.where(
+                        (found >= k_eff) | exhausted,
+                        jnp.int32(0), jnp.int32(1))
                 else:
                     idx_o, knn_o, sc_o = jax.lax.cond(
                         (found >= k_eff) | exhausted, _batched, _exact,

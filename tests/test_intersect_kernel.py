@@ -91,3 +91,35 @@ def test_kernel_with_stemmed_queries_matches(idx):
         want = execute(cq, seg, 10)
         assert g.count == want.count
         assert list(g.local_idx) == list(want.local_idx)
+
+
+def test_filtered_knn_batched_underfill_refires_exact():
+    """Batched filtered KNN skips the in-graph exact fallback; queries
+    whose filter survivors miss the dense top-M are re-run exactly on
+    the host. A highly selective filter over a big corpus forces it."""
+    rng = np.random.default_rng(5)
+    ix = rs.SearchIndex(rs.Schema(name="uf", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("v", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=8,
+                                        metric=rs.VectorMetric.L2))]))
+    docs = []
+    for i in range(16500):
+        tok = "needle" if i % 3300 == 0 else f"hay{i % 97}"
+        docs.append((f"d{i}", {"t": f"{tok} filler",
+                               "v": rng.normal(size=8).astype(np.float32)}))
+    ix.add_documents(docs)
+    seg = ix.segments[0]
+    q = "(needle)=>[KNN 10 @v $b]"
+    cqs = [ix.prepare(q, {"b": rng.normal(size=8).astype(np.float32)},
+                      QueryOptions(k=10), 2) for _ in range(4)]
+    got = execute_batch(cqs, seg, 10)
+    for cq, g in zip(cqs, got):
+        want = execute(cq, seg, 10)
+        gd = [(int(d), round(float(x), 4))
+              for d, x in zip(g.local_idx, g.knn_dists) if x < 3.3e38]
+        wd = [(int(d), round(float(x), 4))
+              for d, x in zip(want.local_idx, want.knn_dists)
+              if x < 3.3e38]
+        assert gd == wd
+        assert len(gd) == 5   # 5 needle docs
