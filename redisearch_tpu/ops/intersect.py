@@ -1,32 +1,39 @@
-"""Pallas mega-kernel for term-intersection queries (the BM25 hot path).
+"""Pallas mega-kernels for term queries (the BM25 serving hot path).
 
-Reference hot loop: the document-at-a-time intersection leapfrog
-(src/redisearch_rs/rqe_iterators/src/intersection.rs) feeding the BM25
-scorer and a result heap.  The XLA window path evaluates one query per
-`lax.scan` step as ~6 small kernels; per-step launch overhead (~10 µs
-per kernel) dominates at serving batch sizes (measured: AND-2 costs
-~74 µs/query while its arithmetic is <1 µs).  This kernel executes ONE
-GRID STEP PER QUERY: posting windows DMA from HBM into VMEM at dynamic
-offsets, membership runs as a block-ranged sorted-merge entirely in
-VMEM (no arbitrary-index gathers — the round-1 gather tax), BM25STD
-scores assemble in-register, and the batch's masked score windows come
-back as one [B, W] tensor for a single batched top-k outside.
+Reference hot loops: the document-at-a-time intersection leapfrog and
+union heap (src/redisearch_rs/rqe_iterators/src/{intersection,union}.rs)
+feeding the BM25 scorer and a result heap.  The XLA window path evaluates
+one query per `lax.scan` step as ~6 small kernels; per-step launch
+overhead (~10 µs per kernel) dominates at serving batch sizes (measured:
+AND-2 costs ~74 µs/query while its arithmetic is <1 µs).  These kernels
+execute ONE GRID STEP PER QUERY: posting windows DMA from HBM into VMEM
+at dynamic offsets, membership runs as a block-ranged sorted-merge
+entirely in VMEM (no arbitrary-index gathers — the round-1 gather tax),
+BM25STD scores assemble in-register, and the batch's masked score
+windows come back as one [B, W] tensor for a single batched top-k
+outside (iter_topk — k max-extractions instead of a per-row sort).
 
-Covered query family (everything else stays on the XLA path):
-    AND of T<=4 single-slot term groups, each required / negated (-t) /
-    optional (~t), BM25STD scoring, clean segment (no deletions, no
-    TTL, uniform doc score), single-word field masks, windows <= 32768.
+Covered query families (everything else stays on the XLA path):
+  * mode="and": intersection of T<=4 single-slot term groups, each
+    required / negated (-t) / optional (~t);
+  * mode="or": union of T<=4 term slots (explicit `a|b` queries AND the
+    stem-expanded token groups the default english pipeline produces) —
+    per-slot candidate phases with cross-slot score folding and
+    first-owner dedup, matching ops/window.py union_windows semantics.
+Common constraints: BM25STD scoring, clean segment (no deletions, TTL,
+non-uniform doc scores), single-word field masks, windows <= 32768.
 
-Membership: for each 128-wide pivot block, the candidate doc range
-[min, max] locates the member-window block range by two compare-count
-reductions (VPU), then a bounded `fori_loop` compares [128, 128] tiles
-— O(overlapping blocks) work, zero gathers, exact at any skew.
+Mosaic constraints shaping the code: dynamic VMEM vector loads need
+(8, 128)-tile alignment — so scratch is 2D (rows, 128), windows fetch
+whole 128-lane rows (one extra tile; the start%128 offset is handled by
+masks), member sub-rows come from STATIC indexing of loaded (8, 128)
+tiles, per-row results fold into tiles via row-selector masks, and loop
+carries are int32/f32 (i1 vectors fail to legalize).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -37,40 +44,103 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 128
 TILE = 1024             # VMEM dynamic-load alignment granule (8x128)
 R_TILE = TILE // BLK    # 8 rows per tile
-R_EXTRA = 8             # one extra tile row-group: windows start at
-                        # arbitrary offsets, so fetch one more tile
+R_EXTRA = 8             # one extra tile: windows start at arbitrary offs
 MAX_W = 32768           # per-slot window cap for the kernel path
 NEG_INF = -3.4e38       # python floats: jnp scalars would be captured
-K1 = 1.2                # consts inside the pallas kernel
+K1 = 1.2
 B_ = 0.75
 
-# slot flags
+# slot flags (mode="and")
 REQ, NOT, OPT = 0, 1, 2
 
 
-def _kernel(meta_ref,                       # scalar prefetch [B, 3T]
-            fmeta,                          # VMEM f32 [B, T+1]
-            doc_ids, freqs, masks, dl,      # HBM (ANY) 1D arrays
-            out_docs, out_scores,           # VMEM [1, 1, Wp] blocks
-            *scratch, T, Ws, Wp, pivot_t, flags):
-    """One query per grid step.
+def _flat_iota(rows):
+    return (jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 0) * BLK
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1))
 
-    Dynamic slicing inside the kernel must go through Refs (`pl.ds`), so
-    candidate-state arrays (valid mask, per-slot hit/tf accumulators)
-    live in VMEM scratch refs rather than loop-carried values."""
+
+def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                 mdocs_r, mtf_r, mfm_r, r_m, mlen, qm_t,
+                 rows_p, rows_m):
+    """hit/tf of the member window at the pivot candidates.
+
+    Writes hit_ref/tfa_ref over the first rows_p rows.  valid_ref narrows
+    the per-tile doc range (pmin/pmax) — candidates already invalidated
+    don't widen the member search."""
+    fi_m = _flat_iota(rows_m)
+    m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
+    mdocs_masked = jnp.where(m_inr, mdocs_r[:rows_m, :],
+                             jnp.int32(2**31 - 1))
+    n_pt = rows_p // R_TILE
+    mt_max = rows_m // R_TILE
+    R = R_TILE
+
+    def pivot_tile(pt, _c):
+        prow = pl.multiple_of(pt * R, R)
+        pd = pdocs_ref[pl.ds(prow, R), :]          # [8, 128]
+        pv = valid_ref[pl.ds(prow, R), :] != 0
+        pmin = jnp.min(jnp.where(pv, pd, jnp.int32(2**31 - 1)))
+        pmax = jnp.max(jnp.where(pv, pd, jnp.int32(-1)))
+        # member tile range covering [pmin, pmax]: counts are positions
+        # among the window's live docs, which start at flat offset r_m
+        lo_e = r_m + jnp.sum((mdocs_masked < pmin).astype(jnp.int32))
+        hi_e = r_m + jnp.sum((mdocs_masked <= pmax).astype(jnp.int32))
+        lo_t = lo_e // TILE
+        hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, mt_max)
+
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
+
+        def member_tile(mtile, inner):
+            h, tfv = inner                          # [8, 128] each
+            mrow = pl.multiple_of(mtile * R, R)
+            md = mdocs_r[pl.ds(mrow, R), :]
+            mtf = mtf_r[pl.ds(mrow, R), :]
+            mf = mfm_r[pl.ds(mrow, R), :]
+            base = mtile * TILE
+            fi = (base + rsel * BLK
+                  + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
+            mv = (fi >= r_m) & (fi < r_m + mlen) & ((mf & qm_t) != 0)
+            for pi in range(R):
+                pd_i = pd[pi]                       # [128] static row
+                hi_ = jnp.zeros((BLK,), jnp.bool_)
+                ti_ = jnp.zeros((BLK,), jnp.float32)
+                for mi in range(R):
+                    eq = (pd_i[:, None] == md[mi][None, :]) \
+                        & mv[mi][None, :]
+                    hi_ = hi_ | jnp.any(eq, axis=1)
+                    ti_ = ti_ + jnp.sum(
+                        jnp.where(eq, mtf[mi][None, :], 0.0), axis=1)
+                row_is_pi = rsel == pi
+                h = jnp.maximum(
+                    h, jnp.where(row_is_pi & hi_[None, :], 1, 0))
+                tfv = tfv + jnp.where(row_is_pi, ti_[None, :], 0.0)
+            return h, tfv
+
+        h0 = jnp.zeros((R, BLK), jnp.int32)
+        t0 = jnp.zeros((R, BLK), jnp.float32)
+        h, tfv = jax.lax.fori_loop(lo_t, hi_t, member_tile, (h0, t0))
+        hit_ref[pl.ds(prow, R), :] = h
+        tfa_ref[pl.ds(prow, R), :] = tfv
+        return _c
+
+    jax.lax.fori_loop(0, n_pt, pivot_tile, 0)
+
+
+def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
+            out_docs, out_scores, *scratch,
+            T, Ws, pivot_t, flags, mode):
+    """One query per grid step (see module docstring)."""
     q = pl.program_id(0)
-    # scratch layout: per slot t: docs[W], tf[W], fm[W]; then pivot
-    # dl[Wp]; valid[Wp] i32; hit[Wp] i32; tfacc[Wp] f32; DMA semaphores
     refs = []
     at = 0
     for t in range(T):
-        refs.append((scratch[at], scratch[at + 1], scratch[at + 2]))
-        at += 3
-    dl_ref = scratch[at]
-    valid_ref = scratch[at + 1]
-    hit_ref = scratch[at + 2]
-    tfa_ref = scratch[at + 3]
-    sems = scratch[at + 4]
+        refs.append((scratch[at], scratch[at + 1], scratch[at + 2],
+                     scratch[at + 3]))          # docs, tf, fm, dl
+        at += 4
+    valid_ref = scratch[at]
+    hit_ref = scratch[at + 1]
+    tfa_ref = scratch[at + 2]
+    sems = scratch[at + 3]
 
     def m(i):
         return meta_ref[q, i]
@@ -81,162 +151,101 @@ def _kernel(meta_ref,                       # scalar prefetch [B, 3T]
     tws = [fmeta[0, 0, t] for t in range(T)]
     avgdl = fmeta[0, 0, T]
 
-    # ---- DMA every slot's windows (docs/tf/fieldmask) + pivot doclens.
-    # HBM arrays arrive as 2D [nnz/128, 128] views; a window starting at
-    # arbitrary `s` fetches rows s//128 .. s//128 + W/128 (one extra row)
-    # and the in-tile offset r = s % 128 is handled entirely by masks —
-    # the window's live region is flat lanes [r, r + len).
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
-    rows_p = Wp // BLK + R_EXTRA
     srows = [starts[t] // BLK for t in range(T)]
     rr = [starts[t] % BLK for t in range(T)]
+    pivots = [pivot_t] if mode == "and" else list(range(T))
     dmas = []
     for t in range(T):
-        d, f, fm = refs[t]
+        d, f, fm, dlr = refs[t]
         dmas.append(pltpu.make_async_copy(
-            doc_ids.at[pl.ds(srows[t], rows[t]), :], d, sems.at[3 * t]))
+            doc_ids.at[pl.ds(srows[t], rows[t]), :], d, sems.at[4 * t]))
         dmas.append(pltpu.make_async_copy(
-            freqs.at[pl.ds(srows[t], rows[t]), :], f, sems.at[3 * t + 1]))
+            freqs.at[pl.ds(srows[t], rows[t]), :], f, sems.at[4 * t + 1]))
         dmas.append(pltpu.make_async_copy(
             masks.at[pl.ds(srows[t], rows[t]), :], fm,
-            sems.at[3 * t + 2]))
-    dmas.append(pltpu.make_async_copy(
-        dl.at[pl.ds(srows[pivot_t], rows_p), :], dl_ref, sems.at[3 * T]))
+            sems.at[4 * t + 2]))
+        if t in pivots:
+            dmas.append(pltpu.make_async_copy(
+                dl.at[pl.ds(srows[t], rows[t]), :], dlr,
+                sems.at[4 * t + 3]))
     for c in dmas:
         c.start()
     for c in dmas:
         c.wait()
 
-    # flat index per 2D lane: row * 128 + lane
-    def flat_iota(rows):
-        return (jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 0) * BLK
-                + jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1))
+    def run_phase(p, others):
+        """Candidates = slot p's window; `others` = (slot, kind) pairs:
+        kind "req"/"not"/"opt" (and-mode) or "fold"/"dedup+fold"
+        (or-mode earlier/later slots).  Returns (docs, score, valid)."""
+        rows_p = rows[p]
+        r_p = rr[p]
+        pdocs_ref, ptf_ref, pfm_ref, pdl_ref = refs[p]
+        iota_w = _flat_iota(rows_p)
+        pdocs = pdocs_ref[:]
+        in_range = (iota_w >= r_p) & (iota_w < r_p + lens[p])
+        pvalid = in_range & ((pfm_ref[:] & qmasks[p]) != 0)
+        pdl = pdl_ref[:]
 
-    iota_w = flat_iota(rows_p)
-    r_p = rr[pivot_t]
-    pdocs = refs[pivot_t][0][:]            # [rows_p, 128]
-    ptf = refs[pivot_t][1][:]
-    pfm = refs[pivot_t][2][:]
-    in_range = (iota_w >= r_p) & (iota_w < r_p + lens[pivot_t])
-    pvalid = in_range & ((pfm & qmasks[pivot_t]) != 0)
-    pdl = dl_ref[:]
+        def bm25(tf, w):
+            norm = K1 * (1.0 - B_ + B_ * pdl
+                         / jnp.maximum(avgdl, 1e-9))
+            return w * tf * (K1 + 1.0) / (tf + norm)
 
-    def bm25(tf, w):
-        norm = K1 * (1.0 - B_ + B_ * pdl / jnp.maximum(avgdl, 1e-9))
-        return w * tf * (K1 + 1.0) / (tf + norm)
+        score = jnp.where(pvalid, bm25(ptf_ref[:], tws[p]), 0.0)
+        valid_ref[:rows_p, :] = pvalid.astype(jnp.int32)
 
-    score = jnp.where(pvalid, bm25(ptf, tws[pivot_t]), 0.0)
-    valid_ref[:] = pvalid.astype(jnp.int32)
+        for u, kind in others:
+            mdocs_r, mtf_r, mfm_r, _ = refs[u]
+            _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                         mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
+                         qmasks[u], rows_p, rows[u])
+            hit = hit_ref[:rows_p, :] != 0
+            tf_u = tfa_ref[:rows_p, :]
+            valid = valid_ref[:rows_p, :] != 0
+            if kind in ("req", "opt", "fold", "dedup+fold"):
+                score = score + jnp.where(hit, bm25(tf_u, tws[u]), 0.0)
+            if kind == "req":
+                valid = valid & hit
+            elif kind == "not":
+                valid = valid & ~hit
+            elif kind == "dedup+fold":
+                # an earlier slot owns docs it also matched
+                valid = valid & ~hit
+            valid_ref[:rows_p, :] = valid.astype(jnp.int32)
 
-    # ---- membership of every other slot at the pivot candidates
-    pdocs_ref = refs[pivot_t][0]
-    for t in range(T):
-        if t == pivot_t:
-            continue
-        mdocs_r, mtf_r, mfm_r = refs[t]
-        Wm = Ws[t]
-        r_m = rr[t]
-        fi_m = flat_iota(Wm // BLK + R_EXTRA)
-        m_inr = (fi_m >= r_m) & (fi_m < r_m + lens[t])
-        mdocs_masked = jnp.where(m_inr, mdocs_r[:], jnp.int32(2**31 - 1))
-        # tiles are (8, 128) row blocks: dynamic row offsets stay
-        # multiples of 8 (the sublane granule), member sub-rows come from
-        # STATIC indexing of loaded tiles, and per-row results accumulate
-        # into the (8, 128) tile via row-selector masks — no reshapes,
-        # no concatenates, no sub-granule dynamic addressing.
-        n_pt = rows_p // R_TILE
-        mt_max = (Wm // BLK + R_EXTRA) // R_TILE
-        mlen = lens[t]
-        qm_t = qmasks[t]
-        R = R_TILE                            # 8 rows per tile
+        valid = valid_ref[:rows_p, :] != 0
+        return (jnp.where(valid, pdocs, jnp.int32(2**31 - 1)),
+                jnp.where(valid, score, NEG_INF))
 
-        def pivot_tile(pt, _c, _md=mdocs_masked, _mr=mdocs_r,
-                       _mtr=mtf_r, _mfr=mfm_r, _mt_max=mt_max,
-                       _mlen=mlen, _qm=qm_t, _rm=r_m):
-            prow = pl.multiple_of(pt * R, R)
-            pd = pdocs_ref[pl.ds(prow, R), :]          # [8, 128]
-            pv = valid_ref[pl.ds(prow, R), :] != 0
-            pmin = jnp.min(jnp.where(pv, pd, jnp.int32(2**31 - 1)))
-            pmax = jnp.max(jnp.where(pv, pd, jnp.int32(-1)))
-            # member tile range covering [pmin, pmax]: counts are
-            # positions among the window's live docs, which start at
-            # flat offset r_m in the fetched buffer
-            lo_e = _rm + jnp.sum((_md < pmin).astype(jnp.int32))
-            hi_e = _rm + jnp.sum((_md <= pmax).astype(jnp.int32))
-            lo_t = lo_e // TILE
-            hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, _mt_max)
-
-            rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
-
-            def member_tile(mtile, inner):
-                h, tfv = inner                          # [8, 128] each
-                mrow = pl.multiple_of(mtile * R, R)
-                md = _mr[pl.ds(mrow, R), :]
-                mtf = _mtr[pl.ds(mrow, R), :]
-                mf = _mfr[pl.ds(mrow, R), :]
-                base = mtile * TILE
-                fi = (base + rsel * BLK
-                      + jax.lax.broadcasted_iota(
-                          jnp.int32, (R, BLK), 1))
-                mv = (fi >= _rm) & (fi < _rm + _mlen) \
-                    & ((mf & _qm) != 0)
-                for pi in range(R):
-                    pd_i = pd[pi]                       # [128] static row
-                    hi_ = jnp.zeros((BLK,), jnp.bool_)
-                    ti_ = jnp.zeros((BLK,), jnp.float32)
-                    for mi in range(R):
-                        md_j = md[mi]
-                        mv_j = mv[mi]
-                        mt_j = mtf[mi]
-                        eq = (pd_i[:, None] == md_j[None, :]) \
-                            & mv_j[None, :]
-                        hi_ = hi_ | jnp.any(eq, axis=1)
-                        ti_ = ti_ + jnp.sum(
-                            jnp.where(eq, mt_j[None, :], 0.0), axis=1)
-                    # fold the [128] row result into the [8, 128] tile
-                    # through a row-selector mask (no stack/concat);
-                    # the hit carry is int32 — i1 vector loop carries
-                    # fail to legalize in mosaic
-                    row_is_pi = rsel == pi
-                    h = jnp.maximum(
-                        h, jnp.where(row_is_pi & hi_[None, :], 1, 0))
-                    tfv = tfv + jnp.where(row_is_pi, ti_[None, :], 0.0)
-                return h, tfv
-
-            h0 = jnp.zeros((R, BLK), jnp.int32)
-            t0 = jnp.zeros((R, BLK), jnp.float32)
-            h, tfv = jax.lax.fori_loop(lo_t, hi_t, member_tile,
-                                       (h0, t0))
-            hit_ref[pl.ds(prow, R), :] = h
-            tfa_ref[pl.ds(prow, R), :] = tfv
-            return _c
-
-        jax.lax.fori_loop(0, n_pt, pivot_tile, 0)
-
-        hit_acc = hit_ref[:] != 0
-        tf_acc = tfa_ref[:]
-        valid = valid_ref[:] != 0
-        fl = flags[t]
-        if fl == REQ:
-            valid = valid & hit_acc
-            score = score + jnp.where(hit_acc, bm25(tf_acc, tws[t]), 0.0)
-        elif fl == NOT:
-            valid = valid & ~hit_acc
-        else:  # OPT
-            score = score + jnp.where(hit_acc, bm25(tf_acc, tws[t]), 0.0)
-        valid_ref[:] = valid.astype(jnp.int32)
-
-    valid = valid_ref[:] != 0
-    out_docs[0] = jnp.where(valid, pdocs, jnp.int32(2**31 - 1))
-    out_scores[0] = jnp.where(valid, score, NEG_INF)
+    if mode == "and":
+        others = []
+        for t in range(T):
+            if t == pivot_t:
+                continue
+            others.append((t, {REQ: "req", NOT: "not",
+                               OPT: "opt"}[flags[t]]))
+        d_o, s_o = run_phase(pivot_t, others)
+        out_docs[0] = d_o
+        out_scores[0] = s_o
+    else:
+        off = 0
+        for p in range(T):
+            others = [(u, "dedup+fold" if u < p else "fold")
+                      for u in range(T) if u != p]
+            d_o, s_o = run_phase(p, others)
+            out_docs[0, off:off + rows[p], :] = d_o
+            out_scores[0, off:off + rows[p], :] = s_o
+            off += rows[p]
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-              *, T, Ws, Wp, pivot_t, flags):
-    """Pure-XLA reference implementation of the kernel semantics — the
-    CPU fallback and the cross-check oracle for the Pallas lowering
-    (pallas interpret mode cannot discharge the reshaped-ref DMAs)."""
+              *, T, Ws, pivot_t, flags, mode):
+    """Pure-XLA twin of the kernel semantics — the CPU fallback and the
+    cross-check oracle for the Pallas lowering (interpret mode cannot
+    discharge the kernels' DMAs)."""
     INF = jnp.int32(2**31 - 1)
+    pad = R_EXTRA * BLK
 
     def one(mrow, frow):
         starts = mrow[:T]
@@ -245,43 +254,63 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         tws = frow[:T]
         avgdl = frow[T]
 
-        def win(t, W):
+        def win(t):
+            W = Ws[t]
             st = starts[t]
             d = jax.lax.dynamic_slice(doc_ids, (st,), (W,))
             f = jax.lax.dynamic_slice(freqs, (st,), (W,))
             mk = jax.lax.dynamic_slice(masks, (st,), (W,))
+            dlw = jax.lax.dynamic_slice(posting_dl, (st,), (W,))
             i = jnp.arange(W)
             inr = i < lens[t]
             v = inr & ((mk & qm[t]) != 0)
-            return jnp.where(inr, d, INF), f, v
+            return jnp.where(inr, d, INF), f, v, dlw
 
-        pd, pf, pvalid = win(pivot_t, Wp)
-        pdl = jax.lax.dynamic_slice(posting_dl, (starts[pivot_t],),
-                                    (Wp,))
-
-        def bm25(tf, w):
-            norm = K1 * (1.0 - B_ + B_ * pdl / jnp.maximum(avgdl, 1e-9))
-            return w * tf * (K1 + 1.0) / (tf + norm)
-
-        score = jnp.where(pvalid, bm25(pf, tws[pivot_t]), 0.0)
-        valid = pvalid
-        for t in range(T):
-            if t == pivot_t:
-                continue
-            md, mf_, mv = win(t, Ws[t])
+        def member(t, pd):
+            md, mf_, mv, _ = win(t)
             idx = jnp.clip(jnp.searchsorted(md, pd), 0, Ws[t] - 1)
             hit = (md[idx] == pd) & mv[idx] & (pd != INF)
-            tf_m = jnp.where(hit, mf_[idx], 0.0)
-            fl = flags[t]
-            if fl == REQ:
-                valid = valid & hit
-                score = score + jnp.where(hit, bm25(tf_m, tws[t]), 0.0)
-            elif fl == NOT:
-                valid = valid & ~hit
-            else:
-                score = score + jnp.where(hit, bm25(tf_m, tws[t]), 0.0)
-        return (jnp.where(valid, pd, INF),
-                jnp.where(valid, score, jnp.float32(NEG_INF)))
+            return hit, jnp.where(hit, mf_[idx], 0.0)
+
+        def phase(p, others):
+            pd, pf, pvalid, pdl = win(p)
+
+            def bm25(tf, w):
+                norm = K1 * (1.0 - B_ + B_ * pdl
+                             / jnp.maximum(avgdl, 1e-9))
+                return w * tf * (K1 + 1.0) / (tf + norm)
+
+            score = jnp.where(pvalid, bm25(pf, tws[p]), 0.0)
+            valid = pvalid
+            for u, kind in others:
+                hit, tf_m = member(u, pd)
+                if kind in ("req", "opt", "fold", "dedup+fold"):
+                    score = score + jnp.where(hit, bm25(tf_m, tws[u]),
+                                              0.0)
+                if kind == "req":
+                    valid = valid & hit
+                elif kind in ("not", "dedup+fold"):
+                    valid = valid & ~hit
+            return (jnp.where(valid, pd, INF),
+                    jnp.where(valid, score, jnp.float32(NEG_INF)))
+
+        if mode == "and":
+            others = [(t, {REQ: "req", NOT: "not", OPT: "opt"}[flags[t]])
+                      for t in range(T) if t != pivot_t]
+            d, s = phase(pivot_t, others)
+            return (jnp.pad(d, (0, pad), constant_values=2**31 - 1),
+                    jnp.pad(s, (0, pad), constant_values=NEG_INF))
+        parts_d = []
+        parts_s = []
+        for p in range(T):
+            others = [(u, "dedup+fold" if u < p else "fold")
+                      for u in range(T) if u != p]
+            d, s = phase(p, others)
+            parts_d.append(jnp.pad(d, (0, pad),
+                                   constant_values=2**31 - 1))
+            parts_s.append(jnp.pad(s, (0, pad),
+                                   constant_values=NEG_INF))
+        return jnp.concatenate(parts_d), jnp.concatenate(parts_s)
 
     return jax.vmap(one)(meta, fmeta)
 
@@ -319,40 +348,37 @@ def _use_pallas() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "Ws", "Wp", "pivot_t", "flags"))
+    jax.jit, static_argnames=("T", "Ws", "pivot_t", "flags", "mode"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                    *, T: int, Ws: tuple, Wp: int, pivot_t: int,
-                    flags: tuple):
-    """Run the intersection kernel over a batch.
+                    *, T: int, Ws: tuple, pivot_t: int = 0,
+                    flags: tuple = (), mode: str = "and"):
+    """Run the term-query kernel over a batch.
 
     meta: int32 [B, 3T] — per slot starts, lens, qmasks.
     fmeta: f32 [B, T+1] — per slot tweights (idf*weight), then avgdl.
-    Returns (docs [B, Wp], scores [B, Wp]) with INT32_MAX / -inf at
-    invalid lanes."""
+    mode "and": candidates from the pivot slot, output width
+    Ws[pivot]+pad; mode "or": per-slot phases concatenated, output width
+    sum(Ws[t]+pad).  Returns (docs, scores) with INT32_MAX / -inf at
+    invalid lanes.
+    """
     if not _use_pallas():
-        d, sc = _xla_impl(meta, fmeta, doc_ids, freqs, masks,
-                          posting_dl, T=T, Ws=Ws, Wp=Wp,
-                          pivot_t=pivot_t, flags=flags)
-        # match the pallas output width (windows carry one extra tile)
-        pad = R_EXTRA * BLK
-        d = jnp.pad(d, ((0, 0), (0, pad)),
-                    constant_values=2**31 - 1)
-        sc = jnp.pad(sc, ((0, 0), (0, pad)),
-                     constant_values=NEG_INF)
-        return d, sc
+        return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
+                         T=T, Ws=Ws, pivot_t=pivot_t, flags=flags,
+                         mode=mode)
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
-    rows_p = Wp // BLK + R_EXTRA
+    rows_out = (rows[pivot_t] if mode == "and" else sum(rows))
+    rows_scratch = max(rows)
     scratch = []
     for t in range(T):
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-    scratch.append(pltpu.VMEM((rows_p, BLK), jnp.float32))  # pivot dl
-    scratch.append(pltpu.VMEM((rows_p, BLK), jnp.int32))    # valid
-    scratch.append(pltpu.VMEM((rows_p, BLK), jnp.int32))    # hit
-    scratch.append(pltpu.VMEM((rows_p, BLK), jnp.float32))  # tf acc
-    scratch.append(pltpu.SemaphoreType.DMA((3 * T + 1,)))
+        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))   # dl
+    scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # valid
+    scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # hit
+    scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.float32))  # tfacc
+    scratch.append(pltpu.SemaphoreType.DMA((4 * T,)))
 
     # HBM arrays as 2D row views: DMA fetches whole 128-lane rows and
     # the kernel masks the (start % 128) in-tile offset
@@ -370,21 +396,22 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[
-            pl.BlockSpec((1, rows_p, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((1, rows_out, BLK), lambda q, meta: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_p, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((1, rows_out, BLK), lambda q, meta: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
-    kern = functools.partial(_kernel, T=T, Ws=Ws, Wp=Wp,
-                             pivot_t=pivot_t, flags=flags)
+    kern = functools.partial(_kernel, T=T, Ws=Ws, pivot_t=pivot_t,
+                             flags=flags, mode=mode)
     docs, scores = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, rows_p, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((B, rows_p, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows_out, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((B, rows_out, BLK), jnp.float32),
         ],
     )(meta, fmeta[:, None, :], d2, f2, m2, dl2)
-    return docs.reshape(B, rows_p * BLK), scores.reshape(B, rows_p * BLK)
+    return (docs.reshape(B, rows_out * BLK),
+            scores.reshape(B, rows_out * BLK))

@@ -1147,11 +1147,32 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
 
     tree = cq0.tree
     entries = []        # (slot, W, flag)
-    if tree[0] == "leaf":
-        ls = leaf_slot(tree)
-        if ls is None:
+    mode = "and"
+    if tree[0] == "leaf" and isinstance(tree[1], LTerms):
+        # single term group: 1 live slot -> trivial "and"; 2..4 live
+        # slots (stem/synonym expansion) -> the union kernel
+        bk_e = bk.get(tree[2])
+        if not bk_e:
             return None
-        entries.append((ls[0], ls[1], IK.REQ))
+        nu, W = bk_e
+        if nu == 1:
+            entries.append((tree[1].lo, W, IK.REQ))
+        elif 2 <= nu <= 4:
+            mode = "or"
+            for j in range(nu):
+                entries.append((tree[1].lo + j, W, IK.REQ))
+        else:
+            return None
+    elif tree[0] == "or":
+        # union of single-slot term groups
+        if not 2 <= len(tree[1]) <= 4:
+            return None
+        mode = "or"
+        for kid in tree[1]:
+            ls = leaf_slot(kid)
+            if ls is None:
+                return None
+            entries.append((ls[0], ls[1], IK.REQ))
     elif tree[0] == "and":
         if not 2 <= len(tree[1]) <= 4:
             return None
@@ -1175,12 +1196,16 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
         return None
     if any(w > IK.MAX_W or w % 1024 for _s, w, _f in entries):
         return None
-    req = [(i, w) for i, (_s, w, f) in enumerate(entries) if f == IK.REQ]
-    pivot_idx = min(req, key=lambda e: e[1])[0]
+    if mode == "or":
+        pivot_idx = 0
+    else:
+        req = [(i, w) for i, (_s, w, f) in enumerate(entries)
+               if f == IK.REQ]
+        pivot_idx = min(req, key=lambda e: e[1])[0]
     slots = tuple(s for s, _w, _f in entries)
     Ws = tuple(w for _s, w, _f in entries)
     flags = tuple(f for _s, _w, f in entries)
-    return slots, flags, Ws, Ws[pivot_idx], pivot_idx
+    return mode, slots, flags, Ws, pivot_idx
 
 
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
@@ -1212,11 +1237,11 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     kplan = _kernel_plan(cq0, seg, bk, k_pad)
     if kplan is not None:
         from ..ops import intersect as IK
-        slots, flags, Ws, Wp, pivot_idx = kplan
+        kmode, slots, flags, Ws, pivot_idx = kplan
         slots_l = list(slots)
 
-        def batched(seg_args_, dyn, _slots=slots_l, _flags=flags,
-                    _Ws=Ws, _Wp=Wp, _piv=pivot_idx, _k=k_pad):
+        def batched(seg_args_, dyn, _mode=kmode, _slots=slots_l,
+                    _flags=flags, _Ws=Ws, _piv=pivot_idx, _k=k_pad):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             meta = jnp.concatenate(
                 [stacked["tstarts"][:, _slots],
@@ -1229,8 +1254,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             docs, scores = IK.intersect_batch(
                 meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
                 seg_args_["field_masks"], seg_args_["posting_dl"],
-                T=len(_slots), Ws=_Ws, Wp=_Wp, pivot_t=_piv,
-                flags=_flags)
+                T=len(_slots), Ws=_Ws, pivot_t=_piv,
+                flags=_flags, mode=_mode)
             count = jnp.sum((docs != 2**31 - 1).astype(jnp.int32),
                             axis=1)
             vals, sel = IK.iter_topk(scores, docs, _k)

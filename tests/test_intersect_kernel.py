@@ -43,9 +43,11 @@ def test_kernel_plan_eligibility(idx):
     assert _plan_for(idx, "alpha -beta", True) is not None
     assert _plan_for(idx, "alpha ~beta", True) is not None
     assert _plan_for(idx, "alpha", True) is not None
-    # phrase / OR / field-sort / other scorers -> not eligible
+    # unions are eligible too (or-mode kernel)
+    pl_or = _plan_for(idx, "alpha | beta", True)
+    assert pl_or is not None and pl_or[0] == "or"
+    # phrase / other scorers -> not eligible
     assert _plan_for(idx, '"alpha beta"', True) is None
-    assert _plan_for(idx, "alpha | beta", True) is None
     cq = idx.prepare("alpha beta", None,
                      QueryOptions(k=10, scorer="TFIDF", verbatim=True), 2)
     seg = idx.segments[0]
@@ -54,7 +56,8 @@ def test_kernel_plan_eligibility(idx):
 
 
 QUERIES = ["alpha beta", "alpha -beta", "alpha ~beta", "alpha",
-           "gamma delta eps", "omega -alpha", "zeta beta"]
+           "gamma delta eps", "omega -alpha", "zeta beta",
+           "alpha | beta", "gamma | delta | eps", "omega | omega"]
 
 
 def test_kernel_matches_scan_path(idx, monkeypatch):
