@@ -128,7 +128,7 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
 
 def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             out_docs, out_scores, *scratch,
-            T, Ws, pivot_t, flags, mode):
+            T, Ws, groups, pivot_g):
     """One query per grid step (see module docstring)."""
     q = pl.program_id(0)
     refs = []
@@ -154,7 +154,7 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     srows = [starts[t] // BLK for t in range(T)]
     rr = [starts[t] % BLK for t in range(T)]
-    pivots = [pivot_t] if mode == "and" else list(range(T))
+    pivots = list(groups[pivot_g][1])
     dmas = []
     for t in range(T):
         d, f, fm, dlr = refs[t]
@@ -175,9 +175,11 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         c.wait()
 
     def run_phase(p, others):
-        """Candidates = slot p's window; `others` = (slot, kind) pairs:
-        kind "req"/"not"/"opt" (and-mode) or "fold"/"dedup+fold"
-        (or-mode earlier/later slots).  Returns (docs, score, valid)."""
+        """Candidates = slot p's window.  `others` entries are either
+        ("slot", u, kind) pivot-group siblings (kind "fold" /
+        "dedup+fold") or ("group", flag, slot_tuple) non-pivot groups
+        (hit = OR over the group's slots, score = sum of slot
+        contributions, validity by the group's REQ/NOT/OPT flag)."""
         rows_p = rows[p]
         r_p = rr[p]
         pdocs_ref, ptf_ref, pfm_ref, pdl_ref = refs[p]
@@ -195,52 +197,60 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         score = jnp.where(pvalid, bm25(ptf_ref[:], tws[p]), 0.0)
         valid_ref[:rows_p, :] = pvalid.astype(jnp.int32)
 
-        for u, kind in others:
+        def slot_member(u):
             mdocs_r, mtf_r, mfm_r, _ = refs[u]
             _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
                          mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
                          qmasks[u], rows_p, rows[u])
-            hit = hit_ref[:rows_p, :] != 0
-            tf_u = tfa_ref[:rows_p, :]
+            return hit_ref[:rows_p, :] != 0, tfa_ref[:rows_p, :]
+
+        for item in others:
             valid = valid_ref[:rows_p, :] != 0
-            if kind in ("req", "opt", "fold", "dedup+fold"):
+            if item[0] == "slot":
+                _tag, u, kind = item
+                hit, tf_u = slot_member(u)
                 score = score + jnp.where(hit, bm25(tf_u, tws[u]), 0.0)
-            if kind == "req":
-                valid = valid & hit
-            elif kind == "not":
-                valid = valid & ~hit
-            elif kind == "dedup+fold":
-                # an earlier slot owns docs it also matched
-                valid = valid & ~hit
+                if kind == "dedup+fold":
+                    # an earlier sibling owns docs it also matched
+                    valid = valid & ~hit
+            else:
+                _tag, fl, slots_g = item
+                ghit = jnp.zeros((rows_p, BLK), jnp.bool_)
+                gadd = jnp.zeros((rows_p, BLK), jnp.float32)
+                for u in slots_g:
+                    hit, tf_u = slot_member(u)
+                    ghit = ghit | hit
+                    gadd = gadd + jnp.where(hit, bm25(tf_u, tws[u]),
+                                            0.0)
+                if fl == REQ:
+                    valid = valid & ghit
+                    score = score + gadd
+                elif fl == NOT:
+                    valid = valid & ~ghit
+                else:  # OPT
+                    score = score + gadd
             valid_ref[:rows_p, :] = valid.astype(jnp.int32)
 
         valid = valid_ref[:rows_p, :] != 0
         return (jnp.where(valid, pdocs, jnp.int32(2**31 - 1)),
                 jnp.where(valid, score, NEG_INF))
 
-    if mode == "and":
-        others = []
-        for t in range(T):
-            if t == pivot_t:
+    off = 0
+    for pi, p in enumerate(pivots):
+        others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
+        others += [("slot", u, "fold") for u in pivots[pi + 1:]]
+        for gi, (fl, slots_g) in enumerate(groups):
+            if gi == pivot_g:
                 continue
-            others.append((t, {REQ: "req", NOT: "not",
-                               OPT: "opt"}[flags[t]]))
-        d_o, s_o = run_phase(pivot_t, others)
-        out_docs[0] = d_o
-        out_scores[0] = s_o
-    else:
-        off = 0
-        for p in range(T):
-            others = [(u, "dedup+fold" if u < p else "fold")
-                      for u in range(T) if u != p]
-            d_o, s_o = run_phase(p, others)
-            out_docs[0, off:off + rows[p], :] = d_o
-            out_scores[0, off:off + rows[p], :] = s_o
-            off += rows[p]
+            others.append(("group", fl, slots_g))
+        d_o, s_o = run_phase(p, others)
+        out_docs[0, off:off + rows[p], :] = d_o
+        out_scores[0, off:off + rows[p], :] = s_o
+        off += rows[p]
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-              *, T, Ws, pivot_t, flags, mode):
+              *, T, Ws, groups, pivot_g):
     """Pure-XLA twin of the kernel semantics — the CPU fallback and the
     cross-check oracle for the Pallas lowering (interpret mode cannot
     discharge the kernels' DMAs)."""
@@ -282,34 +292,50 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
 
             score = jnp.where(pvalid, bm25(pf, tws[p]), 0.0)
             valid = pvalid
-            for u, kind in others:
-                hit, tf_m = member(u, pd)
-                if kind in ("req", "opt", "fold", "dedup+fold"):
+            for item in others:
+                if item[0] == "slot":
+                    _tag, u, kind = item
+                    hit, tf_m = member(u, pd)
                     score = score + jnp.where(hit, bm25(tf_m, tws[u]),
                                               0.0)
-                if kind == "req":
-                    valid = valid & hit
-                elif kind in ("not", "dedup+fold"):
-                    valid = valid & ~hit
+                    if kind == "dedup+fold":
+                        valid = valid & ~hit
+                else:
+                    _tag, fl, slots_g = item
+                    ghit = jnp.zeros_like(pvalid)
+                    gadd = jnp.zeros_like(score)
+                    for u in slots_g:
+                        hit, tf_m = member(u, pd)
+                        ghit = ghit | hit
+                        gadd = gadd + jnp.where(
+                            hit, bm25(tf_m, tws[u]), 0.0)
+                    if fl == REQ:
+                        valid = valid & ghit
+                        score = score + gadd
+                    elif fl == NOT:
+                        valid = valid & ~ghit
+                    else:
+                        score = score + gadd
             return (jnp.where(valid, pd, INF),
                     jnp.where(valid, score, jnp.float32(NEG_INF)))
 
-        if mode == "and":
-            others = [(t, {REQ: "req", NOT: "not", OPT: "opt"}[flags[t]])
-                      for t in range(T) if t != pivot_t]
-            d, s = phase(pivot_t, others)
-            return (jnp.pad(d, (0, pad), constant_values=2**31 - 1),
-                    jnp.pad(s, (0, pad), constant_values=NEG_INF))
+        pivots = list(groups[pivot_g][1])
         parts_d = []
         parts_s = []
-        for p in range(T):
-            others = [(u, "dedup+fold" if u < p else "fold")
-                      for u in range(T) if u != p]
-            d, s = phase(p, others)
+        for pi, p in enumerate(pivots):
+            others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
+            others += [("slot", u, "fold") for u in pivots[pi + 1:]]
+            for gi, (fl, slots_g) in enumerate(groups):
+                if gi == pivot_g:
+                    continue
+                others.append(("group", fl, slots_g))
+            d, sc = phase(p, others)
             parts_d.append(jnp.pad(d, (0, pad),
                                    constant_values=2**31 - 1))
-            parts_s.append(jnp.pad(s, (0, pad),
+            parts_s.append(jnp.pad(sc, (0, pad),
                                    constant_values=NEG_INF))
+        if len(parts_d) == 1:
+            return parts_d[0], parts_s[0]
         return jnp.concatenate(parts_d), jnp.concatenate(parts_s)
 
     return jax.vmap(one)(meta, fmeta)
@@ -348,26 +374,26 @@ def _use_pallas() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "Ws", "pivot_t", "flags", "mode"))
+    jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                    *, T: int, Ws: tuple, pivot_t: int = 0,
-                    flags: tuple = (), mode: str = "and"):
+                    *, T: int, Ws: tuple, groups: tuple,
+                    pivot_g: int = 0):
     """Run the term-query kernel over a batch.
 
     meta: int32 [B, 3T] — per slot starts, lens, qmasks.
     fmeta: f32 [B, T+1] — per slot tweights (idf*weight), then avgdl.
-    mode "and": candidates from the pivot slot, output width
-    Ws[pivot]+pad; mode "or": per-slot phases concatenated, output width
-    sum(Ws[t]+pad).  Returns (docs, scores) with INT32_MAX / -inf at
-    invalid lanes.
+    groups: ((flag, (slot_idx, ...)), ...) — REQ/NOT/OPT groups over the
+    T slots; `pivot_g` names the REQ group whose slots generate the
+    candidate phases.  Output width = sum of the pivot group's padded
+    windows.  Returns (docs, scores) with INT32_MAX / -inf at invalid
+    lanes.
     """
     if not _use_pallas():
         return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                         T=T, Ws=Ws, pivot_t=pivot_t, flags=flags,
-                         mode=mode)
+                         T=T, Ws=Ws, groups=groups, pivot_g=pivot_g)
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
-    rows_out = (rows[pivot_t] if mode == "and" else sum(rows))
+    rows_out = sum(rows[p] for p in groups[pivot_g][1])
     rows_scratch = max(rows)
     scratch = []
     for t in range(T):
@@ -403,8 +429,8 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         ],
         scratch_shapes=scratch,
     )
-    kern = functools.partial(_kernel, T=T, Ws=Ws, pivot_t=pivot_t,
-                             flags=flags, mode=mode)
+    kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
+                             pivot_g=pivot_g)
     docs, scores = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

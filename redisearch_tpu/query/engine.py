@@ -1118,10 +1118,11 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
 
 
 def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
-    """Eligibility for the Pallas intersection mega-kernel
-    (ops/intersect.py).  Returns (slots, flags, Ws, Wp, pivot_idx) or
-    None.  Covered: BM25STD top-k over AND/NOT/OPT of single-slot term
-    groups on a clean segment — the serving hot path."""
+    """Eligibility for the Pallas term-query mega-kernel
+    (ops/intersect.py).  Returns (slots, Ws, groups, pivot_g) or None.
+    Covered: BM25STD top-k over AND/OR/NOT/OPT of term groups with 1..4
+    live slots each (stem/synonym-expanded tokens included) on a clean
+    segment — the serving hot path."""
     import os
     if os.environ.get("RS_TPU_NO_INTERSECT_KERNEL"):
         return None
@@ -1139,73 +1140,77 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
         return None
     from ..ops import intersect as IK
 
-    def leaf_slot(t):
-        if (t[0] == "leaf" and isinstance(t[1], LTerms)
-                and bk.get(t[2]) and bk[t[2]][0] == 1):
-            return t[1].lo, bk[t[2]][1]
-        return None
+    def leaf_group(t, flag):
+        if t[0] != "leaf" or not isinstance(t[1], LTerms):
+            return None
+        e = bk.get(t[2])
+        if not e:
+            return None
+        nu, W = e
+        if not 1 <= nu <= 4:
+            return None
+        return (flag, [t[1].lo + j for j in range(nu)], [W] * nu)
 
     tree = cq0.tree
-    entries = []        # (slot, W, flag)
-    mode = "and"
-    if tree[0] == "leaf" and isinstance(tree[1], LTerms):
-        # single term group: 1 live slot -> trivial "and"; 2..4 live
-        # slots (stem/synonym expansion) -> the union kernel
-        bk_e = bk.get(tree[2])
-        if not bk_e:
+    raw_groups = []
+    if tree[0] == "leaf":
+        g = leaf_group(tree, IK.REQ)
+        if g is None:
             return None
-        nu, W = bk_e
-        if nu == 1:
-            entries.append((tree[1].lo, W, IK.REQ))
-        elif 2 <= nu <= 4:
-            mode = "or"
-            for j in range(nu):
-                entries.append((tree[1].lo + j, W, IK.REQ))
-        else:
-            return None
+        raw_groups.append(g)
     elif tree[0] == "or":
-        # union of single-slot term groups
+        # a union flattens to ONE group (sum-fold + first-owner dedup —
+        # exactly union_windows semantics)
         if not 2 <= len(tree[1]) <= 4:
             return None
-        mode = "or"
+        slots_u: list[int] = []
+        ws_u: list[int] = []
         for kid in tree[1]:
-            ls = leaf_slot(kid)
-            if ls is None:
+            g = leaf_group(kid, IK.REQ)
+            if g is None:
                 return None
-            entries.append((ls[0], ls[1], IK.REQ))
+            slots_u += g[1]
+            ws_u += g[2]
+        raw_groups.append((IK.REQ, slots_u, ws_u))
     elif tree[0] == "and":
         if not 2 <= len(tree[1]) <= 4:
             return None
         for kid in tree[1]:
             if kid[0] == "leaf":
-                ls = leaf_slot(kid)
-                if ls is None:
-                    return None
-                entries.append((ls[0], ls[1], IK.REQ))
+                g = leaf_group(kid, IK.REQ)
             elif kid[0] in ("not", "opt"):
-                ls = leaf_slot(kid[1])
-                if ls is None:
-                    return None
-                entries.append((ls[0], ls[1],
-                                IK.NOT if kid[0] == "not" else IK.OPT))
+                g = leaf_group(kid[1],
+                               IK.NOT if kid[0] == "not" else IK.OPT)
             else:
+                g = None
+            if g is None:
                 return None
-        if not any(f == IK.REQ for _s, _w, f in entries):
+            raw_groups.append(g)
+        if not any(g[0] == IK.REQ for g in raw_groups):
             return None
     else:
         return None
-    if any(w > IK.MAX_W or w % 1024 for _s, w, _f in entries):
+
+    total_slots = sum(len(g[1]) for g in raw_groups)
+    if total_slots > 6:
         return None
-    if mode == "or":
-        pivot_idx = 0
-    else:
-        req = [(i, w) for i, (_s, w, f) in enumerate(entries)
-               if f == IK.REQ]
-        pivot_idx = min(req, key=lambda e: e[1])[0]
-    slots = tuple(s for s, _w, _f in entries)
-    Ws = tuple(w for _s, w, _f in entries)
-    flags = tuple(f for _s, _w, f in entries)
-    return mode, slots, flags, Ws, pivot_idx
+    if any(w > IK.MAX_W or w % 1024
+           for g in raw_groups for w in g[2]):
+        return None
+    slots: list[int] = []
+    Ws: list[int] = []
+    groups: list[tuple] = []
+    for fl, sl, wl in raw_groups:
+        idxs = tuple(range(len(slots), len(slots) + len(sl)))
+        groups.append((fl, idxs))
+        slots += sl
+        Ws += wl
+    req = [(i, sum(Ws[j] for j in g[1]))
+           for i, g in enumerate(groups) if g[0] == IK.REQ]
+    pivot_g = min(req, key=lambda e: e[1])[0]
+    if len(groups[pivot_g][1]) > 4:
+        return None
+    return tuple(slots), tuple(Ws), tuple(groups), pivot_g
 
 
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
@@ -1237,11 +1242,11 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     kplan = _kernel_plan(cq0, seg, bk, k_pad)
     if kplan is not None:
         from ..ops import intersect as IK
-        kmode, slots, flags, Ws, pivot_idx = kplan
+        slots, Ws, kgroups, pivot_g = kplan
         slots_l = list(slots)
 
-        def batched(seg_args_, dyn, _mode=kmode, _slots=slots_l,
-                    _flags=flags, _Ws=Ws, _piv=pivot_idx, _k=k_pad):
+        def batched(seg_args_, dyn, _slots=slots_l, _Ws=Ws,
+                    _groups=kgroups, _pg=pivot_g, _k=k_pad):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             meta = jnp.concatenate(
                 [stacked["tstarts"][:, _slots],
@@ -1254,8 +1259,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             docs, scores = IK.intersect_batch(
                 meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
                 seg_args_["field_masks"], seg_args_["posting_dl"],
-                T=len(_slots), Ws=_Ws, pivot_t=_piv,
-                flags=_flags, mode=_mode)
+                T=len(_slots), Ws=_Ws, groups=_groups, pivot_g=_pg)
             count = jnp.sum((docs != 2**31 - 1).astype(jnp.int32),
                             axis=1)
             vals, sel = IK.iter_topk(scores, docs, _k)

@@ -43,9 +43,11 @@ def test_kernel_plan_eligibility(idx):
     assert _plan_for(idx, "alpha -beta", True) is not None
     assert _plan_for(idx, "alpha ~beta", True) is not None
     assert _plan_for(idx, "alpha", True) is not None
-    # unions are eligible too (or-mode kernel)
+    # unions are eligible too (single multi-slot group)
     pl_or = _plan_for(idx, "alpha | beta", True)
-    assert pl_or is not None and pl_or[0] == "or"
+    assert pl_or is not None
+    _slots, _ws, groups, _pg = pl_or
+    assert len(groups) == 1 and len(groups[0][1]) == 2
     # phrase / other scorers -> not eligible
     assert _plan_for(idx, '"alpha beta"', True) is None
     cq = idx.prepare("alpha beta", None,
@@ -126,3 +128,42 @@ def test_filtered_knn_batched_underfill_refires_exact():
               if x < 3.3e38]
         assert gd == wd
         assert len(gd) == 5   # 5 needle docs
+
+
+def test_kernel_multislot_stem_groups():
+    """Natural-language AND queries: each token group carries (token,
+    +stem, stem) slots; the kernel handles multi-slot groups with
+    OR-within-group semantics, matching the scan path exactly."""
+    rng = np.random.default_rng(23)
+    ix = rs.SearchIndex(rs.Schema(name="stg", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    vocab = ["running", "runs", "jumped", "jumping", "quickly",
+             "quicker", "walker", "walking", "talked", "talking"]
+    for i in range(600):
+        ix.add_document(f"d{i}", {
+            "t": " ".join(rng.choice(vocab, 5))})
+    ix.commit()
+    seg = ix.segments[0]
+    queries = ["running jumping", "walking -talking", "runs ~quickly",
+               "jumped", "running | walking", "talked quicker"]
+    cqs = [ix.prepare(q, None, QueryOptions(k=10), 2)
+           for q in queries for _ in range(2)]
+    # at least one of these must take the kernel plan (multi-slot groups)
+    from redisearch_tpu.index.segment import next_pow2
+    planned = 0
+    for q in queries:
+        cq = ix.prepare(q, None, QueryOptions(k=10), 2)
+        b, _ = cq.bind(seg)
+        if _kernel_plan(cq, seg, b.dyn["_buckets"], 16) is not None:
+            planned += 1
+    assert planned >= 4, planned
+    got = execute_batch(cqs, seg, 10)
+    for cq, g in zip(cqs, got):
+        want = execute(cq, seg, 10)
+        assert g.count == want.count, cq
+        gd = [(int(d), round(float(s), 4))
+              for d, s in zip(g.local_idx, g.scores) if s > -3.3e38]
+        wd = [(int(d), round(float(s), 4))
+              for d, s in zip(want.local_idx, want.scores)
+              if s > -3.3e38]
+        assert gd == wd, (gd[:3], wd[:3])
