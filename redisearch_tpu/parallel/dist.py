@@ -374,9 +374,12 @@ class ShardedIndex:
 
     # -- user-facing search (mirrors SearchIndex.search semantics) --------
     def profile(self, query: str, params=None, num: int = 10,
-                **kw) -> tuple:
+                iterators: bool = True, **kw) -> tuple:
         """Distributed FT.PROFILE analog (reference: coord/dist_profile.c
-        — a Shards section per shard plus a Coordinator section)."""
+        — a Shards section per shard plus a Coordinator section).  Each
+        shard section carries measured per-node iterator counters/timings
+        from executing the query tree against that shard's segment
+        (reference: Profile_AddIters per shard)."""
         import time as _time
         t0 = _time.perf_counter()
         root = self.index.parse_query(query, params)
@@ -386,10 +389,21 @@ class ShardedIndex:
         total_ms = (_time.perf_counter() - t0) * 1e3
         from ..query import ast as A
         counts = list(getattr(res, "shard_counts", []) or [])
+        shard_iters: list = [None] * max(len(counts), len(self.shards))
+        if iterators:
+            from ..aux.explain import profile_query
+            for i, seg in enumerate(self.shards):
+                view = _shard_index_view(self, seg)
+                try:
+                    shard_iters[i] = profile_query(view, query, params)
+                except Exception:
+                    shard_iters[i] = None
         prof = {
             "shards": [
                 {"shard": i, "results_count": int(c),
-                 "query_tree": A.dump(root)}
+                 "query_tree": A.dump(root),
+                 "iterators": shard_iters[i] if i < len(shard_iters)
+                 else None}
                 for i, c in enumerate(counts)
             ],
             "coordinator": {

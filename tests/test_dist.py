@@ -203,3 +203,19 @@ def test_dcn_mesh_hierarchical_merge(sharded):
         r2 = sh2.search(q, num=10, **kw)
         assert r2.total == r1.total, q
         assert [h.key for h in r2.hits] == [h.key for h in r1.hits], q
+
+
+def test_dist_profile_per_shard_iterators(sharded):
+    """Distributed FT.PROFILE carries measured per-shard iterator
+    sections (reference: coord/dist_profile.c shards sections with
+    Profile_AddIters counters)."""
+    sh, ix, _ = sharded
+    res, prof = sh.profile("apple banana", num=5)
+    assert prof["coordinator"]["n_shards"] == 8
+    assert len(prof["shards"]) == 8
+    for i, s in enumerate(prof["shards"]):
+        it = s["iterators"]
+        assert it is not None
+        assert it["counter"] == s["results_count"], i
+        assert it["time_ms"] >= 0.0
+        assert it.get("children"), i
