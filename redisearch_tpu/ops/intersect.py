@@ -21,7 +21,10 @@ Covered query families (everything else stays on the XLA path):
     per-slot candidate phases with cross-slot score folding and
     first-owner dedup, matching ops/window.py union_windows semantics.
 Common constraints: BM25STD scoring, clean segment (no deletions, TTL,
-non-uniform doc scores), single-word field masks, windows <= 32768.
+non-uniform doc scores), single-word field masks, pivot-group windows
+<= 32768 (they bound the [B, W] output); member windows may reach
+131072 — they only occupy VMEM, so a rare pivot can intersect against
+an ultra-common term without falling back to the XLA path.
 
 Mosaic constraints shaping the code: dynamic VMEM vector loads need
 (8, 128)-tile alignment — so scratch is 2D (rows, 128), windows fetch
@@ -45,7 +48,9 @@ BLK = 128
 TILE = 1024             # VMEM dynamic-load alignment granule (8x128)
 R_TILE = TILE // BLK    # 8 rows per tile
 R_EXTRA = 8             # one extra tile: windows start at arbitrary offs
-MAX_W = 32768           # per-slot window cap for the kernel path
+MAX_W_PIVOT = 32768     # pivot windows bound the [B, W] output size
+MAX_W_MEMBER = 131072   # member windows only occupy VMEM (~2 MB each)
+MAX_W = MAX_W_PIVOT     # back-compat alias
 NEG_INF = -3.4e38       # python floats: jnp scalars would be captured
 K1 = 1.2
 B_ = 0.75
@@ -82,7 +87,7 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
         pmin = jnp.min(jnp.where(pv, pd, jnp.int32(2**31 - 1)))
         pmax = jnp.max(jnp.where(pv, pd, jnp.int32(-1)))
         # member tile range covering [pmin, pmax]: counts are positions
-        # among the window's live docs, which start at flat offset r_m
+        # among the window's live docs (flat offset r_m)
         lo_e = r_m + jnp.sum((mdocs_masked < pmin).astype(jnp.int32))
         hi_e = r_m + jnp.sum((mdocs_masked <= pmax).astype(jnp.int32))
         lo_t = lo_e // TILE
@@ -393,14 +398,18 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                          T=T, Ws=Ws, groups=groups, pivot_g=pivot_g)
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
+    pivots = set(groups[pivot_g][1])
     rows_out = sum(rows[p] for p in groups[pivot_g][1])
-    rows_scratch = max(rows)
+    rows_scratch = max(rows[p] for p in pivots)
     scratch = []
     for t in range(T):
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))   # dl
+        # posting doclens are only read at pivot candidates; member
+        # slots get a dummy tile so the scratch layout stays uniform
+        scratch.append(pltpu.VMEM(
+            (rows[t] if t in pivots else R_TILE, BLK), jnp.float32))
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # valid
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # hit
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.float32))  # tfacc

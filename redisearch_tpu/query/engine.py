@@ -1194,7 +1194,7 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
     total_slots = sum(len(g[1]) for g in raw_groups)
     if total_slots > 6:
         return None
-    if any(w > IK.MAX_W or w % 1024
+    if any(w > IK.MAX_W_MEMBER or w % 1024
            for g in raw_groups for w in g[2]):
         return None
     slots: list[int] = []
@@ -1205,10 +1205,25 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
         groups.append((fl, idxs))
         slots += sl
         Ws += wl
+    # the pivot group's windows bound the [B, W] output buffers; member
+    # windows only occupy VMEM — a rare pivot can intersect against an
+    # ultra-common member term without falling back
     req = [(i, sum(Ws[j] for j in g[1]))
-           for i, g in enumerate(groups) if g[0] == IK.REQ]
+           for i, g in enumerate(groups)
+           if g[0] == IK.REQ
+           and all(Ws[j] <= IK.MAX_W_PIVOT for j in g[1])]
+    if not req:
+        return None
     pivot_g = min(req, key=lambda e: e[1])[0]
     if len(groups[pivot_g][1]) > 4:
+        return None
+    # VMEM budget: 3 window arrays per slot (+doclens per pivot slot)
+    # plus 3 pivot-sized state buffers must fit comfortably
+    pivs = set(groups[pivot_g][1])
+    vmem = sum((4 if j in pivs else 3) * (Ws[j] + 1024) * 4
+               for j in range(len(Ws)))
+    vmem += 3 * (max(Ws[j] for j in pivs) + 1024) * 4
+    if vmem > 12 * 1024 * 1024:
         return None
     return tuple(slots), tuple(Ws), tuple(groups), pivot_g
 

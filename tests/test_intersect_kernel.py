@@ -130,6 +130,55 @@ def test_filtered_knn_batched_underfill_refires_exact():
         assert len(gd) == 5   # 5 needle docs
 
 
+def test_kernel_big_member_window():
+    """A rare pivot term may intersect against an ultra-common member
+    whose window exceeds MAX_W_PIVOT (it only occupies VMEM); a query
+    whose only REQ group is itself ultra-common must fall back."""
+    from redisearch_tpu.ops import intersect as IK
+    rng = np.random.default_rng(41)
+    ix = rs.SearchIndex(rs.Schema(name="bigm", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    docs = []
+    for i in range(40000):
+        toks = ["common"]
+        if rng.random() < 0.004:
+            toks.append("rare")
+        toks.append(f"hay{i % 53}")
+        docs.append((f"d{i}", {"t": " ".join(toks)}))
+    ix.add_documents(docs)
+    seg = ix.segments[0]
+
+    def plan(q):
+        cq = ix.prepare(q, None, QueryOptions(k=10, verbatim=True), 2)
+        b, _ = cq.bind(seg)
+        return cq, _kernel_plan(cq, seg, b.dyn["_buckets"], 16)
+
+    cq_rc, pl = plan("rare common")
+    assert pl is not None
+    slots, ws, groups, pivot_g = pl
+    assert max(ws) > IK.MAX_W_PIVOT          # the common member window
+    assert all(ws[j] <= IK.MAX_W_PIVOT for j in groups[pivot_g][1])
+    # ultra-common term as the only REQ group -> no eligible pivot
+    _, pl_c = plan("common")
+    assert pl_c is None
+    _, pl_cn = plan("common -rare")
+    assert pl_cn is None
+    # results must match the scan path exactly
+    cqs = [ix.prepare("rare common", None,
+                      QueryOptions(k=10, verbatim=True), 2)
+           for _ in range(2)]
+    got = execute_batch(cqs, seg, 10)
+    for cq, g in zip(cqs, got):
+        want = execute(cq, seg, 10)
+        assert g.count == want.count
+        gd = [(int(d), round(float(s), 4))
+              for d, s in zip(g.local_idx, g.scores) if s > -3.3e38]
+        wd = [(int(d), round(float(s), 4))
+              for d, s in zip(want.local_idx, want.scores)
+              if s > -3.3e38]
+        assert gd == wd
+
+
 def test_kernel_multislot_stem_groups():
     """Natural-language AND queries: each token group carries (token,
     +stem, stem) slots; the kernel handles multi-slot groups with
