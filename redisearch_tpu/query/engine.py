@@ -2413,8 +2413,17 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 out["idx"] = sel
                 out["knn"] = -vals
                 out["scores"] = score[sel]
+            # KNN count = number of yielded results (<= k), matching the
+            # reference hybrid iterator which yields at most k docs
+            # (hybrid_reader.c; FT.SEARCH KNN reply totals are k in
+            # tests/pytests/test_vecsim.py execute_hybrid_query).  The
+            # host layers clamp totals with min(total, k) either way.
+            # Crucially this drops the window-wide `valid & knn_ok(cd)`
+            # reduction whose knn_present[cd] gather (~3.6 ms per 524k
+            # window) dominated wide-filter BATCHES queries — and lets
+            # XLA DCE the whole window evaluation on that branch.
             out["count"] = jnp.sum(
-                (valid & knn_ok(cd)).astype(jnp.int32))
+                (out["knn"] < 3.3e38).astype(jnp.int32))
             return out
 
         if opts.sort_field:
