@@ -123,4 +123,8 @@ def main(n_docs: int = 500_000, dim: int = 384, batch: int = 64,
 
 
 if __name__ == "__main__":
-    main()
+    # batch size is the concurrency analog of the reference's memtier
+    # connection count; on a tunneled attach the ~30 ms dispatch+collect
+    # round trip floors small batches (batch 64 ≈ 2.1k QPS of pure link),
+    # so the device-throughput figure needs deeper batches
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 64)

@@ -14,6 +14,7 @@ src/module.c FT.SEARCH path).  Differences by design:
 
 from __future__ import annotations
 
+import copy
 import threading
 import time
 from typing import Any, Iterable, Optional
@@ -386,21 +387,31 @@ class SearchIndex:
             if len(self._prepared) >= 2048:
                 self._prepared.clear()
             self._prepared[key] = cq
-        else:
-            # rebind vector blobs from this call's params
+        # Return a per-call VIEW owning the mutable bits (opts, KNN node,
+        # vector blobs) over the shared compiled structure + row/bind
+        # caches.  Mutating the cached object in place would alias every
+        # outstanding reference — a batch of the same KNN query string
+        # with a different $vec per row must not collapse to the last
+        # blob (reference analog: each AREQ owns its parsed params).
+        view = copy.copy(cq)
+        view.opts = copy.copy(cq.opts)
+        view.vec_blobs = list(cq.vec_blobs)
+        if cq.knn is not None:
+            view.knn = copy.copy(cq.knn)
+        if vec_params:
             from ..query.engine import decode_blob
             from ..query.parser import _coerce_vector
-            if cq.knn is not None and cq.knn.blob_param in vec_params:
-                cq.knn.blob = _coerce_vector(
-                    vec_params[cq.knn.blob_param])
-            for i, pname in enumerate(cq.vec_blob_params):
+            if view.knn is not None and view.knn.blob_param in vec_params:
+                view.knn.blob = _coerce_vector(
+                    vec_params[view.knn.blob_param])
+            for i, pname in enumerate(view.vec_blob_params):
                 if pname in vec_params:
-                    cq.vec_blobs[i] = decode_blob(
+                    view.vec_blobs[i] = decode_blob(
                         _coerce_vector(vec_params[pname]),
-                        cq.vec_blob_fields[i])
-        cq.opts.k = opts.k
-        cq.opts.now = opts.now
-        return cq
+                        view.vec_blob_fields[i])
+        view.opts.k = opts.k
+        view.opts.now = opts.now
+        return view
 
     def search(
         self,
@@ -670,8 +681,6 @@ class SearchIndex:
         groups collected together.  opts_list overrides QueryOptions per
         query (FT.HYBRID runs its two branches with different scorers
         through here in a single collected round)."""
-        import copy
-
         from ..query.engine import execute_batch
         self.commit()
         n_real = len(queries)
@@ -680,20 +689,10 @@ class SearchIndex:
             p = params[i] if params else None
             o = (opts_list[i] if opts_list
                  else QueryOptions(scorer=scorer, k=k))
-            cq = self.prepare(q, p, o, dialect)
-            if cq.knn is not None or cq.vec_blobs:
-                # prepare() rebinds vector payloads onto a SHARED cached
-                # object — snapshot them so two same-string KNN queries
-                # with different blobs in one batch don't alias (the
-                # shallow clone shares slots/tree/bind-memo; bind reads
-                # payloads from the clone's own state)
-                cq2 = copy.copy(cq)
-                if cq.knn is not None:
-                    cq2.knn = copy.copy(cq.knn)
-                cq2.vec_blobs = list(cq.vec_blobs)
-                cq2.vec_radii = list(cq.vec_radii)
-                cq = cq2
-            cqs.append(cq)
+            # prepare() returns a per-call view owning its vector
+            # payloads, so same-string KNN queries with different blobs
+            # never alias within the batch
+            cqs.append(self.prepare(q, p, o, dialect))
         all_hits: list = [[] for _ in cqs]
         totals = [0] * len(cqs)
         knn_q = [False] * len(cqs)

@@ -204,3 +204,31 @@ def test_prepared_query_cache_knn_rebind():
     assert r1.hits[0].key == "d3"
     assert r2.hits[0].key == "d7"  # would be d3 if the blob were stale
     assert len(ix._prepared) == 1  # one cache entry, rebound twice
+
+
+def test_prepared_query_views_do_not_alias_blobs():
+    """A batch of the SAME KNN query string with a different $vec per
+    entry must execute each blob: prepare() returns per-call views over
+    the shared compiled structure, never the mutable cached object."""
+    import redisearch_tpu as rs2
+    from redisearch_tpu.query.engine import QueryOptions, execute_batch
+    schema = rs2.Schema(name="pqv", fields=[
+        rs2.Field("v", rs2.FieldType.VECTOR,
+                  vector=rs2.VectorParams(dim=4,
+                                          metric=rs2.VectorMetric.L2))])
+    ix = rs2.SearchIndex(schema)
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(32, 4)).astype(np.float32)
+    for i in range(32):
+        ix.add_document(f"d{i}", {"v": vecs[i]})
+    ix.commit()
+    cqs = [ix.prepare("*=>[KNN 1 @v $q]", {"q": vecs[i]},
+                      QueryOptions(k=1), 2) for i in (3, 7, 11)]
+    res = execute_batch(cqs, ix.segments[0], 1)
+    got = [int(r.local_idx[0]) for r in res]
+    assert got == [3, 7, 11], got
+    # raw search_many too (the serving surface)
+    rs_ = ix.search_many(["*=>[KNN 1 @v $q]"] * 3,
+                         params=[{"q": vecs[5]}, {"q": vecs[9]},
+                                 {"q": vecs[2]}], k=1)
+    assert [r.hits[0].key for r in rs_] == ["d5", "d9", "d2"]
