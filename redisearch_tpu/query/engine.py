@@ -2279,10 +2279,16 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
             # candidate windows; dense BATCHES scan for wide filters;
             # IVF probe otherwise (when built)
             window_root = not root_is_iota
+            # threshold measured on v5e (524k docs): masked approx_max_k
+            # has a ~100 µs/query floor and scales mildly with M
+            # (M=2048: 127 µs, M=8192: 260 µs) while the exact branch's
+            # candidate gathers cost ~10 ns/element (32768-window: 332
+            # µs for the distance gather alone) — BATCHES wins from
+            # Wc >= 32768
             use_batches = (
                 window_root and not knn_multi and not knn_ivf
                 and knn_policy != "ADHOC_BF"
-                and (knn_policy == "BATCHES" or Wc >= 65536))
+                and (knn_policy == "BATCHES" or Wc >= 32768))
             use_exact_gather = window_root and not use_batches and (
                 knn_policy == "ADHOC_BF" or not knn_ivf
                 or (knn_policy is None and Wc <= 16384))
@@ -2318,10 +2324,12 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 dmd = jnp.where(okd, d_dense, 3.4e38)
                 # the pow-4 bucket Wc can overstate the true window by
                 # 4x, so use Wc/4 as the selectivity lower bound: with
-                # M = 4k/sel_lower the expected survivor count is >= 4k
-                # even at worst-case bucket inflation
+                # M = 8k/sel_lower the expected survivor count is >= 2k
+                # even at worst-case bucket inflation (underfilled
+                # queries re-run exactly on the host, so a thin margin
+                # costs an occasional refire, never correctness)
                 M = int(min(
-                    next_pow2(max(16 * k_eff * n_pad // max(Wc, 1),
+                    next_pow2(max(8 * k_eff * n_pad // max(Wc, 1),
                                   4 * k_eff, 512)),
                     8192, n_pad))
                 negd, ids = T.fast_top_k(-dmd, M)
