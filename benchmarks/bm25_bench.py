@@ -53,7 +53,7 @@ def main(n_docs: int = 1_000_000, batch: int = 256, iters: int = 10):
     # (production deep-queue serving shape)
     for name, qfn, B in ([(n, f, batch) for n, f in cases]
                          + [("and2_b1024", cases[0][1], 1024)]):
-        it_n = max(2, (iters * batch) // B)
+        it_n = max(6, (iters * batch) // B)   # >= 6: 2 iters is noise-bound
 
         def make(it):
             # prepared-query cache: parse+lower once per distinct query

@@ -9,9 +9,10 @@ AND-2 costs ~74 µs/query while its arithmetic is <1 µs).  These kernels
 execute ONE GRID STEP PER QUERY: posting windows DMA from HBM into VMEM
 at dynamic offsets, membership runs as a block-ranged sorted-merge
 entirely in VMEM (no arbitrary-index gathers — the round-1 gather tax),
-BM25STD scores assemble in-register, and the batch's masked score
-windows come back as one [B, W] tensor for a single batched top-k
-outside (iter_topk — k max-extractions instead of a per-row sort).
+BM25STD scores assemble in-register, and the per-phase top-k is
+extracted IN VMEM (k max-extractions, ties by window position) so each
+query's whole result leaves the kernel as <=2 output rows + a count —
+no [B, W] HBM round trip.
 
 Covered query families (everything else stays on the XLA path):
   * mode="and": intersection of T<=4 single-slot term groups, each
@@ -66,12 +67,17 @@ def _flat_iota(rows):
 
 def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
                  mdocs_r, mtf_r, mfm_r, r_m, mlen, qm_t,
-                 rows_p, rows_m):
+                 rows_p, rows_m, p_end):
     """hit/tf of the member window at the pivot candidates.
 
     Writes hit_ref/tfa_ref over the first rows_p rows.  valid_ref narrows
     the per-tile doc range (pmin/pmax) — candidates already invalidated
-    don't widen the member search."""
+    don't widen the member search.  Work scales with the REAL window
+    lengths, not the pow-4 buckets: the pivot-tile loop stops at `p_end`
+    (the pivot's live row count; rows past it keep stale hit/tf, which
+    only ever lands in lanes the phase has already invalidated), and a
+    member tile compares only against pivot rows whose [min, max] doc
+    range overlaps it (pl.when predication — typically 1-2 of 8 rows)."""
     fi_m = _flat_iota(rows_m)
     m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
     mdocs_masked = jnp.where(m_inr, mdocs_r[:rows_m, :],
@@ -79,13 +85,20 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
     n_pt = rows_p // R_TILE
     mt_max = rows_m // R_TILE
     R = R_TILE
+    INF = jnp.int32(2**31 - 1)
 
     def pivot_tile(pt, _c):
         prow = pl.multiple_of(pt * R, R)
         pd = pdocs_ref[pl.ds(prow, R), :]          # [8, 128]
         pv = valid_ref[pl.ds(prow, R), :] != 0
-        pmin = jnp.min(jnp.where(pv, pd, jnp.int32(2**31 - 1)))
-        pmax = jnp.max(jnp.where(pv, pd, jnp.int32(-1)))
+        pdm_lo = jnp.where(pv, pd, INF)
+        pdm_hi = jnp.where(pv, pd, jnp.int32(-1))
+        pmin = jnp.min(pdm_lo)
+        pmax = jnp.max(pdm_hi)
+        # per-row doc ranges for the overlap predicate ([8, 1] keepdims:
+        # 1D vectors are fragile under Mosaic legalization)
+        rmin = jnp.min(pdm_lo, axis=1, keepdims=True)    # [8, 1]
+        rmax = jnp.max(pdm_hi, axis=1, keepdims=True)
         # member tile range covering [pmin, pmax]: counts are positions
         # among the window's live docs (flat offset r_m)
         lo_e = r_m + jnp.sum((mdocs_masked < pmin).astype(jnp.int32))
@@ -94,9 +107,10 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
         hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, mt_max)
 
         rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
+        hit_ref[pl.ds(prow, R), :] = jnp.zeros((R, BLK), jnp.int32)
+        tfa_ref[pl.ds(prow, R), :] = jnp.zeros((R, BLK), jnp.float32)
 
-        def member_tile(mtile, inner):
-            h, tfv = inner                          # [8, 128] each
+        def member_tile(mtile, _i):
             mrow = pl.multiple_of(mtile * R, R)
             md = mdocs_r[pl.ds(mrow, R), :]
             mtf = mtf_r[pl.ds(mrow, R), :]
@@ -105,35 +119,40 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
             fi = (base + rsel * BLK
                   + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
             mv = (fi >= r_m) & (fi < r_m + mlen) & ((mf & qm_t) != 0)
+            mdm = jnp.where(mv, md, INF)
+            mt_lo = jnp.min(mdm)
+            mt_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)))
             for pi in range(R):
-                pd_i = pd[pi]                       # [128] static row
-                hi_ = jnp.zeros((BLK,), jnp.bool_)
-                ti_ = jnp.zeros((BLK,), jnp.float32)
-                for mi in range(R):
-                    eq = (pd_i[:, None] == md[mi][None, :]) \
-                        & mv[mi][None, :]
-                    hi_ = hi_ | jnp.any(eq, axis=1)
-                    ti_ = ti_ + jnp.sum(
-                        jnp.where(eq, mtf[mi][None, :], 0.0), axis=1)
-                row_is_pi = rsel == pi
-                h = jnp.maximum(
-                    h, jnp.where(row_is_pi & hi_[None, :], 1, 0))
-                tfv = tfv + jnp.where(row_is_pi, ti_[None, :], 0.0)
-            return h, tfv
+                @pl.when((rmax[pi, 0] >= mt_lo) & (rmin[pi, 0] <= mt_hi))
+                def _overlapping_row():
+                    pd_i = pd[pi]                   # [128] static row
+                    hi_ = jnp.zeros((BLK,), jnp.bool_)
+                    ti_ = jnp.zeros((BLK,), jnp.float32)
+                    for mi in range(R):
+                        eq = (pd_i[:, None] == md[mi][None, :]) \
+                            & mv[mi][None, :]
+                        hi_ = hi_ | jnp.any(eq, axis=1)
+                        ti_ = ti_ + jnp.sum(
+                            jnp.where(eq, mtf[mi][None, :], 0.0), axis=1)
+                    row_is_pi = rsel == pi
+                    blk_h = hit_ref[pl.ds(prow, R), :]
+                    blk_t = tfa_ref[pl.ds(prow, R), :]
+                    hit_ref[pl.ds(prow, R), :] = jnp.maximum(
+                        blk_h,
+                        jnp.where(row_is_pi & hi_[None, :], 1, 0))
+                    tfa_ref[pl.ds(prow, R), :] = blk_t + jnp.where(
+                        row_is_pi, ti_[None, :], 0.0)
+            return _i
 
-        h0 = jnp.zeros((R, BLK), jnp.int32)
-        t0 = jnp.zeros((R, BLK), jnp.float32)
-        h, tfv = jax.lax.fori_loop(lo_t, hi_t, member_tile, (h0, t0))
-        hit_ref[pl.ds(prow, R), :] = h
-        tfa_ref[pl.ds(prow, R), :] = tfv
+        jax.lax.fori_loop(lo_t, hi_t, member_tile, 0)
         return _c
 
-    jax.lax.fori_loop(0, n_pt, pivot_tile, 0)
+    jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
 
 
 def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
-            out_docs, out_scores, *scratch,
-            T, Ws, groups, pivot_g):
+            out_docs, out_scores, out_counts, *scratch,
+            T, Ws, groups, pivot_g, k):
     """One query per grid step (see module docstring)."""
     q = pl.program_id(0)
     refs = []
@@ -202,11 +221,16 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         score = jnp.where(pvalid, bm25(ptf_ref[:], tws[p]), 0.0)
         valid_ref[:rows_p, :] = pvalid.astype(jnp.int32)
 
+        # pivot tiles past the REAL window length hold only invalid
+        # lanes — the member passes stop there instead of walking the
+        # pow-4 bucket padding (typically a 2-4x work cut)
+        p_end = (r_p + lens[p] + TILE - 1) // TILE
+
         def slot_member(u):
             mdocs_r, mtf_r, mfm_r, _ = refs[u]
             _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
                          mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
-                         qmasks[u], rows_p, rows[u])
+                         qmasks[u], rows_p, rows[u], p_end)
             return hit_ref[:rows_p, :] != 0, tfa_ref[:rows_p, :]
 
         for item in others:
@@ -240,7 +264,20 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         return (jnp.where(valid, pdocs, jnp.int32(2**31 - 1)),
                 jnp.where(valid, score, NEG_INF))
 
-    off = 0
+    # In-VMEM top-k per phase: k max-extractions over the masked score
+    # window (each = 4 small reductions), recorded into [P*k] output
+    # lanes via static-position selects.  Replaces [B, W]-wide HBM
+    # outputs + a batched 16-pass iter_topk outside — the whole result
+    # of a query leaves the kernel as <=2 output rows.  Ties break by
+    # lowest flat window index, exactly like iter_topk.
+    INF32 = jnp.int32(2**31 - 1)
+    P_n = len(pivots)
+    KR = max(-(-(P_n * k) // BLK), 1)
+    oi = _flat_iota(KR)
+    topd = jnp.full((KR, BLK), INF32)
+    tops = jnp.full((KR, BLK), NEG_INF, jnp.float32)
+    cnts = jnp.zeros((1, BLK), jnp.int32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
     for pi, p in enumerate(pivots):
         others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
         others += [("slot", u, "fold") for u in pivots[pi + 1:]]
@@ -249,18 +286,30 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
                 continue
             others.append(("group", fl, slots_g))
         d_o, s_o = run_phase(p, others)
-        out_docs[0, off:off + rows[p], :] = d_o
-        out_scores[0, off:off + rows[p], :] = s_o
-        off += rows[p]
+        fiw = _flat_iota(rows[p])
+        cnts = jnp.where(ci == pi,
+                         jnp.sum((d_o != INF32).astype(jnp.int32)), cnts)
+        sc = s_o
+        for i in range(k):
+            mx = jnp.max(sc)
+            sel = jnp.min(jnp.where(sc == mx, fiw, INF32))
+            hit_lane = fiw == sel
+            dv = jnp.min(jnp.where(hit_lane, d_o, INF32))
+            opos = oi == (pi * k + i)
+            topd = jnp.where(opos, dv, topd)
+            tops = jnp.where(opos, mx, tops)
+            sc = jnp.where(hit_lane, NEG_INF, sc)
+    out_docs[0] = topd
+    out_scores[0] = tops
+    out_counts[0] = cnts
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-              *, T, Ws, groups, pivot_g):
+              *, T, Ws, groups, pivot_g, k):
     """Pure-XLA twin of the kernel semantics — the CPU fallback and the
     cross-check oracle for the Pallas lowering (interpret mode cannot
     discharge the kernels' DMAs)."""
     INF = jnp.int32(2**31 - 1)
-    pad = R_EXTRA * BLK
 
     def one(mrow, frow):
         starts = mrow[:T]
@@ -325,8 +374,13 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     jnp.where(valid, score, jnp.float32(NEG_INF)))
 
         pivots = list(groups[pivot_g][1])
-        parts_d = []
-        parts_s = []
+        P_n = len(pivots)
+        KR = max(-(-(P_n * k) // BLK), 1)
+        oi = jnp.arange(KR * BLK)
+        topd = jnp.full((KR * BLK,), INF)
+        tops = jnp.full((KR * BLK,), NEG_INF, jnp.float32)
+        cnts = jnp.zeros((BLK,), jnp.int32)
+        ci = jnp.arange(BLK)
         for pi, p in enumerate(pivots):
             others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
             others += [("slot", u, "fold") for u in pivots[pi + 1:]]
@@ -335,15 +389,26 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     continue
                 others.append(("group", fl, slots_g))
             d, sc = phase(p, others)
-            parts_d.append(jnp.pad(d, (0, pad),
-                                   constant_values=2**31 - 1))
-            parts_s.append(jnp.pad(sc, (0, pad),
-                                   constant_values=NEG_INF))
-        if len(parts_d) == 1:
-            return parts_d[0], parts_s[0]
-        return jnp.concatenate(parts_d), jnp.concatenate(parts_s)
+            fiw = jnp.arange(d.shape[0])
+            cnts = jnp.where(ci == pi,
+                             jnp.sum((d != INF).astype(jnp.int32)), cnts)
+            # identical extraction loop to the kernel (incl. the
+            # exhausted-phase quirk: mx = NEG_INF picks lane 0's doc
+            # with a NEG_INF score, which every consumer filters out)
+            for i in range(k):
+                mx = jnp.max(sc)
+                sel = jnp.min(jnp.where(sc == mx, fiw, INF))
+                hit_lane = fiw == sel
+                dv = jnp.min(jnp.where(hit_lane, d, INF))
+                opos = oi == (pi * k + i)
+                topd = jnp.where(opos, dv, topd)
+                tops = jnp.where(opos, mx, tops)
+                sc = jnp.where(hit_lane, NEG_INF, sc)
+        return topd, tops, cnts
 
-    return jax.vmap(one)(meta, fmeta)
+    docs, scores, cnts = jax.vmap(one)(meta, fmeta)
+    P_n = len(groups[pivot_g][1])
+    return docs, scores, jnp.sum(cnts[:, :P_n], axis=1)
 
 
 def iter_topk(scores, docs, k: int):
@@ -379,27 +444,29 @@ def _use_pallas() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g"))
+    jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g", "k"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     *, T: int, Ws: tuple, groups: tuple,
-                    pivot_g: int = 0):
+                    pivot_g: int = 0, k: int = 16):
     """Run the term-query kernel over a batch.
 
     meta: int32 [B, 3T] — per slot starts, lens, qmasks.
     fmeta: f32 [B, T+1] — per slot tweights (idf*weight), then avgdl.
     groups: ((flag, (slot_idx, ...)), ...) — REQ/NOT/OPT groups over the
     T slots; `pivot_g` names the REQ group whose slots generate the
-    candidate phases.  Output width = sum of the pivot group's padded
-    windows.  Returns (docs, scores) with INT32_MAX / -inf at invalid
-    lanes.
+    candidate phases.  Returns (docs [B, >=P*k], scores, counts [B]):
+    per phase the top-k (score desc, window position asc) with
+    INT32_MAX / -inf filler — merge phases with iter_topk — plus the
+    total match count.
     """
     if not _use_pallas():
         return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                         T=T, Ws=Ws, groups=groups, pivot_g=pivot_g)
+                         T=T, Ws=Ws, groups=groups, pivot_g=pivot_g, k=k)
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     pivots = set(groups[pivot_g][1])
-    rows_out = sum(rows[p] for p in groups[pivot_g][1])
+    P_n = len(groups[pivot_g][1])
+    KR = max(-(-(P_n * k) // BLK), 1)
     rows_scratch = max(rows[p] for p in pivots)
     scratch = []
     for t in range(T):
@@ -431,22 +498,26 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[
-            pl.BlockSpec((1, rows_out, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_out, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda q, meta: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
-                             pivot_g=pivot_g)
-    docs, scores = pl.pallas_call(
+                             pivot_g=pivot_g, k=k)
+    docs, scores, counts = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, rows_out, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((B, rows_out, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
         ],
     )(meta, fmeta[:, None, :], d2, f2, m2, dl2)
-    return (docs.reshape(B, rows_out * BLK),
-            scores.reshape(B, rows_out * BLK))
+    return (docs.reshape(B, KR * BLK),
+            scores.reshape(B, KR * BLK),
+            jnp.sum(counts.reshape(B, BLK)[:, :P_n], axis=1))

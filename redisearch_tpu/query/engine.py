@@ -1274,12 +1274,13 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 [stacked["tweight"][:, _slots],
                  stacked["avgdl"].reshape(-1, 1)],
                 axis=1).astype(jnp.float32)
-            docs, scores = IK.intersect_batch(
+            docs, scores, count = IK.intersect_batch(
                 meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
                 seg_args_["field_masks"], seg_args_["posting_dl"],
-                T=len(_slots), Ws=_Ws, groups=_groups, pivot_g=_pg)
-            count = jnp.sum((docs != 2**31 - 1).astype(jnp.int32),
-                            axis=1)
+                T=len(_slots), Ws=_Ws, groups=_groups, pivot_g=_pg,
+                k=_k)
+            # kernel emits per-phase top-k ([B, P*k] lanes) + counts;
+            # merging the tiny phase lists replaces the [B, W] iter_topk
             vals, sel = IK.iter_topk(scores, docs, _k)
             idx = jnp.take_along_axis(docs, sel, axis=1)
             return {"idx": idx, "scores": vals, "count": count}
