@@ -263,10 +263,17 @@ def union_windows(windows: list, dismax: bool = False,
 
 
 def dedup_adjacent(docs: jnp.ndarray, valid: jnp.ndarray):
-    """Deduplicate an ASCENDING doc array in place (dups are adjacent):
-    keeps the first of each run, invalidates the rest.  No sort."""
+    """Deduplicate an ASCENDING doc array in place: keeps the first
+    VALID entry of each doc, invalidates the rest.  No sort.
+
+    Duplicates need not be adjacent lanes: an invalidated candidate can
+    sit between two valid entries of the same doc (e.g. a phrase pivot
+    with three positions where only the outer two match).  The running
+    max of previous valid docs — exact because valid docs ascend —
+    detects those too; a plain neighbor-compare would not."""
     d = jnp.where(valid, docs, INVALID)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), d[:-1]])
+    run = jax.lax.cummax(jnp.where(valid, docs, jnp.int32(-1)))
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), run[:-1]])
     first = d != prev
     v = valid & first & (d != INVALID)
     return jnp.where(v, d, INVALID), v

@@ -71,6 +71,21 @@ def test_slop_without_inorder_accepts_reversed(phrase_ix):
     assert set(_keys(res_in)) == {"adj", "gap1"}
 
 
+def test_phrase_multi_match_doc_returned_once(c):
+    # The intersection iterator yields ONE IndexResult per doc id no
+    # matter how many phrase occurrences the doc has.  Regression: with
+    # pivot positions [t-match, b-fail, b-match] the failed candidate
+    # split the duplicate across non-adjacent lanes and the doc came
+    # back twice (dedup_adjacent compared neighbors, not previous valid).
+    c.ft_create("pd", [Field("t", FieldType.TEXT),
+                       Field("b", FieldType.TEXT)])
+    c.hset("d1", {"t": "apple banana", "b": "apple apple banana"})
+    c.hset("d2", {"t": "zz", "b": "yy"})
+    res = c.ft_search("pd", '"apple banana"', num=10)
+    assert _keys(res) == ["d1"]
+    assert res.total == 1
+
+
 def test_slop_span_is_cumulative_across_terms(c):
     # reference within_range_in_order sums gaps across ALL terms: three
     # terms with two 1-token gaps need slop >= 2, not slop >= 1

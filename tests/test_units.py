@@ -349,3 +349,17 @@ def test_dump_phonetic_hash_debug():
     import redisearch_tpu as rs
     c = rs.Client()
     assert c.ft_debug("DUMP_PHONETIC_HASH", "smith") == ["SM0", "XMT"]
+
+
+def test_dedup_adjacent_handles_invalid_gaps():
+    """dedup_adjacent must catch duplicates separated by invalidated
+    lanes (phrase pivots with a failed middle candidate), not just
+    adjacent ones."""
+    import jax.numpy as jnp
+    from redisearch_tpu.ops import window as W
+
+    docs = jnp.array([3, 3, 3, 7, 9, 9], jnp.int32)
+    valid = jnp.array([True, False, True, True, False, True])
+    d, v = W.dedup_adjacent(docs, valid)
+    out = [int(x) for x in d[v]]
+    assert out == [3, 7, 9]
