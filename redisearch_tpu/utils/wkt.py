@@ -6,7 +6,9 @@ On TPU an R-tree's pointer-chasing is hostile; with the dense-column design
 we instead keep parsed shapes host-side (numpy vertex arrays) and evaluate
 WITHIN/CONTAINS/INTERSECTS/DISJOINT as vectorized numpy predicate sweeps over
 all candidate shapes (exact point-in-polygon via winding; polygon-polygon via
-bbox + edge intersection + containment tests).
+bbox + edge intersection + containment tests).  SPHERICAL fields evaluate in
+a gnomonic tangent plane about the query shape, making the planar predicates
+exact for great-circle (geodesic) polygon edges — see _gnomonic.
 
 Supports POINT and POLYGON (outer ring; holes accepted and ignored for
 predicates other than point-in-polygon), matching the reference's documented
@@ -74,11 +76,8 @@ def parse(text: str) -> Shape:
 
 def _lon_shift(shape: Shape, ref_lon: float) -> Shape:
     """Clone `shape` with its longitudes wrapped by a multiple of 360
-    into the frame of `ref_lon` — the geographic (SPHERICAL) coordinate
-    handling (reference: GEOMETRY_COORDS_Geographic, the FT.CREATE
-    default; geometry_api.cpp "SPHERICAL").  Shapes remain evaluated
-    with planar edges in lon/lat after framing (geodesic-vs-planar edge
-    divergence only matters for continent-scale polygons)."""
+    into the frame of `ref_lon` (fallback framing for shapes too large
+    for the gnomonic projection below)."""
     c = shape.coords.reshape(-1, 2)
     shift = float(np.round((ref_lon - c[:, 0].mean()) / 360.0) * 360.0)
     if shift == 0.0:
@@ -90,12 +89,67 @@ def _lon_shift(shape: Shape, ref_lon: float) -> Shape:
     return Shape(shape.kind, coords, holes)
 
 
-def _frame(a: Optional[Shape], b: Shape,
-           spherical: bool) -> Optional[Shape]:
+def _unit_vecs(lonlat: np.ndarray) -> np.ndarray:
+    lon = np.radians(lonlat[:, 0])
+    lat = np.radians(lonlat[:, 1])
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lon), cl * np.sin(lon),
+                     np.sin(lat)], axis=1)
+
+
+def _gnomonic(shape: Shape, center: np.ndarray, east: np.ndarray,
+              north: np.ndarray) -> Optional[Shape]:
+    """Project a lon/lat shape onto the tangent plane at `center`
+    (gnomonic: x = p.e / p.c, y = p.n / p.c).  Great circles map to
+    straight lines, so the planar predicates below are EXACT for
+    geodesic polygon edges on the sphere — the geographic
+    (SPHERICAL) model of the reference (GEOMETRY_COORDS_Geographic,
+    boost::geometry geographic cs; rtree.hpp:56).  The reference's
+    geodesics live on the WGS84 ellipsoid; the spherical model here
+    differs from it by <0.3% of edge length, vs whole-degree errors
+    for planar lon/lat edges.  Returns None when a vertex leaves the
+    open hemisphere around `center` (projection undefined) — caller
+    falls back to lon-shifted planar evaluation."""
+
+    def proj(lonlat2d):
+        v = _unit_vecs(lonlat2d)
+        t = v @ center
+        if np.any(t <= 1e-9):
+            return None
+        return np.stack([(v @ east) / t, (v @ north) / t], axis=1)
+
+    c = proj(shape.coords.reshape(-1, 2))
+    if c is None:
+        return None
+    holes = []
+    for h in shape.holes:
+        hp = proj(h)
+        if hp is None:
+            return None
+        holes.append(hp)
+    coords = c[0] if shape.kind == "point" else c
+    return Shape(shape.kind, coords, holes)
+
+
+def _frame_pair(a: Optional[Shape], b: Shape, spherical: bool):
+    """Bring both shapes into one planar evaluation frame.  Spherical:
+    gnomonic tangent plane at b's center (exact geodesic edges), falling
+    back to lon-wrap framing if either shape spans past the hemisphere
+    boundary.  Flat (cartesian): shapes pass through untouched."""
     if a is None or not spherical:
-        return a
-    ref = (b.bbox[0] + b.bbox[2]) / 2.0
-    return _lon_shift(a, ref)
+        return a, b
+    mid_lon = (b.bbox[0] + b.bbox[2]) / 2.0
+    mid_lat = (b.bbox[1] + b.bbox[3]) / 2.0
+    center = _unit_vecs(np.asarray([[mid_lon, mid_lat]]))[0]
+    north = np.asarray([-np.sin(np.radians(mid_lat)) * np.cos(np.radians(mid_lon)),
+                        -np.sin(np.radians(mid_lat)) * np.sin(np.radians(mid_lon)),
+                        np.cos(np.radians(mid_lat))])
+    east = np.cross(north, center)
+    ap = _gnomonic(a, center, east, north)
+    bp = _gnomonic(b, center, east, north)
+    if ap is None or bp is None:
+        return _lon_shift(a, mid_lon), b
+    return ap, bp
 
 
 # -- predicates ------------------------------------------------------------
@@ -152,7 +206,7 @@ def _bbox_disjoint(a: Shape, b: Shape) -> bool:
 def within(inner: Optional[Shape], outer: Shape,
            spherical: bool = False) -> bool:
     """inner WITHIN outer."""
-    inner = _frame(inner, outer, spherical)
+    inner, outer = _frame_pair(inner, outer, spherical)
     if inner is None:
         return False
     if _bbox_disjoint(inner, outer):
@@ -172,12 +226,13 @@ def contains(a: Optional[Shape], b: Shape,
              spherical: bool = False) -> bool:
     if a is None:
         return False
-    return within(_frame(b, a, spherical), a)
+    b2, a2 = _frame_pair(b, a, spherical)
+    return within(b2, a2)
 
 
 def intersects(a: Optional[Shape], b: Shape,
                spherical: bool = False) -> bool:
-    a = _frame(a, b, spherical)
+    a, b = _frame_pair(a, b, spherical)
     if a is None:
         return False
     if _bbox_disjoint(a, b):

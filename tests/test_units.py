@@ -363,3 +363,29 @@ def test_dedup_adjacent_handles_invalid_gaps():
     d, v = W.dedup_adjacent(docs, valid)
     out = [int(x) for x in d[v]]
     assert out == [3, 7, 9]
+
+
+def test_wkt_spherical_edges_are_geodesics():
+    """SPHERICAL mode must treat polygon edges as great circles
+    (reference: boost::geometry geographic cs, rtree.hpp:56).  The
+    southern edge of a quad between (0,60) and (90,60) bulges to
+    ~67.8N at lon 45 — a point at (45,61) is inside the planar
+    lon/lat quad but OUTSIDE the geodesic one."""
+    from redisearch_tpu.utils import wkt as wk
+
+    quad = wk.parse("POLYGON((0 60, 90 60, 90 80, 0 80, 0 60))")
+    below_arc = wk.parse("POINT(45 61)")
+    inside = wk.parse("POINT(45 70)")
+    assert wk.within(below_arc, quad, spherical=False)       # planar: in
+    assert not wk.within(below_arc, quad, spherical=True)    # geodesic: out
+    assert wk.within(inside, quad, spherical=True)
+    assert wk.contains(quad, inside, spherical=True)
+    assert not wk.contains(quad, below_arc, spherical=True)
+    assert wk.disjoint(below_arc, quad, spherical=True)
+    assert wk.intersects(inside, quad, spherical=True)
+    # antimeridian wrap still works under the projection: a polygon
+    # straddling 180E matches a point given with negative longitude
+    am = wk.parse("POLYGON((179 -1, 181 -1, 181 1, 179 1, 179 -1))")
+    p = wk.parse("POINT(-179.5 0)")
+    assert wk.within(p, am, spherical=True)
+    assert not wk.within(p, am, spherical=False)
