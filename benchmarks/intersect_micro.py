@@ -1,0 +1,92 @@
+"""Micro-benchmark for the Pallas intersection kernel (ops/intersect.py).
+
+Synthetic posting windows at bench-realistic sizes; times intersect_batch
+per query while varying one knob at a time (k, window sizes, batch) to
+attribute the per-query cost between DMA, member pass, and in-VMEM
+extraction.  Run on the TPU host: `python benchmarks/intersect_micro.py`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from redisearch_tpu.ops import intersect as IK
+
+    assert IK._use_pallas(), "run on TPU"
+    BLK = IK.BLK
+    rng = np.random.default_rng(0)
+    n_docs = 1_000_000
+
+    def make_windows(B, Wp, Wm):
+        """B queries; slot0 = pivot window of Wp live docs, slot1 =
+        member of Wm; CSR rows padded to pow-4 buckets like the engine."""
+        rows_total = (B * (Wp + Wm)) // BLK + 4 * B
+        doc_ids = np.full((rows_total, BLK), 2**31 - 1, np.int32)
+        freqs = np.zeros((rows_total, BLK), np.float32)
+        masks = np.zeros((rows_total, BLK), np.int32)
+        dl = np.full((rows_total, BLK), 24.0, np.float32)
+        meta = np.zeros((B, 6), np.int32)
+        fmeta = np.zeros((B, 3), np.float32)
+        at = 0
+        for b in range(B):
+            for t, W in ((0, Wp), (1, Wm)):
+                docs = np.sort(rng.choice(n_docs, size=W, replace=False)
+                               ).astype(np.int32)
+                rows_w = W // BLK
+                doc_ids[at:at + rows_w] = docs.reshape(rows_w, BLK)
+                freqs[at:at + rows_w] = 1.0 + (b % 3)
+                masks[at:at + rows_w] = 3
+                meta[b, t] = at * BLK
+                meta[b, 2 + t] = W
+                meta[b, 4 + t] = 3
+                at += rows_w + 1          # 1 spare row between windows
+            fmeta[b] = (2.0, 1.5, 24.0)
+        return (jnp.asarray(meta), jnp.asarray(fmeta),
+                jnp.asarray(doc_ids), jnp.asarray(freqs),
+                jnp.asarray(masks), jnp.asarray(dl))
+
+    def run(args, Wp, Wm, k, label, iters=8):
+        groups = ((0, (0,)), (0, (1,)))
+        Ws = (Wp, Wm)
+        out = IK.intersect_batch(*args, T=2, Ws=Ws, groups=groups,
+                                 pivot_g=0, k=k)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _i in range(iters):
+                out = IK.intersect_batch(*args, T=2, Ws=Ws,
+                                         groups=groups, pivot_g=0, k=k)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        B = args[0].shape[0]
+        us = best / iters / B * 1e6
+        print(f"{label}: {us:8.1f} us/query   "
+              f"({iters * B / best:8.0f} QPS)")
+        return us
+
+    B = 512
+    # bench-realistic AND-2: pivot 8k..32k, member 32k..128k
+    for Wp, Wm in [(8192, 32768), (8192, 131072), (32768, 131072),
+                   (2048, 8192)]:
+        args = make_windows(B, Wp, Wm)
+        run(args, Wp, Wm, 16, f"Wp={Wp:6d} Wm={Wm:6d} k=16")
+        run(args, Wp, Wm, 1, f"Wp={Wp:6d} Wm={Wm:6d} k=1 ")
+
+    # batch scaling at the modal shape
+    for Bx in (128, 1024):
+        args = make_windows(Bx, 8192, 32768)
+        run(args, 8192, 32768, 16, f"B={Bx:5d} Wp=8192 Wm=32768 k=16")
+
+
+if __name__ == "__main__":
+    main()
