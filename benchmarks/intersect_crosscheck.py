@@ -1,0 +1,125 @@
+"""Cross-check the Pallas intersection kernel against its pure-XLA twin.
+
+Runs ON TPU: `intersect_batch` takes the Pallas lowering there while
+`_xla_impl` is the executable specification (the same function the CPU
+test suite pins against the engine's scan path).  Any mismatch in docs,
+scores, or counts across random window layouts is a kernel lowering bug.
+
+Covers the shapes the engine can route to the kernel: 1-4 slots,
+REQ/NOT/OPT groups, union groups, oversized member windows, arbitrary
+(start % 128) offsets, duplicate docs across windows, and k in {1, 16}.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from redisearch_tpu.ops import intersect as IK
+
+    assert IK._use_pallas(), "run on TPU"
+    BLK = IK.BLK
+    rng = np.random.default_rng(7)
+    n_docs = 500_000
+
+    def make(B, Ws, overlap=0.3):
+        T = len(Ws)
+        rows_total = (B * sum(Ws)) // BLK + 4 * B * T
+        doc_ids = np.full((rows_total, BLK), 2**31 - 1, np.int32)
+        freqs = np.zeros((rows_total, BLK), np.float32)
+        masks = np.zeros((rows_total, BLK), np.int32)
+        dl = np.abs(rng.normal(24.0, 6.0, (rows_total, BLK))
+                    ).astype(np.float32) + 1.0
+        meta = np.zeros((B, 3 * T), np.int32)
+        fmeta = np.zeros((B, T + 1), np.float32)
+        at = 0
+        for b in range(B):
+            # shared pool so windows genuinely intersect
+            pool = np.sort(rng.choice(
+                n_docs, size=max(Ws) * 2, replace=False))
+            for t, W in enumerate(Ws):
+                live = rng.integers(max(1, W // 2), W + 1)
+                take = rng.random(len(pool)) < overlap
+                shared = pool[take][:live]
+                extra = rng.choice(n_docs, size=live - len(shared),
+                                   replace=False)
+                docs = np.unique(np.concatenate(
+                    [shared, extra]))[:live].astype(np.int32)
+                live = len(docs)
+                # arbitrary start % 128 offset
+                off = int(rng.integers(0, BLK))
+                flat = at * BLK + off
+                rows_w = (off + W + BLK - 1) // BLK
+                fd = doc_ids[at:at + rows_w].reshape(-1)
+                ff = freqs[at:at + rows_w].reshape(-1)
+                fm = masks[at:at + rows_w].reshape(-1)
+                fd[off:off + live] = docs
+                ff[off:off + live] = rng.integers(
+                    1, 8, live).astype(np.float32)
+                # some postings fail the field mask
+                fm[off:off + live] = np.where(
+                    rng.random(live) < 0.9, 3, 4)
+                doc_ids[at:at + rows_w] = fd.reshape(rows_w, BLK)
+                freqs[at:at + rows_w] = ff.reshape(rows_w, BLK)
+                masks[at:at + rows_w] = fm.reshape(rows_w, BLK)
+                meta[b, t] = flat
+                meta[b, T + t] = live
+                meta[b, 2 * T + t] = 3
+                at += rows_w + 1
+            fmeta[b, :T] = rng.uniform(0.5, 4.0, T)
+            fmeta[b, T] = 24.0
+        return (jnp.asarray(meta), jnp.asarray(fmeta),
+                jnp.asarray(doc_ids.reshape(-1)),
+                jnp.asarray(freqs.reshape(-1)),
+                jnp.asarray(masks.reshape(-1)),
+                jnp.asarray(dl.reshape(-1)))
+
+    CASES = [
+        # (Ws, groups, pivot_g, k, label)
+        ((2048, 8192), ((IK.REQ, (0,)), (IK.REQ, (1,))), 0, 16, "and2"),
+        ((2048, 8192), ((IK.REQ, (0,)), (IK.NOT, (1,))), 0, 16, "not"),
+        ((2048, 8192), ((IK.REQ, (0,)), (IK.OPT, (1,))), 0, 16, "opt"),
+        ((2048, 2048), ((IK.REQ, (0, 1)),), 0, 16, "or2"),
+        ((2048, 8192, 8192), ((IK.REQ, (0,)), (IK.REQ, (1,)),
+                              (IK.NOT, (2,))), 0, 16, "and2-not"),
+        ((2048, 2048, 8192), ((IK.REQ, (0, 1)), (IK.REQ, (2,))),
+         0, 16, "or2-and"),
+        ((8192, 131072), ((IK.REQ, (0,)), (IK.REQ, (1,))), 0, 16,
+         "big-member"),
+        ((2048, 8192), ((IK.REQ, (0,)), (IK.REQ, (1,))), 0, 1, "k1"),
+    ]
+    bad = 0
+    for Ws, groups, pivot_g, k, label in CASES:
+        args = make(64, Ws)
+        kd, ks, kc = jax.device_get(IK.intersect_batch(
+            *args, T=len(Ws), Ws=Ws, groups=groups,
+            pivot_g=pivot_g, k=k))
+        xd, xs, xc = jax.device_get(IK._xla_impl(
+            *args, T=len(Ws), Ws=Ws, groups=groups,
+            pivot_g=pivot_g, k=k))
+        P_n = len(groups[pivot_g][1])
+        kd, ks = kd[:, :P_n * k], ks[:, :P_n * k]
+        xd, xs = xd[:, :P_n * k], xs[:, :P_n * k]
+        m_doc = int((kd != xd).sum())
+        m_sc = int((np.abs(ks - xs) > 1e-3 * np.maximum(
+            1.0, np.abs(xs))).sum())
+        m_cnt = int((kc != xc).sum())
+        status = "OK " if (m_doc + m_sc + m_cnt) == 0 else "FAIL"
+        bad += m_doc + m_sc + m_cnt
+        print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
+              f"scores={m_sc} counts={m_cnt}")
+    if bad:
+        print(f"CROSSCHECK FAILED: {bad} mismatches")
+        sys.exit(1)
+    print("crosscheck: 0 mismatches")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,10 +26,13 @@ def main():
     rng = np.random.default_rng(0)
     n_docs = 1_000_000
 
-    def make_windows(B, Wp, Wm):
-        """B queries; slot0 = pivot window of Wp live docs, slot1 =
-        member of Wm; CSR rows padded to pow-4 buckets like the engine."""
-        rows_total = (B * (Wp + Wm)) // BLK + 4 * B
+    def make_windows(B, Wp, Wm, n_unique=16):
+        """B queries over a pool of n_unique (pivot, member) window
+        pairs; per-query kernel work is identical to fully-distinct
+        windows (each query DMAs + intersects its whole pair) but the
+        h2d upload shrinks ~B/n_unique-fold — a full per-query CSR at
+        B=512 is ~340 MB, minutes through the tunneled attach."""
+        rows_total = (n_unique * (Wp + Wm)) // BLK + 4 * n_unique
         doc_ids = np.full((rows_total, BLK), 2**31 - 1, np.int32)
         freqs = np.zeros((rows_total, BLK), np.float32)
         masks = np.zeros((rows_total, BLK), np.int32)
@@ -37,38 +40,54 @@ def main():
         meta = np.zeros((B, 6), np.int32)
         fmeta = np.zeros((B, 3), np.float32)
         at = 0
-        for b in range(B):
-            for t, W in ((0, Wp), (1, Wm)):
+        pool = []
+        for u in range(n_unique):
+            entry = []
+            for W in (Wp, Wm):
                 docs = np.sort(rng.choice(n_docs, size=W, replace=False)
                                ).astype(np.int32)
                 rows_w = W // BLK
                 doc_ids[at:at + rows_w] = docs.reshape(rows_w, BLK)
-                freqs[at:at + rows_w] = 1.0 + (b % 3)
+                freqs[at:at + rows_w] = 1.0 + (u % 3)
                 masks[at:at + rows_w] = 3
-                meta[b, t] = at * BLK
-                meta[b, 2 + t] = W
-                meta[b, 4 + t] = 3
+                entry.append((at * BLK, W))
                 at += rows_w + 1          # 1 spare row between windows
+            pool.append(entry)
+        for b in range(B):
+            for t in (0, 1):
+                meta[b, t] = pool[b % n_unique][t][0]
+                meta[b, 2 + t] = pool[b % n_unique][t][1]
+                meta[b, 4 + t] = 3
             fmeta[b] = (2.0, 1.5, 24.0)
         return (jnp.asarray(meta), jnp.asarray(fmeta),
-                jnp.asarray(doc_ids), jnp.asarray(freqs),
-                jnp.asarray(masks), jnp.asarray(dl))
+                jnp.asarray(doc_ids.reshape(-1)),
+                jnp.asarray(freqs.reshape(-1)),
+                jnp.asarray(masks.reshape(-1)),
+                jnp.asarray(dl.reshape(-1)))
 
     def run(args, Wp, Wm, k, label, iters=8):
         groups = ((0, (0,)), (0, (1,)))
         Ws = (Wp, Wm)
-        out = IK.intersect_batch(*args, T=2, Ws=Ws, groups=groups,
-                                 pivot_g=0, k=k)
-        jax.block_until_ready(out)
+        meta, rest = args[0], args[1:]
+        # the tunnel memoizes dispatches by input value — every timed
+        # call must be an input combination it has NEVER seen, so each
+        # repeat consumes a fresh slice of query-order rotations
+        metas = [jnp.roll(meta, i + 1, axis=0) for i in range(3 * iters)]
+        jax.block_until_ready(IK.intersect_batch(
+            meta, *rest, T=2, Ws=Ws, groups=groups, pivot_g=0, k=k))
         best = float("inf")
-        for _ in range(3):
+        for r in range(3):
+            outs = []
             t0 = time.perf_counter()
             for _i in range(iters):
-                out = IK.intersect_batch(*args, T=2, Ws=Ws,
-                                         groups=groups, pivot_g=0, k=k)
-            jax.block_until_ready(out)
+                outs.append(IK.intersect_batch(
+                    metas[r * iters + _i], *rest, T=2, Ws=Ws,
+                    groups=groups, pivot_g=0, k=k))
+            # block_until_ready does NOT force a round trip on the
+            # tunneled attach; a device_get collect does
+            jax.device_get([o[2] for o in outs])
             best = min(best, time.perf_counter() - t0)
-        B = args[0].shape[0]
+        B = meta.shape[0]
         us = best / iters / B * 1e6
         print(f"{label}: {us:8.1f} us/query   "
               f"({iters * B / best:8.0f} QPS)")
