@@ -53,6 +53,8 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
     for attr, tp in seg.tags.items():
         put(f"tag.{attr}.offsets", tp.offsets)
         put(f"tag.{attr}.doc_ids", tp.doc_ids)
+        if tp.codes is not None:
+            put(f"tag.{attr}.codes", tp.codes)
         meta[prefix][f"tag.{attr}"] = {"nnz": tp.nnz,
                                        "max_postings": tp.max_postings}
     for attr, c in seg.numerics.items():
@@ -174,6 +176,8 @@ def load(path: str):
                 doc_ids=arr(f"{p}.tag.{attr}.doc_ids"),
                 nnz=tmeta["nnz"], max_postings=tmeta["max_postings"],
                 offsets_np=np.asarray(npz[f"{p}.tag.{attr}.offsets"]),
+                codes=(arr(f"{p}.tag.{attr}.codes")
+                       if f"{p}.tag.{attr}.codes" in npz.files else None),
             )
         numerics = {}
         for attr in sm["numeric_fields"]:

@@ -491,6 +491,16 @@ class SegmentBuilder:
                 lst = stage[v]
                 t_ids[at:at + len(lst)] = lst
                 at += len(lst)
+            # dense value-id column for single-valued fields (see
+            # TagPostings.codes): docs seen twice disable the column
+            codes = np.full(n_pad, -1, np.int32)
+            single = True
+            for i, v in enumerate(values):
+                lst = np.asarray(stage[v], np.int64)
+                if lst.size and codes[lst].max() >= 0:
+                    single = False
+                    break
+                codes[lst] = i
             tags[attr] = TagPostings(
                 ids={v: i for i, v in enumerate(values)},
                 values=values,
@@ -499,6 +509,7 @@ class SegmentBuilder:
                 nnz=t_nnz,
                 max_postings=t_max,
                 offsets_np=t_off.astype(np.int32),
+                codes=jnp.asarray(codes) if single else None,
             )
 
         # ---- dense columns

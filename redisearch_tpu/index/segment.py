@@ -153,6 +153,13 @@ class TagPostings:
     nnz: int
     max_postings: int
     offsets_np: Optional[np.ndarray] = None       # host mirror for planning
+    # Dense doc-aligned value-id column (int32[n_pad], -1 = no value),
+    # built only when every doc carries <= 1 value for this field: tag
+    # *predicates* then check `codes[doc] == qcode` per candidate instead
+    # of block-gathering the value's posting window (the [Q,128] row-DMA
+    # membership costs ~7 ns/element; the code compare is one gather per
+    # candidate).  Multi-valued fields keep the posting-window member path.
+    codes: Any = None
     _sorted: Optional[list[str]] = None
 
     @property

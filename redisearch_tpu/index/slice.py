@@ -148,12 +148,21 @@ def slice_segment(seg: Segment, sel: np.ndarray,
         t_nnz = int(t_new_off[-1])
         t_ids = np.zeros(round_up(max(t_nnz, 1), LANE), np.int32)
         t_ids[:t_nnz] = t_new_docs
+        new_codes = None
+        if tp.codes is not None:
+            # single-valuedness is preserved by slicing: carry the dense
+            # value-id column through the doc remap
+            oc = np.asarray(tp.codes)
+            nc = np.full(n_pad_new, -1, np.int32)
+            nc[remap[sel]] = oc[sel]
+            new_codes = jnp.asarray(nc)
         tags[attr] = TagPostings(
             ids=tp.ids, values=tp.values,
             offsets=jnp.asarray(t_new_off.astype(np.int32)),
             doc_ids=jnp.asarray(tail_pad(t_ids, cap)), nnz=t_nnz,
             max_postings=int(t_counts.max()) if n_vals else 0,
-            offsets_np=t_new_off.astype(np.int32))
+            offsets_np=t_new_off.astype(np.int32),
+            codes=new_codes)
 
     # ---- dense columns
     from .segment import make_numeric_column, make_vector_column

@@ -555,6 +555,9 @@ class CompiledQuery:
             ns = leaf.n_slots
             tstarts = np.zeros(ns, np.int32)
             tlens = np.zeros(ns, np.int32)
+            # -2 = unbound slot: never equals a real value id, nor the -1
+            # "doc has no value" marker in the dense codes column
+            tqcodes = np.full(ns, -2, np.int32)
             if tp is not None:
                 vals = self._expand_tag_values(node, tp)
                 for a, v in enumerate(vals[:ns]):
@@ -562,9 +565,11 @@ class CompiledQuery:
                     if vid >= 0:
                         tstarts[a] = tp.offsets_np[vid]
                         tlens[a] = tp.offsets_np[vid + 1] - tp.offsets_np[vid]
+                        tqcodes[a] = vid
                 P_tag = max(P_tag, int(tlens.max()) if ns else 1)
             dyn[f"tag{j}_starts"] = tstarts
             dyn[f"tag{j}_lens"] = tlens
+            dyn[f"tag{j}_qcodes"] = tqcodes
         dyn["_tagL"] = P_tag  # popped before jit
 
         # numerics / geo
@@ -673,6 +678,8 @@ class CompiledQuery:
                 perm = np.concatenate([nz, np.nonzero(tl == 0)[0]])
                 dyn[f"tag{leaf.ord}_starts"] = ts[perm]
                 dyn[f"tag{leaf.ord}_lens"] = tl[perm]
+                dyn[f"tag{leaf.ord}_qcodes"] = \
+                    dyn[f"tag{leaf.ord}_qcodes"][perm]
                 nu = next_pow2(max(len(nz), 1))
                 W = min(self.bucket_size(int(tl.max()) if tl.size else 1),
                         cap)
@@ -881,6 +888,7 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}"
                f"|extra={extra_mask is not None}|mode={mode}"
                f"|ivf={_knn_ivf_sig(cq, seg)}"
+               f"|tc={_tag_codes_ords(cq, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
@@ -1244,6 +1252,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
     seg_sig = (f"n={seg.n_pad}|stride={seg.text.pos_stride}|batch={B}"
                f"|ivf={_knn_ivf_sig(cq0, seg)}"
+               f"|tc={_tag_codes_ords(cq0, seg)}"
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
@@ -1331,6 +1340,19 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     return entry
 
 
+def _tag_codes_ords(cq: CompiledQuery, seg: Segment) -> tuple:
+    """Tag ords whose field has the dense value-id column on this segment
+    (single-valued TAG fields — see TagPostings.codes).  Part of the
+    compile-cache key: the predicate lowers to a per-candidate code
+    compare instead of posting-window membership."""
+    out = []
+    for j, node in enumerate(cq.tag_nodes):
+        tp = seg.tags.get(cq.schema.field(node.field).attribute)
+        if tp is not None and tp.codes is not None:
+            out.append(j)
+    return tuple(out)
+
+
 def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
     args = {
         "gids": seg.gids,
@@ -1352,6 +1374,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         tp = seg.tags.get(cq.schema.field(node.field).attribute)
         args[f"tag{j}_docs"] = (tp.doc_ids if tp is not None
                                 else jnp.zeros(1, jnp.int32))
+        if tp is not None and tp.codes is not None:
+            args[f"tag{j}_codes"] = tp.codes
     for leaf, _idx in cq.leaves():
         if (isinstance(leaf, (LTag, LNumeric, LGeo, LVecRange))
                 and leaf.field in seg.field_fexp):
@@ -1676,6 +1700,7 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
     seg_ttl = seg_proto.has_ttl
     text_field_ttl = seg_proto.text_fexp is not None
     fexp_attrs = frozenset(seg_proto.field_fexp)
+    tag_code_ords = frozenset(_tag_codes_ords(cq, seg_proto))
     seg_uniform_ds = seg_proto.uniform_docscore
     # BM25STD/DOCNORM read the norm operand from the per-posting doclens
     # column (sliced, not gathered); TFIDF needs max_freq and keeps the
@@ -1904,6 +1929,20 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     return m, s
                 return f
             if isinstance(leaf, LTag):
+                if leaf.ord in tag_code_ords:
+                    # dense value-id column (single-valued TAG field):
+                    # one code gather + compare per candidate instead of
+                    # posting-window block membership (~100x less gather
+                    # traffic at 64k-wide tag windows)
+                    def f(docs, dl):
+                        c = seg[f"tag{leaf.ord}_codes"][clampdoc(docs)]
+                        qc = dyn[f"tag{leaf.ord}_qcodes"]
+                        m = jnp.any(c[:, None] == qc[None, :], axis=1)
+                        m = m & (docs != W.INVALID)
+                        if leaf.field in fexp_attrs:
+                            m = field_alive("tag", leaf.ord, docs, m)
+                        return m, jnp.where(m, const, 0.0)
+                    return f
                 nu, Wn = buckets[idx]
                 wins = []
                 for j in range(nu):

@@ -404,3 +404,72 @@ def test_geometry_flat_no_wrap():
     r = ix.search("@g:[WITHIN $p]", params={"p": poly}, num=10)
     # cartesian: -180.5 is just a coordinate far away, no wrapping
     assert [h.key for h in r.hits] == ["a"]
+
+
+def test_tag_codes_column_single_vs_multi_valued():
+    """Single-valued TAG fields build the dense value-id column
+    (TagPostings.codes) and the predicate lowers to a per-candidate code
+    compare; multi-valued fields keep posting-window membership.  Both
+    must return identical results (reference: tag_index.c predicates)."""
+    from redisearch_tpu.index.slice import slice_segment
+    ix = rs.SearchIndex(rs.Schema(name="tagcodes", fields=[
+        rs.Field("body", rs.FieldType.TEXT),
+        rs.Field("color", rs.FieldType.TAG),     # one value per doc
+        rs.Field("labels", rs.FieldType.TAG),    # several values per doc
+    ]))
+    colors = ["red", "green", "blue", "teal"]
+    docs = {}
+    for i in range(120):
+        labels = sorted({colors[i % 4], colors[(3 * i + 1) % 4]})
+        docs[i] = (colors[i % 4], labels)
+        ix.add_document(f"d{i}", {"body": f"apple w{i % 5}",
+                                  "color": colors[i % 4],
+                                  "labels": ",".join(labels)})
+    ix.commit()
+    seg = ix.segments[0]
+    assert seg.tags["color"].codes is not None
+    assert seg.tags["labels"].codes is None
+
+    def ids(res):
+        return sorted(int(h.key[1:]) for h in res)
+
+    got = ix.search("@color:{red|teal}", num=200)
+    assert ids(got) == sorted(i for i, (c, _) in docs.items()
+                              if c in ("red", "teal"))
+    got = ix.search("apple -@color:{green}", num=200)
+    assert ids(got) == sorted(i for i, (c, _) in docs.items() if c != "green")
+    got = ix.search("@labels:{blue}", num=200)
+    assert ids(got) == sorted(i for i, (_, ls) in docs.items() if "blue" in ls)
+    # unknown tag value: the slot stays unbound (-2 sentinel) and matches
+    # nothing, including docs with no value
+    assert ix.search("@color:{nosuchvalue}", num=200).total == 0
+
+    # slicing carries the column through the doc remap
+    keep = np.zeros(seg.n_pad, bool)
+    live = [i for i in range(120) if i % 3 != 0]
+    for i in live:
+        keep[i] = True
+    sub = slice_segment(seg, np.nonzero(keep)[0])
+    assert sub.tags["color"].codes is not None
+    sub_ids = {v: k for k, v in sub.tags["color"].ids.items()}
+    oc = np.asarray(seg.tags["color"].codes)
+    nc = np.asarray(sub.tags["color"].codes)
+    for new_pos, old in enumerate(np.nonzero(keep)[0]):
+        assert nc[new_pos] == oc[old]
+    assert (nc[len(live):] == -1).all()
+
+
+def test_tag_codes_checkpoint_roundtrip(tmp_path):
+    from redisearch_tpu.aux import checkpoint
+    ix = rs.SearchIndex(rs.Schema(name="tagck", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("kind", rs.FieldType.TAG)]))
+    for i in range(40):
+        ix.add_document(f"d{i}", {"t": "word", "kind": "ab"[i % 2]})
+    ix.commit()
+    assert ix.segments[0].tags["kind"].codes is not None
+    checkpoint.save(ix, str(tmp_path / "ck"))
+    ix2 = checkpoint.load(str(tmp_path / "ck"))
+    assert ix2.segments[0].tags["kind"].codes is not None
+    got = sorted(int(h.key[1:]) for h in ix2.search("@kind:{a}", num=50))
+    assert got == list(range(0, 40, 2))
