@@ -77,7 +77,14 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         put(f"vec.{attr}.sq", v.sq_norms)
         if v.multi:
             put(f"vec.{attr}.doc_rows", v.doc_rows)
-        meta[prefix][f"vec.{attr}"] = {"dim": v.dim, "multi": v.multi}
+        # persist trained centroids so load can rebuild the IVF/host-tier
+        # structures by assignment only (no k-means retrain)
+        if v.host and v.host_ivf is not None:
+            put(f"vec.{attr}.cents", v.host_ivf.centroids)
+        elif v.ivf is not None:
+            put(f"vec.{attr}.cents", v.ivf.centroids)
+        meta[prefix][f"vec.{attr}"] = {"dim": v.dim, "multi": v.multi,
+                                       "host": v.host}
     for attr, m in seg.missing.items():
         put(f"missing.{attr}", m)
     if seg.text_fexp is not None:
@@ -205,15 +212,40 @@ def load(path: str):
         vectors = {}
         for attr in sm["vector_fields"]:
             dt = host["vec_dtypes"][i][attr]
+            vmeta = sm[f"vec.{attr}"]
+            metric = host["schema"].field(attr).vector.metric.value
+            cents = (np.asarray(npz[f"{p}.vec.{attr}.cents"])
+                     if f"{p}.vec.{attr}.cents" in npz.files else None)
+            if vmeta.get("host"):
+                from ..ops.ivf import HostIVF
+                mat = np.asarray(npz[f"{p}.vec.{attr}.vecs"], np.float32)
+                pres = np.asarray(npz[f"{p}.vec.{attr}.present"])
+                vectors[attr] = VectorColumn(
+                    vecs=mat, present=jnp.asarray(pres),
+                    dim=vmeta["dim"],
+                    sq_norms=np.asarray(npz[f"{p}.vec.{attr}.sq"]),
+                    host=True,
+                    host_ivf=(HostIVF.build(mat, pres, metric,
+                                            centroids=cents)
+                              if cents is not None else None))
+                continue
+            ivf = None
+            if cents is not None:
+                from ..ops.ivf import IVFIndex
+                ivf = IVFIndex.build(
+                    np.asarray(npz[f"{p}.vec.{attr}.vecs"], np.float32),
+                    np.asarray(npz[f"{p}.vec.{attr}.present"]), metric,
+                    centroids=cents)
             vectors[attr] = VectorColumn(
                 vecs=jnp.asarray(npz[f"{p}.vec.{attr}.vecs"],
                                  dtype=jnp.dtype(dt)),
                 present=arr(f"{p}.vec.{attr}.present"),
-                dim=sm[f"vec.{attr}"]["dim"],
+                dim=vmeta["dim"],
                 sq_norms=arr(f"{p}.vec.{attr}.sq"),
                 doc_rows=(arr(f"{p}.vec.{attr}.doc_rows")
-                          if sm[f"vec.{attr}"].get("multi") else None),
-                multi=bool(sm[f"vec.{attr}"].get("multi")),
+                          if vmeta.get("multi") else None),
+                multi=bool(vmeta.get("multi")),
+                ivf=ivf,
             )
         missing = {attr: arr(f"{p}.missing.{attr}")
                    for attr in sm["missing_fields"]}

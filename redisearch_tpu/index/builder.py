@@ -549,7 +549,8 @@ class SegmentBuilder:
             field = self.schema.field(attr)
             vp = field.vector
             vectors[attr] = make_vector_column(rows, n, n_pad, vp.dim,
-                                               vp.dtype)
+                                               vp.dtype,
+                                               host=vp.storage == "host")
 
         missing = {}
         for attr, pres in self._present.items():

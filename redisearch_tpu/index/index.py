@@ -252,12 +252,20 @@ class SearchIndex:
         (src/vector_index.c:89): fresh writes are exact, large sealed
         segments get the ANN structure."""
         from ..schema import VectorAlgo
-        from ..ops.ivf import IVFIndex
+        from ..ops.ivf import HostIVF, IVFIndex
         for f in self.schema.fields_of(FieldType.VECTOR):
             vp = f.vector
+            col = seg.vectors.get(f.attribute)
+            if col is not None and col.host:
+                # host tier has no device FLAT fallback: the bucket slabs
+                # ARE the only query structure, so build unconditionally
+                if col.host_ivf is None:
+                    col.host_ivf = HostIVF.build(
+                        col.vecs, np.asarray(col.present),
+                        vp.metric.value, nlist=vp.nlist)
+                continue
             if vp.algo == VectorAlgo.FLAT:
                 continue
-            col = seg.vectors.get(f.attribute)
             if col is None or col.ivf is not None or col.multi:
                 continue  # multi-value columns stay on the exact scan
             n_present = int(np.asarray(col.present).sum())
@@ -299,6 +307,9 @@ class SearchIndex:
             if live.size == src.num_alive == src.n_docs:
                 return   # nothing to drop
             self.segments = [slice_segment(src, live)]
+            # the slice carries host-tier structures itself; device IVF
+            # must be rebuilt (it indexes pre-slice local ids)
+            self._build_ann(self.segments[0])
             return
         builder = SegmentBuilder(self.schema, self.stopwords, self.synonyms)
         for seg in self.segments:
@@ -313,6 +324,7 @@ class SearchIndex:
         seg = builder.seal()
         if seg is not None:
             self.segments.append(seg)
+            self._build_ann(seg)
 
     # -- read path ----------------------------------------------------------
     def parse_query(self, query: str, params=None,
@@ -763,6 +775,8 @@ class SearchIndex:
         vec_mem = sum(
             (v.vecs.nbytes if hasattr(v.vecs, "nbytes") else 0)
             + (v.ivf.memory_bytes() if v.ivf is not None else 0)
+            + (v.host_ivf.device_bytes() + v.host_ivf.host_bytes()
+               if v.host_ivf is not None else 0)
             for seg in self.segments for v in seg.vectors.values())
         return {
             "index_name": self.schema.name,

@@ -259,11 +259,14 @@ _VEC_JNP_DTYPES = {
 
 
 def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
-                       dtype_name: str) -> "VectorColumn":
+                       dtype_name: str, host: bool = False
+                       ) -> "VectorColumn":
     """Build a VectorColumn from per-doc vector lists.
     rows_per_doc[i]: None | ndarray[dim] | list[ndarray[dim]].
     Multi-value docs switch the column to row layout (reference: VecSim
-    multi-value support, src/vector_index.h)."""
+    multi-value support, src/vector_index.h).  host=True keeps the
+    vector matrix in HOST memory (beyond-HBM tier, ops/ivf.py HostIVF);
+    only `present` goes to the device."""
     import jax.numpy as jnp
 
     norm = []
@@ -278,16 +281,24 @@ def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
     multi = any(len(v) > 1 for v in norm)
     dt = getattr(jnp, _VEC_JNP_DTYPES.get(dtype_name, "float32"))
     present = np.array([len(v) > 0 for v in norm], bool)
+    if host and multi:
+        raise ValueError(
+            "host-tier (storage='host') vector fields do not support "
+            "multi-value documents")
     if not multi:
         mat = np.zeros((n_pad, dim), np.float32)
         for i, v in enumerate(norm):
             if v:
                 mat[i] = v[0]
+        sq = (mat.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        if host:
+            return VectorColumn(
+                vecs=mat, present=jnp.asarray(present), dim=dim,
+                sq_norms=sq, host=True)
         return VectorColumn(
             vecs=jnp.asarray(mat, dtype=dt),
             present=jnp.asarray(present), dim=dim,
-            sq_norms=jnp.asarray((mat.astype(np.float64) ** 2)
-                                 .sum(1).astype(np.float32)))
+            sq_norms=jnp.asarray(sq))
     M = next_pow2(max(len(v) for v in norm))
     R = sum(len(v) for v in norm)
     R_pad = max(round_up(R, 8), 8)
@@ -347,6 +358,12 @@ class VectorColumn:
     # small fresh segments stay FLAT, which IS the reference's tiered
     # flat-front-buffer semantics (src/vector_index.c tiered).
     ivf: Any = None
+    # Beyond-HBM tier (VectorParams.storage == "host"): vecs/sq_norms are
+    # HOST numpy, host_ivf (ops/ivf.py HostIVF) holds the bucket slabs;
+    # KNN pages probed lists to the device per batch (reference analog:
+    # the disk tier, src/search_disk_api.h).
+    host: bool = False
+    host_ivf: Any = None
 
 
 _SEG_UIDS = itertools.count()

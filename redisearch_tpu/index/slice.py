@@ -221,6 +221,26 @@ def slice_segment(seg: Segment, sel: np.ndarray,
                 vecs=jnp.asarray(new_rows), present=jnp.asarray(pres),
                 dim=vc.dim, sq_norms=jnp.asarray(sq.astype(np.float32)),
                 doc_rows=jnp.asarray(new_dr), multi=True)
+        elif vc.host:
+            # host tier: numpy slices stay on the host; rebuild the
+            # bucket slabs around the KEPT centroids (assignment only —
+            # no k-means retrain on compaction)
+            from ..ops.ivf import HostIVF
+            mat_old = np.asarray(vc.vecs)
+            mat = np.zeros((n_pad_new, vc.dim), mat_old.dtype)
+            mat[:n_new] = mat_old[sel]
+            pres_np = np.zeros(n_pad_new, bool)
+            pres_np[:n_new] = np.asarray(vc.present)[sel]
+            sq = np.zeros(n_pad_new, np.float32)
+            sq[:n_new] = np.asarray(vc.sq_norms)[sel]
+            hivf = None
+            if vc.host_ivf is not None:
+                hivf = HostIVF.build(
+                    mat, pres_np, vc.host_ivf.metric,
+                    centroids=np.asarray(vc.host_ivf.centroids))
+            vectors[attr] = VectorColumn(
+                vecs=mat, present=jnp.asarray(pres_np), dim=vc.dim,
+                sq_norms=sq, host=True, host_ivf=hivf)
         else:
             mat_old = np.asarray(vc.vecs)
             mat = np.zeros((n_pad_new, vc.dim), mat_old.dtype)

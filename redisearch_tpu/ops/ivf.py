@@ -97,6 +97,48 @@ def train_kmeans(x: np.ndarray, nlist: int, iters: int = 10,
 # IVF index
 # ---------------------------------------------------------------------------
 
+def _build_buckets(vecs: np.ndarray, present: np.ndarray, metric: str,
+                   nlist: int = 0, iters: int = 10,
+                   centroids: Optional[np.ndarray] = None):
+    """Shared bucket construction: train (or reuse) centroids, assign
+    every present vector, lay lists out bucket-major with 128-aligned
+    padding.  Returns host numpy (cents, csq, bv, bsq, bi, nlist,
+    list_pad, d)."""
+    sel = np.nonzero(np.asarray(present))[0]
+    x = np.asarray(vecs, np.float32)[sel]
+    n, d = x.shape
+    xn = x
+    if metric == "COSINE":
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-30)
+    if centroids is None:
+        if nlist <= 0:
+            nlist = max(int(np.sqrt(max(n, 1))), 1)
+        cents = train_kmeans(xn, nlist, iters)
+    else:
+        cents = np.asarray(centroids, np.float32)
+        nlist = cents.shape[0]
+    csq = np.sum(cents * cents, axis=1)
+    if n:
+        assign = np.argmax(2.0 * (xn @ cents.T) - csq[None, :], axis=1)
+    else:
+        assign = np.zeros(0, np.int64)
+    counts = np.bincount(assign, minlength=nlist)
+    list_pad = max(int(counts.max()), 1)
+    list_pad = ((list_pad + 127) // 128) * 128
+    bv = np.zeros((nlist, list_pad, d), np.float32)
+    bi = np.full((nlist, list_pad), -1, np.int32)
+    fill = np.zeros(nlist, np.int64)
+    for row, c in enumerate(assign):
+        j = fill[c]
+        bv[c, j] = x[row]
+        bi[c, j] = sel[row]
+        fill[c] += 1
+    bsq = np.sum(bv * bv, axis=2)
+    return (cents, csq.astype(np.float32), bv, bsq.astype(np.float32),
+            bi, nlist, list_pad, d)
+
+
 @dataclasses.dataclass
 class IVFIndex:
     """Bucket-major IVF storage for one vector field of one segment."""
@@ -113,36 +155,13 @@ class IVFIndex:
 
     @classmethod
     def build(cls, vecs: np.ndarray, present: np.ndarray, metric: str,
-              nlist: int = 0, iters: int = 10,
-              dtype=jnp.float32) -> "IVFIndex":
-        sel = np.nonzero(np.asarray(present))[0]
-        x = np.asarray(vecs, np.float32)[sel]
-        n, d = x.shape
-        if nlist <= 0:
-            nlist = max(int(np.sqrt(max(n, 1))), 1)
-        xn = x
-        if metric == "COSINE":
-            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
-                                1e-30)
-        cents = train_kmeans(xn, nlist, iters)
-        # assign all vectors
-        csq = np.sum(cents * cents, axis=1)
-        assign = np.argmax(2.0 * (xn @ cents.T) - csq[None, :], axis=1)
-        counts = np.bincount(assign, minlength=nlist)
-        list_pad = max(int(counts.max()), 1)
-        list_pad = ((list_pad + 127) // 128) * 128
-        bv = np.zeros((nlist, list_pad, d), np.float32)
-        bi = np.full((nlist, list_pad), -1, np.int32)
-        fill = np.zeros(nlist, np.int64)
-        for row, c in enumerate(assign):
-            j = fill[c]
-            bv[c, j] = x[row]
-            bi[c, j] = sel[row]
-            fill[c] += 1
-        bsq = np.sum(bv * bv, axis=2)
+              nlist: int = 0, iters: int = 10, dtype=jnp.float32,
+              centroids: Optional[np.ndarray] = None) -> "IVFIndex":
+        (cents, csq, bv, bsq, bi, nlist, list_pad, d) = _build_buckets(
+            vecs, present, metric, nlist, iters, centroids=centroids)
         return cls(
             centroids=jnp.asarray(cents),
-            cent_sq=jnp.asarray(csq.astype(np.float32)),
+            cent_sq=jnp.asarray(csq),
             bucket_vecs=jnp.asarray(bv, dtype=dtype),
             bucket_sq=jnp.asarray(bsq),
             bucket_ids=jnp.asarray(bi),
@@ -152,6 +171,53 @@ class IVFIndex:
     def memory_bytes(self) -> int:
         return (self.bucket_vecs.nbytes + self.bucket_sq.nbytes
                 + self.bucket_ids.nbytes + self.centroids.nbytes)
+
+
+@dataclasses.dataclass
+class HostIVF:
+    """Beyond-HBM vector tier: IVF bucket slabs resident in HOST memory;
+    the device holds only the centroid table.
+
+    The reference scales vector capacity past device memory with its
+    pluggable disk tier (src/search_disk_api.h:41-55) and tiered VecSim
+    (src/vector_index.c:89); the TPU analog keeps vectors one level down
+    the memory hierarchy (host RAM vs ~16 GB HBM) and pages on demand:
+
+        probe   (device)  centroid top-nprobe per query   [tiny]
+        gather  (host)    ONE np.take of the probed lists' slabs
+        scan    (device)  exact distances over the gathered slab + top-k
+
+    Per-batch upload cost = unique-probed-lists x list_pad x d floats;
+    queries in a batch share list uploads.  Recall == device IVF at equal
+    nprobe (same centroids, same math) — only the residency differs.
+    """
+
+    centroids: Any           # DEVICE f32[nlist, d]
+    cent_sq: Any             # DEVICE f32[nlist]
+    bucket_vecs: np.ndarray  # HOST f32[nlist, list_pad, d]
+    bucket_sq: np.ndarray    # HOST f32[nlist, list_pad]
+    bucket_ids: np.ndarray   # HOST int32[nlist, list_pad]
+    nlist: int
+    list_pad: int
+    dim: int
+    metric: str
+
+    @classmethod
+    def build(cls, vecs: np.ndarray, present: np.ndarray, metric: str,
+              nlist: int = 0, iters: int = 10,
+              centroids: Optional[np.ndarray] = None) -> "HostIVF":
+        (cents, csq, bv, bsq, bi, nlist, list_pad, d) = _build_buckets(
+            vecs, present, metric, nlist, iters, centroids=centroids)
+        return cls(centroids=jnp.asarray(cents), cent_sq=jnp.asarray(csq),
+                   bucket_vecs=bv, bucket_sq=bsq, bucket_ids=bi,
+                   nlist=nlist, list_pad=list_pad, dim=d, metric=metric)
+
+    def device_bytes(self) -> int:
+        return self.centroids.nbytes + self.cent_sq.nbytes
+
+    def host_bytes(self) -> int:
+        return (self.bucket_vecs.nbytes + self.bucket_sq.nbytes
+                + self.bucket_ids.nbytes)
 
 
 def ivf_probe_arrays(centroids, cent_sq, bucket_vecs, bucket_sq, bucket_ids,
@@ -173,6 +239,15 @@ def ivf_probe_arrays(centroids, cent_sq, bucket_vecs, bucket_sq, bucket_ids,
     tiles = bucket_vecs[lists]               # [nprobe, list_pad, d]
     tsq = bucket_sq[lists]
     tids = bucket_ids[lists]
+    return _scan_tiles(tiles, tsq, tids, qf, k, metric,
+                       cand_docs, cand_valid)
+
+
+def _scan_tiles(tiles, tsq, tids, qf, k: int, metric: str,
+                cand_docs=None, cand_valid=None, doc_ok=None):
+    """Exact distances + top-k over gathered list tiles — the shared tail
+    of the device probe and the host-tier slab scan.  tiles [P, L, d],
+    tsq/tids [P, L]; qf is pre-normalized for COSINE."""
     dots = jnp.einsum("pld,d->pl", tiles.astype(jnp.float32), qf,
                       preferred_element_type=jnp.float32)
     if metric == "L2":
@@ -182,6 +257,9 @@ def ivf_probe_arrays(centroids, cent_sq, bucket_vecs, bucket_sq, bucket_ids,
     else:  # COSINE (vectors stored unnormalized; normalize via tsq)
         d = 1.0 - dots / jnp.maximum(jnp.sqrt(tsq), 1e-30)
     valid = tids >= 0
+    if doc_ok is not None:
+        cid = jnp.clip(tids, 0, doc_ok.shape[0] - 1)
+        valid = valid & doc_ok[cid]
     if cand_docs is not None:
         Wc = cand_docs.shape[0]
         flat = tids.reshape(-1)
@@ -213,3 +291,101 @@ def ivf_probe_batch(ivf: IVFIndex, Q: jnp.ndarray, k: int, nprobe: int):
     for the whole batch — OOM at 1M-scale indexes)."""
     fn = lambda q: ivf_probe(ivf, q, k, nprobe)
     return jax.lax.map(fn, Q)
+
+
+# ---------------------------------------------------------------------------
+# Host-tier (beyond-HBM) query path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _probe_lists(centroids, cent_sq, Q, nprobe: int, metric: str):
+    """Phase 1 (device): per-query top-nprobe list ids.  Only the
+    centroid table lives in HBM, so this is a tiny [B, nlist] matmul."""
+    Qf = Q.astype(jnp.float32)
+    if metric == "COSINE":
+        Qf = Qf / jnp.maximum(
+            jnp.linalg.norm(Qf, axis=1, keepdims=True), 1e-30)
+    cd = cent_sq[None, :] - 2.0 * (Qf @ centroids.T)
+    _, lists = jax.lax.top_k(-cd, nprobe)
+    return lists                              # int32[B, nprobe]
+
+
+@partial(jax.jit,
+         static_argnames=("k", "metric", "has_cand", "has_ok"))
+def _scan_slab(slab_v, slab_sq, slab_ids, rowmap, Q, k: int, metric: str,
+               cand_docs, cand_valid, doc_ok, has_cand: bool,
+               has_ok: bool):
+    """Phase 3 (device): exact scan over the gathered slab.  rowmap
+    [B, nprobe] indexes each query's lists within the slab; lax.map keeps
+    the per-query tile gather bounded (same rationale as
+    ivf_probe_batch)."""
+    Qf = Q.astype(jnp.float32)
+    if metric == "COSINE":
+        Qf = Qf / jnp.maximum(
+            jnp.linalg.norm(Qf, axis=1, keepdims=True), 1e-30)
+
+    def one(args):
+        rm, qf, cd, cv = args
+        return _scan_tiles(slab_v[rm], slab_sq[rm], slab_ids[rm], qf, k,
+                           metric,
+                           cd if has_cand else None,
+                           cv if has_cand else None,
+                           doc_ok if has_ok else None)
+
+    return jax.lax.map(one, (rowmap, Qf, cand_docs, cand_valid))
+
+
+def host_ivf_knn(hivf: HostIVF, Q: np.ndarray, k: int, nprobe: int,
+                 doc_ok=None, cand_docs=None, cand_valid=None):
+    """Beyond-HBM KNN driver: probe on device, gather the probed lists'
+    slabs host-side (one np.take over the bucket-major arrays), scan the
+    slab on device.  Returns host (dists [B, k], local_ids [B, k]).
+
+    doc_ok: optional DEVICE bool[n_pad] liveness mask (deletes/TTL).
+    cand_docs/cand_valid: optional host [B, Wc] sorted candidate windows
+    for filtered KNN (the BATCHES analog, src/iterators/hybrid_reader.c).
+    """
+    from ..index.segment import next_pow2
+
+    B_real, d = Q.shape
+    nprobe = max(1, min(nprobe, hivf.nlist))
+    k = max(1, min(k, hivf.nlist * hivf.list_pad))
+    B = int(next_pow2(B_real))
+    Qp = Q.astype(np.float32)
+    if B != B_real:
+        Qp = np.concatenate([Qp, np.repeat(Qp[-1:], B - B_real, axis=0)])
+    lists = np.asarray(jax.device_get(_probe_lists(
+        hivf.centroids, hivf.cent_sq, jnp.asarray(Qp), nprobe,
+        hivf.metric)))
+    uniq, inv = np.unique(lists, return_inverse=True)
+    U = len(uniq)
+    U_pad = int(next_pow2(U))                 # bounded executable set
+    slab_v = np.zeros((U_pad, hivf.list_pad, d), hivf.bucket_vecs.dtype)
+    slab_v[:U] = hivf.bucket_vecs[uniq]
+    slab_sq = np.zeros((U_pad, hivf.list_pad), np.float32)
+    slab_sq[:U] = hivf.bucket_sq[uniq]
+    slab_ids = np.full((U_pad, hivf.list_pad), -1, np.int32)
+    slab_ids[:U] = hivf.bucket_ids[uniq]
+    rowmap = inv.reshape(B, nprobe).astype(np.int32)
+
+    has_cand = cand_docs is not None
+    if has_cand:
+        cd = np.asarray(cand_docs)
+        cv = (np.asarray(cand_valid) if cand_valid is not None
+              else np.ones(cd.shape, bool))
+        if cd.shape[0] != B:                  # pad batch rows
+            pad = np.repeat(cd[-1:], B - cd.shape[0], axis=0)
+            cd = np.concatenate([cd, pad])
+            cv = np.concatenate(
+                [cv, np.zeros((B - cv.shape[0], cv.shape[1]), bool)])
+    else:                                     # uniform pytree for lax.map
+        cd = np.zeros((B, 1), np.int32)
+        cv = np.zeros((B, 1), bool)
+    ok = doc_ok if doc_ok is not None else jnp.ones(1, bool)
+    dists, ids = _scan_slab(
+        jnp.asarray(slab_v), jnp.asarray(slab_sq), jnp.asarray(slab_ids),
+        jnp.asarray(rowmap), jnp.asarray(Qp), k, hivf.metric,
+        jnp.asarray(cd), jnp.asarray(cv), ok, has_cand,
+        doc_ok is not None)
+    dists, ids = jax.device_get((dists, ids))
+    return np.asarray(dists)[:B_real], np.asarray(ids)[:B_real]

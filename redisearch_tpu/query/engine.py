@@ -878,6 +878,13 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     mode "window": candidate window (docs, valid, scores) — the
     aggregation source (all matching docs, no top-k truncation).
     """
+    if _knn_host_col(cq, seg) is not None:
+        if mode == "window":
+            raise WrongFieldType(
+                "host-tier (storage='host') vector fields cannot feed "
+                "window-mode pipelines (aggregations); run the KNN as a "
+                "search and aggregate its results instead")
+        return _execute_host_knn(cq, seg, k, extra_mask)
     binding, P = cq.bind(seg)
     dyn = binding.dyn
     dyn.pop("_tagL", None)
@@ -1088,6 +1095,176 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
     return handle if async_ else handle.result()
 
 
+# ---------------------------------------------------------------------------
+# Host-tier (beyond-HBM) KNN execution — ops/ivf.py HostIVF
+# ---------------------------------------------------------------------------
+
+def _knn_host_col(cq: CompiledQuery, seg: Segment):
+    """The KNN field's VectorColumn when it lives on the host tier."""
+    if cq.knn is None:
+        return None
+    col = seg.vectors.get(cq.schema.field(cq.knn.field).attribute)
+    return col if col is not None and col.host else None
+
+
+def _host_doc_ok(cq: CompiledQuery, seg: Segment, attr: str):
+    """Device liveness mask for host-tier probes: deletes + doc TTL +
+    field TTL on the KNN field (the in-graph paths check the same three;
+    see knn_ok in _build_fn)."""
+    now = jnp.int32(int(cq.opts.now))
+    ok = None
+    if seg.n_deleted > 0:
+        ok = seg.alive
+    if seg.has_ttl:
+        e = seg.expire_at
+        m = (e == 0) | (e > now)
+        ok = m if ok is None else ok & m
+    fe = seg.field_fexp.get(attr)
+    if fe is not None:
+        m = ~((fe > 0) & (fe <= now))
+        ok = m if ok is None else ok & m
+    return ok
+
+
+def _host_knn_nprobe(cq: CompiledQuery) -> int:
+    field = cq.schema.field(cq.knn.field)
+    return int(cq.knn.ef_runtime or field.vector.nprobe)
+
+
+def _filter_only(cq: CompiledQuery) -> CompiledQuery:
+    """Shallow copy evaluating just the filter child of a KNN query
+    (fresh bind caches; the lowered tree and slot tables are shared,
+    read-only)."""
+    import copy
+    fcq = copy.copy(cq)
+    fcq.knn = None
+    fcq._bind_cache = {}
+    fcq._row_cache = {}
+    return fcq
+
+
+def _execute_host_knn(cq: CompiledQuery, seg: Segment, k: int,
+                      extra_mask: Optional[np.ndarray] = None
+                      ) -> SegmentResult:
+    """KNN over a host-tier vector field: probe centroids on device,
+    page the probed lists' slabs up, scan exactly (ops/ivf.py
+    host_ivf_knn).  Filtered KNN evaluates the filter child as a window
+    (the BATCHES candidate set) and masks probed ids against it —
+    the hybrid-iterator analog (src/iterators/hybrid_reader.c)."""
+    from ..ops.ivf import host_ivf_knn
+
+    field = cq.schema.field(cq.knn.field)
+    col = seg.vectors[field.attribute]
+    hivf = col.host_ivf
+    if hivf is None:
+        raise WrongFieldType(
+            f"host-tier vector field @{field.attribute} has no IVF "
+            "structure (segment not sealed through commit()?)")
+    q = decode_blob(cq.knn.blob, field).astype(np.float32)[None, :]
+    k_eff = min(max(k, 1), seg.n_pad)
+    doc_ok = _host_doc_ok(cq, seg, field.attribute)
+
+    leaves = cq.leaves()
+    pure = (len(leaves) == 1 and isinstance(leaves[0][0], LAll)
+            and not cq.host_nodes and extra_mask is None)
+    warnings: tuple = ()
+    if pure:
+        dists, ids = host_ivf_knn(hivf, q, k_eff,
+                                  _host_knn_nprobe(cq), doc_ok=doc_ok)
+        dists, ids = dists[0], ids[0]
+        scores = np.zeros(k_eff, np.float32)
+    else:
+        wres = execute(_filter_only(cq), seg, k_eff,
+                       extra_mask=extra_mask, mode="window")
+        warnings = wres.warnings
+        raw = np.asarray(wres.local_idx)
+        val = (np.asarray(wres.valid) if wres.valid is not None
+               else np.ones(raw.shape, bool))
+        raw_sc = np.asarray(wres.scores)
+        # compact the window host-side: union windows carry duplicate doc
+        # entries with only one valid owner (shift-folded dedup), and the
+        # scan's searchsorted membership needs sorted UNIQUE candidates
+        keep = val & (raw != np.int32(2**31 - 1))
+        docs = raw[keep]
+        sc = raw_sc[keep]
+        order = np.argsort(docs, kind="stable")
+        docs, sc = docs[order], sc[order]
+        if len(docs):
+            first = np.ones(len(docs), bool)
+            first[1:] = docs[1:] != docs[:-1]
+            docs, sc = docs[first], sc[first]
+        Wc = int(next_pow2(max(len(docs), 1)))
+        cand = np.full(Wc, 2**31 - 1, np.int32)
+        cand[:len(docs)] = docs
+        cval = np.zeros(Wc, bool)
+        cval[:len(docs)] = True
+        dists, ids = host_ivf_knn(hivf, q, k_eff, _host_knn_nprobe(cq),
+                                  doc_ok=doc_ok,
+                                  cand_docs=cand[None, :],
+                                  cand_valid=cval[None, :])
+        dists, ids = dists[0], ids[0]
+        # text scores ride the window rows (same as the in-graph
+        # filtered-KNN branches: out["scores"] = score[sel])
+        pos = np.clip(np.searchsorted(cand, ids), 0, Wc - 1)
+        hit = cand[pos] == ids
+        sc_pad = np.concatenate([sc, np.zeros(Wc - len(docs), np.float32)])
+        scores = np.where(hit, sc_pad[pos], 0.0).astype(np.float32)
+    count = int((dists < 3.3e38).sum())
+    return SegmentResult(local_idx=ids.astype(np.int32), scores=scores,
+                         count=count, knn_dists=dists, warnings=warnings)
+
+
+class _HostKnnBatchHandle:
+    """execute_batch-compatible handle for host-tier KNN batches.  The
+    paging driver is synchronous (its host gather is the pipeline), so
+    results are computed up front and result() just returns them."""
+
+    def __init__(self, results: list):
+        self._results = results
+
+    def result(self) -> list:
+        return self._results
+
+
+def _execute_batch_host_knn(cqs: list, seg: Segment, k: int,
+                            async_: bool = False):
+    """Batch driver: pure same-field KNN queries share one probe + one
+    slab gather + one scan (paged lists amortize across the batch);
+    anything else (filters, mixed fields) runs per query."""
+    from ..ops.ivf import host_ivf_knn
+
+    cq0 = cqs[0]
+    field = cq0.schema.field(cq0.knn.field)
+    col = seg.vectors[field.attribute]
+
+    def batchable(cq):
+        if (cq.knn is None or cq.host_nodes
+                or cq.knn.field != cq0.knn.field
+                or cq.opts.sort_field
+                or _host_knn_nprobe(cq) != _host_knn_nprobe(cq0)):
+            return False
+        lv = cq.leaves()
+        return len(lv) == 1 and isinstance(lv[0][0], LAll)
+
+    if all(batchable(cq) for cq in cqs):
+        hivf = col.host_ivf
+        Q = np.stack([decode_blob(cq.knn.blob, field)
+                      for cq in cqs]).astype(np.float32)
+        k_eff = min(max(k, 1), seg.n_pad)
+        doc_ok = _host_doc_ok(cq0, seg, field.attribute)
+        dists, ids = host_ivf_knn(hivf, Q, k_eff, _host_knn_nprobe(cq0),
+                                  doc_ok=doc_ok)
+        results = [SegmentResult(
+            local_idx=ids[i].astype(np.int32),
+            scores=np.zeros(k_eff, np.float32),
+            count=int((dists[i] < 3.3e38).sum()),
+            knn_dists=dists[i]) for i in range(len(cqs))]
+    else:
+        results = [_execute_host_knn(cq, seg, k) for cq in cqs]
+    handle = _HostKnnBatchHandle(results)
+    return handle if async_ else handle.result()
+
+
 def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
                   async_: bool = False):
     """Run a batch of same-structure queries in one device dispatch.
@@ -1100,6 +1277,8 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     Mixed batches are grouped automatically.  With async_=True returns a
     _BatchHandle immediately (device still working); .result() collects.
     """
+    if _knn_host_col(cqs[0], seg) is not None:
+        return _execute_batch_host_knn(cqs, seg, k, async_)
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
     # bind every query as a packed transport row (memoized per segment:
@@ -1408,6 +1587,11 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
             args[f"geo{leaf.ord}_p"] = col.present
         elif isinstance(leaf, LVecRange):
             col = seg.vectors[leaf.field]
+            if col.host:
+                raise WrongFieldType(
+                    "VECTOR_RANGE is not supported on host-tier "
+                    "(storage='host') vector fields — range queries "
+                    "need the full vector matrix on device")
             args[f"vec{leaf.ord}"] = col.vecs
             args[f"vec{leaf.ord}_p"] = col.present
             args[f"vec{leaf.ord}_sq"] = col.sq_norms
@@ -1418,6 +1602,14 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
     if cq.knn is not None:
         field = cq.schema.field(cq.knn.field)
         col = seg.vectors[field.attribute]
+        if col.host:
+            # single-segment execution routes through _execute_host_knn;
+            # reaching here means an in-graph context (e.g. a sharded
+            # mesh program) that cannot page host slabs
+            raise WrongFieldType(
+                "host-tier (storage='host') vector fields are not "
+                "supported in sharded in-graph execution; shard the "
+                "corpus with per-shard host tiers instead")
         args["knn_vecs"] = col.vecs
         args["knn_present"] = col.present
         args["knn_sq"] = col.sq_norms

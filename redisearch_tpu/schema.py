@@ -77,6 +77,11 @@ class VectorParams:
     # TIERED front-buffer flush threshold.
     flat_buffer_limit: int = 1024
     multi: bool = False      # multi-value vector fields (one doc, many vecs)
+    # Residency tier: "hbm" (device arrays, FLAT scan / device IVF) or
+    # "host" (beyond-HBM: vectors stay in host RAM, device keeps only IVF
+    # centroids, probed lists page per query batch — the disk-tier analog,
+    # reference src/search_disk_api.h).
+    storage: str = "hbm"
 
     def __post_init__(self):
         if isinstance(self.algo, str):  # accept "HNSW"/"SVS-VAMANA" aliases
