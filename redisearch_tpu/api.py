@@ -344,11 +344,54 @@ class Client:
     # -- legacy document commands (FT.ADD/DEL/GET/MGET) -----------------------
     def ft_add(self, name: str, key: str, score: float, fields: dict,
                payload: Optional[bytes] = None, ttl: Optional[float] = None,
-               replace: bool = True) -> None:
-        """Legacy FT.ADD: index a doc into one index (and the keyspace)."""
-        self._keyspace[key] = dict(fields)
-        self._index(name).add_document(key, dict(fields), score=score,
-                                       payload=payload, ttl=ttl)
+               replace: bool = False, partial: bool = False,
+               nocreate: bool = False, nosave: bool = False,
+               if_expr: Optional[str] = None,
+               language: Optional[str] = None) -> str:
+        """Legacy FT.ADD with the full reference option set
+        (src/document_add.c:32-226):
+
+        * doc exists without REPLACE        -> DocumentExists error
+        * NOCREATE on a missing doc         -> DocumentNotFound error
+        * IF <expr> on an existing doc: evaluated against the CURRENT
+          fields; falsy OR a dereference of a missing property -> "NOADD"
+          (exists(@f) may probe missing properties without tripping this
+          — reference NO_PROP_VAL handling, document_add.c:185-204)
+        * REPLACE without PARTIAL wipes the old fields; PARTIAL merges
+        * NOSAVE indexes without writing the keyspace hash
+        * LANGUAGE overrides the per-doc analysis language
+
+        Returns "OK" or "NOADD"."""
+        from .utils.errors import DocumentExists, DocumentNotFound
+        old = self._keyspace.get(key)
+        exists = old is not None
+        if not exists and nocreate:
+            raise DocumentNotFound("Document does not exist")
+        if exists and not replace:
+            raise DocumentExists("Document already exists")
+        if exists and if_expr is not None:
+            from .agg import expr as E
+            parsed = E.parse(if_expr)
+
+            def deref_missing(e) -> bool:
+                if e.kind == "prop":
+                    return e.val not in old
+                if e.kind == "call" and e.val == "exists":
+                    return False
+                return any(deref_missing(a) for a in e.args)
+
+            if deref_missing(parsed) or not E._truthy(
+                    E.evaluate(parsed, dict(old))):
+                return "NOADD"
+        new_fields = dict(fields)
+        if partial and exists:
+            new_fields = {**old, **new_fields}
+        if not nosave:
+            self._keyspace[key] = dict(new_fields)
+        self._index(name).add_document(key, dict(new_fields), score=score,
+                                       payload=payload, ttl=ttl,
+                                       language=language)
+        return "OK"
 
     def ft_del(self, name: str, key: str,
                delete_document: bool = False) -> bool:
@@ -358,8 +401,14 @@ class Client:
         return ok
 
     def ft_get(self, name: str, key: str) -> Optional[dict]:
+        """FT.GET: the doc's keyspace hash, nil when unknown to the index
+        OR not saved (NOSAVE docs are indexed but have no hash —
+        reference GetSingleDocumentCommand reads the hash)."""
         meta = self._index(name).doctable.get_by_key(key)
-        return dict(meta.fields) if meta is not None else None
+        if meta is None or meta.deleted:
+            return None
+        doc = self._keyspace.get(key)
+        return dict(doc) if doc is not None else None
 
     def ft_mget(self, name: str, *keys: str) -> list[Optional[dict]]:
         return [self.ft_get(name, k) for k in keys]

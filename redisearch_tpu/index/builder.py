@@ -162,7 +162,7 @@ class SegmentBuilder:
         self._expire.append(int(-(-meta.expires_at // 1))
                             if meta.expires_at else 0)
 
-        language = str(
+        language = getattr(meta, "language", None) or str(
             meta.fields.get(self.schema.language_field, self.schema.language)
             if self.schema.language_field else self.schema.language)
         stemmer = self._stemmer_for(language)

@@ -38,6 +38,10 @@ class DocMeta:
     # Field-level TTLs: field attribute -> absolute epoch seconds
     # (reference: TtlTable, src/redisearch_rs/ttl_table).
     field_expiration: Optional[dict[str, float]] = None
+    # Per-doc language override (FT.ADD ... LANGUAGE, reference:
+    # AddDocumentOptions.language, src/document_add.c:86); kept on the
+    # metadata so reanalyze/compaction re-stems identically.
+    language: Optional[str] = None
     # The stored document fields (this framework is its own keyspace).
     fields: dict[str, Any] = dataclasses.field(default_factory=dict)
 

@@ -122,10 +122,13 @@ class SearchIndex:
     def add_document(self, key: str, fields: dict[str, Any],
                      score: float = 1.0, payload: Optional[bytes] = None,
                      ttl: Optional[float] = None,
-                     field_expiration: Optional[dict] = None) -> None:
+                     field_expiration: Optional[dict] = None,
+                     language: Optional[str] = None) -> None:
         """HSET-equivalent: (re)index a document.  `field_expiration`
         maps field attr -> absolute epoch seconds (HEXPIRE analog); set
-        before staging so the sealed segment carries the TTL columns."""
+        before staging so the sealed segment carries the TTL columns.
+        `language` overrides the per-doc analysis language (FT.ADD
+        LANGUAGE, reference src/document_add.c:86)."""
         if self.schema.score_field and self.schema.score_field in fields:
             try:
                 score = float(fields[self.schema.score_field])
@@ -133,6 +136,8 @@ class SearchIndex:
                 pass
         meta, old = self.doctable.put(key, fields, score=score,
                                       payload=payload)
+        if language is not None:
+            meta.language = language
         if ttl is not None:
             meta.expires_at = time.time() + ttl
         if field_expiration is not None:

@@ -1098,6 +1098,65 @@ class Server:
     def _cmd_FT_TAGVALS(self, av):
         return self.client.ft_tagvals(av.next(), av.next())
 
+    # -- legacy document commands (reference: src/document_add.c:32,
+    # module.c FT.DEL/FT.GET/FT.MGET) ----------------------------------
+    def _cmd_FT_ADD(self, av):
+        name = av.next()
+        key = av.next()
+        score = av.next_float()
+        opts = {"replace": False, "partial": False, "nocreate": False,
+                "nosave": False}
+        payload = language = if_expr = None
+        fields: dict = {}
+        while av.more():
+            tok = av.next().upper()
+            if tok in ("REPLACE", "PARTIAL", "NOCREATE", "NOSAVE"):
+                opts[tok.lower()] = True
+            elif tok == "LANGUAGE":
+                language = av.next()
+            elif tok == "PAYLOAD":
+                payload = av.next().encode()
+            elif tok == "IF":
+                if_expr = av.next()
+            elif tok == "FIELDS":
+                while av.more():
+                    f = av.next()
+                    fields[f] = av.next()
+            else:
+                return RSError(f"Unknown keyword: `{tok}`")
+        r = self.client.ft_add(name, key, score, fields, payload=payload,
+                               if_expr=if_expr, language=language, **opts)
+        return _Status(r)
+
+    def _cmd_FT_DEL(self, av):
+        name = av.next()
+        key = av.next()
+        dd = av.more() and av.next().upper() == "DD"
+        return int(self.client.ft_del(name, key, delete_document=dd))
+
+    def _cmd_FT_GET(self, av):
+        doc = self.client.ft_get(av.next(), av.next())
+        if doc is None:
+            return None
+        flat: list = []
+        for f, v in doc.items():
+            flat.extend([f, _tostr(v)])
+        return flat
+
+    def _cmd_FT_MGET(self, av):
+        name = av.next()
+        out = []
+        while av.more():
+            doc = self.client.ft_get(name, av.next())
+            if doc is None:
+                out.append(None)
+            else:
+                flat: list = []
+                for f, v in doc.items():
+                    flat.extend([f, _tostr(v)])
+                out.append(flat)
+        return out
+
     def _cmd_FT_CONFIG(self, av):
         sub = av.next().upper()
         if sub == "GET":

@@ -46,6 +46,18 @@ class WrongFieldType(RSError):
     code = "EBADFIELD"
 
 
+class DocumentExists(RSError):
+    """FT.ADD without REPLACE on an existing doc (reference:
+    QUERY_ERROR_CODE_DOC_EXISTS, src/document_add.c:180)."""
+    code = "EDOCEXISTS"
+
+
+class DocumentNotFound(RSError):
+    """FT.ADD NOCREATE on a missing doc (reference:
+    QUERY_ERROR_CODE_NO_DOC, src/document_add.c:174)."""
+    code = "ENODOC"
+
+
 class QuerySyntaxError(RSError):
     code = "ESYNTAX"
 

@@ -260,3 +260,63 @@ def test_dialect_stats():
     # EXPLAIN does not mark usage
     c.ft_explain("ds", "word")
     assert c.ft_info("ds")["dialect_stats"]["dialect_4"] == 0
+
+
+def test_ft_add_conditional_updates(client):
+    """FT.ADD REPLACE/PARTIAL/NOCREATE/IF semantics pinned to the
+    reference (src/document_add.c:140-226,
+    tests/pytests/test_conditional_updates.py)."""
+    from redisearch_tpu.utils.errors import DocumentExists, DocumentNotFound
+    c = client
+    assert c.ft_add("books", "doc1", 1.0, {"title": "x", "year": "5"}) == "OK"
+    # exists without REPLACE -> error
+    with pytest.raises(DocumentExists):
+        c.ft_add("books", "doc1", 1.0, {"title": "y"})
+    # NOCREATE on missing doc -> error
+    with pytest.raises(DocumentNotFound):
+        c.ft_add("books", "nope", 1.0, {"title": "y"},
+                 replace=True, nocreate=True)
+    # ANY comparison dereferencing a missing property -> NOADD,
+    # including != (reference NO_PROP_VAL handling)
+    for expr in ("@year > @id2", "@year < @id2", "@year == @id2",
+                 "@year != @id2"):
+        assert c.ft_add("books", "doc1", 1.0,
+                        {"year": "3", "id2": "4"},
+                        replace=True, partial=True,
+                        if_expr=expr) == "NOADD"
+    # falsy condition -> NOADD
+    assert c.ft_add("books", "doc1", 1.0, {"year": "3"},
+                    replace=True, partial=True,
+                    if_expr="@year == 4") == "NOADD"
+    # exists() may probe missing properties without tripping NOADD
+    assert c.ft_add("books", "doc1", 1.0, {"year": "3"},
+                    replace=True, partial=True,
+                    if_expr="!exists(@id2)") == "OK"
+    # truthy numeric coercion: "5"... now year is 3 after the update above
+    assert c.ft_add("books", "doc1", 1.0, {"year": "7", "id2": "4"},
+                    replace=True, partial=True,
+                    if_expr="@year == 3") == "OK"
+    # PARTIAL merges: title survives the partial updates
+    assert c.ft_get("books", "doc1")["title"] == "x"
+    assert c.ft_get("books", "doc1")["year"] == "7"
+    # REPLACE without PARTIAL wipes old fields
+    assert c.ft_add("books", "doc1", 1.0, {"summary": "fresh"},
+                    replace=True) == "OK"
+    doc = c.ft_get("books", "doc1")
+    assert "title" not in doc and doc["summary"] == "fresh"
+
+
+def test_ft_add_nosave_and_language(client):
+    c = client
+    # NOSAVE: indexed but not in the keyspace
+    assert c.ft_add("books", "ghost", 1.0,
+                    {"title": "phantom zone"}, nosave=True) == "OK"
+    assert c.ft_get("books", "ghost") is None   # keyspace miss
+    assert c.hget("ghost") is None
+    res = c.ft_search("books", "phantom")
+    assert any(h.key == "ghost" for h in res.hits)
+    # LANGUAGE: stemming follows the per-doc override (spanish plural)
+    assert c.ft_add("books", "es1", 1.0, {"title": "gatos negros"},
+                    language="spanish") == "OK"
+    res = c.ft_search("books", "gato", language="spanish")
+    assert any(h.key == "es1" for h in res.hits)

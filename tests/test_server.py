@@ -290,3 +290,33 @@ def test_profile_aggregate(loop):
         assert "time_ms" in rp_blob
         return True
     assert run_session(loop, flow)
+
+
+def test_legacy_add_get_del_wire(loop):
+    """FT.ADD/FT.GET/FT.MGET/FT.DEL over RESP (reference: legacy
+    document commands, src/document_add.c, module.c)."""
+    async def flow(c):
+        await c.cmd("FT.CREATE", "lg", "SCHEMA", "t", "TEXT",
+                    "n", "NUMERIC")
+        assert await c.cmd("FT.ADD", "lg", "d1", 1.0, "FIELDS",
+                           "t", "hello there", "n", "5") == "OK"
+        # exists without REPLACE -> error
+        try:
+            await c.cmd("FT.ADD", "lg", "d1", 1.0, "FIELDS", "t", "x")
+            return False
+        except Exception:
+            pass
+        # IF false -> NOADD (simple string)
+        assert await c.cmd("FT.ADD", "lg", "d1", 1.0, "REPLACE", "PARTIAL",
+                           "IF", "@n == 4", "FIELDS", "n", "9") == "NOADD"
+        assert await c.cmd("FT.ADD", "lg", "d1", 1.0, "REPLACE", "PARTIAL",
+                           "IF", "@n == 5", "FIELDS", "n", "9") == "OK"
+        got = await c.cmd("FT.GET", "lg", "d1")
+        d = dict(zip(got[::2], got[1::2]))
+        assert d["n"] == "9" and d["t"] == "hello there"
+        mg = await c.cmd("FT.MGET", "lg", "d1", "missing")
+        assert mg[0] is not None and mg[1] is None
+        assert await c.cmd("FT.DEL", "lg", "d1") == 1
+        assert await c.cmd("FT.GET", "lg", "d1") is None
+        return True
+    assert run_session(loop, flow)
