@@ -473,8 +473,9 @@ class QueryParser:
                 cur.i += 1
         return ast.TagNode(field=field, kids=kids)
 
-    def _parse_exact_phrase(self, cur: _Cursor) -> ast.Node:
-        txt = self._read_quoted(cur, '"')
+    def _parse_exact_phrase(self, cur: _Cursor, quote: str = '"'
+                            ) -> ast.Node:
+        txt = self._read_quoted(cur, quote, keep_escapes=True)
         toks = _split_terms(txt)
         kids = []
         for t in toks:
@@ -489,9 +490,11 @@ class QueryParser:
         return ast.PhraseNode(terms=kids, exact=True, inorder=True)
 
     def _parse_verbatim(self, cur: _Cursor) -> ast.Node:
-        txt = self._read_quoted(cur, "'")
-        norm = normalize_token(txt)
-        return ast.TokenNode(term=norm, verbatim=True)
+        """Single-quoted string: identical verbatim semantics to double
+        quotes — content is TOKENIZED (punctuation like a trailing `*`
+        never reaches the term dict) and expansion is skipped
+        (reference: tests/pytests/test_quotes.py — '...' == \"...\")."""
+        return self._parse_exact_phrase(cur, quote="'")
 
     def _parse_fuzzy(self, cur: _Cursor) -> ast.FuzzyNode:
         dist = 0
@@ -598,12 +601,19 @@ class QueryParser:
             cur.i += 1
         return "".join(parts).strip()
 
-    def _read_quoted(self, cur: _Cursor, quote: str) -> str:
+    def _read_quoted(self, cur: _Cursor, quote: str,
+                     keep_escapes: bool = False) -> str:
+        """keep_escapes=True preserves backslash sequences so downstream
+        term-splitting can honor them (escaped punctuation stays in the
+        term: `"James\\!\\*"` -> term `james!*`, reference
+        tests/pytests/test_quotes.py test_verbatim_escaping)."""
         cur.expect(quote)
         parts = []
         while not cur.eof() and cur.peek() != quote:
             ch = cur.peek()
             if ch == "\\" and cur.peek(1):
+                if keep_escapes:
+                    parts.append("\\")
                 parts.append(cur.peek(1))
                 cur.i += 2
                 continue

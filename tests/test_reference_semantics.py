@@ -728,3 +728,29 @@ def test_bulk_index_stems_match_incremental():
                 list(ki % si.text.pos_stride), t
     assert np.allclose(np.asarray(sb.max_freq)[:5],
                        np.asarray(si.max_freq)[:5])
+
+
+def test_quote_styles_verbatim(c):
+    """Single and double quotes are identical verbatim terms in dialect 2:
+    content is tokenized (a trailing `*` never becomes a wildcard) and
+    expansion is skipped; escaped punctuation stays IN the term
+    (reference: tests/pytests/test_quotes.py)."""
+    import redisearch_tpu as rs
+    c.ft_create("qt", [rs.Field("t1", rs.FieldType.TEXT, nostem=True),
+                       rs.Field("t2", rs.FieldType.TAG)])
+    c.hset("h1", {"t1": "James Brown", "t2": "NYC"})
+    c.hset("h2", {"t1": "James Lore", "t2": "MIA"})
+    c.hset("h3", {"t1": "James\\!\\* Exclaim", "t2": "PHX"})
+    both = {"h1", "h2"}
+    for q in ("@t1:'James*'", '@t1:"James*"', "@t1:'James'",
+              '@t1:"James"', "@t1:(James)"):
+        assert set(_keys(c.ft_search("qt", q, no_content=True))) == both, q
+    # parenthesized wildcard DOES expand
+    assert set(_keys(c.ft_search("qt", "@t1:(James*)",
+                                 no_content=True))) == {"h1", "h2", "h3"}
+    # escaped punctuation inside quotes stays in the term
+    for q in ('@t1:("James\\!\\*")', "@t1:('James\\!\\*')"):
+        assert set(_keys(c.ft_search("qt", q, no_content=True))) == {"h3"}, q
+    # quoted tag values
+    for q in ('@t2:{"NYC"}', "@t2:{'NYC'}", "@t2:{NYC}"):
+        assert set(_keys(c.ft_search("qt", q, no_content=True))) == {"h1"}, q
