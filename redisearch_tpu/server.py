@@ -660,6 +660,8 @@ class Server:
                 av.next()
                 opts["offset"] = av.next_int()
                 opts["num"] = av.next_int()
+                self._check_limit(opts["offset"], opts["num"],
+                                  "MAXSEARCHRESULTS")
             elif opt == "NOCONTENT":
                 av.next()
                 no_content = True
@@ -859,7 +861,9 @@ class Server:
             elif opt == "LIMIT":
                 av.next()
                 off = av.next_int()
-                req.limit(off, av.next_int())
+                num = av.next_int()
+                self._check_limit(off, num, "MAXAGGREGATERESULTS")
+                req.limit(off, num)
             elif opt == "WITHCURSOR":
                 av.next()
                 count = 1000
@@ -1094,6 +1098,19 @@ class Server:
 
     def _cmd_FT_SUGLEN(self, av):
         return self.client.ft_suglen(av.next())
+
+    def _check_limit(self, offset: int, num: int, max_var: str) -> None:
+        """LIMIT bound checks (reference: parseLimit,
+        src/aggregate/aggregate_request.c:315-344)."""
+        if num == 0 and offset != 0:
+            raise RSError(
+                "The `offset` of the LIMIT must be 0 when `num` is 0")
+        mx = int(self.client.config.get(max_var))
+        if num > mx:
+            raise RSError(f"LIMIT exceeds maximum of {mx}")
+        msr = int(self.client.config.get("MAXSEARCHRESULTS"))
+        if offset > msr:
+            raise RSError(f"OFFSET exceeds maximum of {msr}")
 
     def _cmd_FT_TAGVALS(self, av):
         return self.client.ft_tagvals(av.next(), av.next())

@@ -320,3 +320,38 @@ def test_legacy_add_get_del_wire(loop):
         assert await c.cmd("FT.GET", "lg", "d1") is None
         return True
     assert run_session(loop, flow)
+
+
+def test_limit_bounds(loop):
+    """LIMIT bound errors (reference: parseLimit,
+    src/aggregate/aggregate_request.c:315-344)."""
+    async def flow(c):
+        await c.cmd("FT.CREATE", "lb", "SCHEMA", "t", "TEXT")
+        await c.cmd("HSET", "d1", "t", "x")
+        # offset nonzero with num 0
+        try:
+            await c.cmd("FT.SEARCH", "lb", "x", "LIMIT", 5, 0)
+            return False
+        except Exception as e:
+            assert "offset" in str(e)
+        # num over MAXSEARCHRESULTS
+        await c.cmd("FT.CONFIG", "SET", "MAXSEARCHRESULTS", "100")
+        try:
+            await c.cmd("FT.SEARCH", "lb", "x", "LIMIT", 0, 101)
+            return False
+        except Exception as e:
+            assert "LIMIT exceeds maximum of 100" in str(e)
+        # aggregate bound rides MAXAGGREGATERESULTS
+        await c.cmd("FT.CONFIG", "SET", "MAXAGGREGATERESULTS", "50")
+        try:
+            await c.cmd("FT.AGGREGATE", "lb", "*", "LIMIT", 0, 51)
+            return False
+        except Exception as e:
+            assert "LIMIT exceeds maximum of 50" in str(e)
+        # within bounds still fine
+        r = await c.cmd("FT.SEARCH", "lb", "x", "LIMIT", 0, 10)
+        assert r[0] == 1
+        await c.cmd("FT.CONFIG", "SET", "MAXSEARCHRESULTS", "1000000")
+        await c.cmd("FT.CONFIG", "SET", "MAXAGGREGATERESULTS", "1000000")
+        return True
+    assert run_session(loop, flow)
