@@ -81,15 +81,16 @@ def main(n: int = 1_000_000, d: int = 100, k: int = 10, nlist: int = 1024):
     def flat(vs, sqs, pres, Qc, kk):
         return knn_scan_batches(vs, sqs, pres, Qc, kk, "COSINE")
 
-    # warm + recall check on slab 0
-    _, idx0 = flat(dv, sq, present, Q[0], k)
-    got0 = jax.device_get(idx0)
+    # warm + recall check on slab 0 (knn_scan_batches takes [it, B, d])
+    _, idx0 = flat(dv, sq, present, Q[:1], k)
+    got0 = jax.device_get(idx0)[0]
     flat_recall = np.mean([
         len(set(got0[i].tolist()) & truth[i]) / k
         for i in range(n_queries)])
     # timed: distinct slab per dispatch, one collect at the end
     t0 = time.perf_counter()
-    outs = [flat(dv, sq, present, Q[r], k)[1] for r in range(1, reps)]
+    outs = [flat(dv, sq, present, Q[r:r + 1], k)[1]
+            for r in range(1, reps)]
     jax.device_get(outs)
     flat_qps = (reps - 1) * n_queries / (time.perf_counter() - t0)
     print(f"FLAT exact (batch {n_queries}): {flat_qps:.0f} QPS, "
@@ -119,17 +120,43 @@ def main(n: int = 1_000_000, d: int = 100, k: int = 10, nlist: int = 1024):
         print(f"IVF nprobe={nprobe:4d}: recall@{k}={recall:.4f}  "
               f"{qps:.0f} QPS")
 
+    # beyond-HBM host tier (ops/ivf.py HostIVF): vectors in host RAM,
+    # device keeps centroids; probed lists page per batch.  This is the
+    # configuration for corpora that do NOT fit HBM — QPS here bounds
+    # what a beyond-HBM corpus serves at (PCIe/tunnel paging cost).
+    from redisearch_tpu.ops.ivf import HostIVF, host_ivf_knn
+    hivf = HostIVF.build(vecs, np.ones(n, bool), "COSINE",
+                         centroids=np.asarray(ivf.centroids))
+    host_points = []
+    for nprobe in (8, 32):
+        got = host_ivf_knn(hivf, queries[:n_queries], k, nprobe)[1]
+        recall = np.mean([len(set(got[i].tolist()) & truth[i]) / k
+                          for i in range(n_queries)])
+        t0 = time.perf_counter()
+        for r in range(1, reps):
+            host_ivf_knn(hivf, queries[r * n_queries:(r + 1) * n_queries],
+                         k, nprobe)
+        qps = (reps - 1) * n_queries / (time.perf_counter() - t0)
+        host_points.append({"nprobe": nprobe,
+                            "recall@10": round(float(recall), 4),
+                            "qps": round(qps, 1)})
+        print(f"HOST-TIER nprobe={nprobe:4d}: recall@{k}={recall:.4f}  "
+              f"{qps:.0f} QPS (device holds {hivf.device_bytes()/1e6:.1f} "
+              f"MB of {hivf.host_bytes()/1e6:.0f} MB)")
+
     # capacity math for the sharded path (tests pin dist == local ids)
     hbm = 16e9
     per_doc = d * 4 + 8
     print(f"capacity: one v5e chip holds ~{hbm/per_doc/1e6:.0f}M "
           f"{d}-d f32 vectors in HBM; an 8-chip mesh ~"
           f"{8*hbm/per_doc/1e6:.0f}M at the same per-chip QPS "
-          f"(doc-sharded scan + in-graph exact top-k merge, recall 1.0)")
+          f"(doc-sharded scan + in-graph exact top-k merge, recall 1.0); "
+          f"the host tier extends a single chip to host-RAM capacity at "
+          f"the paging QPS above")
     print(json.dumps({"n": n, "d": d,
                       "flat_qps": round(flat_qps, 1),
                       "flat_recall": round(float(flat_recall), 4),
-                      "sweep": points}))
+                      "sweep": points, "host_tier": host_points}))
 
 
 if __name__ == "__main__":
