@@ -47,6 +47,7 @@ from .segment import (
     TermDict,
     TextPostings,
     VectorColumn,
+    build_tag_codes,
     make_numeric_column,
     make_vector_column,
     next_pow2,
@@ -493,14 +494,7 @@ class SegmentBuilder:
                 at += len(lst)
             # dense value-id column for single-valued fields (see
             # TagPostings.codes): docs seen twice disable the column
-            codes = np.full(n_pad, -1, np.int32)
-            single = True
-            for i, v in enumerate(values):
-                lst = np.asarray(stage[v], np.int64)
-                if lst.size and codes[lst].max() >= 0:
-                    single = False
-                    break
-                codes[lst] = i
+            codes = build_tag_codes(stage, values, n_pad)
             tags[attr] = TagPostings(
                 ids={v: i for i, v in enumerate(values)},
                 values=values,
@@ -509,7 +503,7 @@ class SegmentBuilder:
                 nnz=t_nnz,
                 max_postings=t_max,
                 offsets_np=t_off.astype(np.int32),
-                codes=jnp.asarray(codes) if single else None,
+                codes=codes,
             )
 
         # ---- dense columns

@@ -22,7 +22,7 @@ from ..utils.jsonpath import get_field_value
 from .builder import MAX_POS_STRIDE, SegmentBuilder
 from .doctable import DocMeta
 from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
-                      Segment, StrColumn, TagPostings, TermDict,
+                      Segment, StrColumn, TagPostings, TermDict, build_tag_codes,
                       TextPostings, VectorColumn, make_numeric_column,
                       make_vector_column,
                       next_pow2, round_up, tail_pad)
@@ -226,7 +226,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
             ids={v: i for i, v in enumerate(values)}, values=values,
             offsets=jnp.asarray(t_off.astype(np.int32)),
             doc_ids=jnp.asarray(tail_pad(t_ids, cap)), nnz=int(t_nnz),
-            max_postings=int(t_max), offsets_np=t_off.astype(np.int32))
+            max_postings=int(t_max), offsets_np=t_off.astype(np.int32),
+            codes=build_tag_codes(stage, values, n_pad))
 
     numerics = {}
     for attr, vals in num_stage.items():

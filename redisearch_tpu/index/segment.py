@@ -366,6 +366,21 @@ class VectorColumn:
     host_ivf: Any = None
 
 
+def build_tag_codes(stage: dict, values: list, n_pad: int):
+    """Dense value-id column for a single-valued TAG field (see
+    TagPostings.codes); None when any doc carries more than one value.
+    `stage` maps value -> list of local doc ids."""
+    import jax.numpy as jnp
+
+    codes = np.full(n_pad, -1, np.int32)
+    for i, v in enumerate(values):
+        lst = np.asarray(stage[v], np.int64)
+        if lst.size and codes[lst].max() >= 0:
+            return None
+        codes[lst] = i
+    return jnp.asarray(codes)
+
+
 _SEG_UIDS = itertools.count()
 
 

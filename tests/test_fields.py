@@ -473,3 +473,35 @@ def test_tag_codes_checkpoint_roundtrip(tmp_path):
     assert ix2.segments[0].tags["kind"].codes is not None
     got = sorted(int(h.key[1:]) for h in ix2.search("@kind:{a}", num=50))
     assert got == list(range(0, 40, 2))
+
+
+def test_tag_codes_bulk_path_matches_incremental():
+    """The native bulk ingest (add_documents) must build the same dense
+    tag-codes column as the incremental builder."""
+    def build(bulk):
+        ix = rs.SearchIndex(rs.Schema(name=f"tcb{bulk}", fields=[
+            rs.Field("t", rs.FieldType.TEXT),
+            rs.Field("color", rs.FieldType.TAG),
+            rs.Field("labels", rs.FieldType.TAG)]))
+        docs = [(f"d{i}", {"t": f"word{i % 5} filler",
+                           "color": "rgb"[i % 3],
+                           "labels": ",".join({"rgb"[i % 3],
+                                               "rgb"[(i + 1) % 3]})})
+                for i in range(90)]
+        if bulk:
+            ix.add_documents(docs)
+        else:
+            for k, f in docs:
+                ix.add_document(k, f)
+            ix.commit()
+        return ix
+    bi, ii = build(True), build(False)
+    bs, is_ = bi.segments[0], ii.segments[0]
+    assert bs.tags["color"].codes is not None
+    assert bs.tags["labels"].codes is None
+    bc = np.asarray(bs.tags["color"].codes)
+    ic = np.asarray(is_.tags["color"].codes)
+    assert (bc[:90] == ic[:90]).all()
+    for q in ("@color:{r}", "@color:{g|b}", "word1 -@color:{r}"):
+        assert ([h.key for h in bi.search(q, num=100)]
+                == [h.key for h in ii.search(q, num=100)]), q
