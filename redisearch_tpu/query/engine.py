@@ -880,10 +880,12 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
     """
     if _knn_host_col(cq, seg) is not None:
         if mode == "window":
+            # aggregations route KNN sources through topk mode
+            # (agg/pipeline.py) so this only guards exotic window
+            # consumers (e.g. the HAMMING scorer path)
             raise WrongFieldType(
                 "host-tier (storage='host') vector fields cannot feed "
-                "window-mode pipelines (aggregations); run the KNN as a "
-                "search and aggregate its results instead")
+                "window-mode execution; KNN over them yields top-k only")
         return _execute_host_knn(cq, seg, k, extra_mask)
     binding, P = cq.bind(seg)
     dyn = binding.dyn

@@ -187,7 +187,10 @@ def _parse_schema(av: Argv) -> list[Field]:
                 ef_construction=int(vp.get("EF_CONSTRUCTION", 200)),
                 ef_runtime=int(vp.get("EF_RUNTIME", 10)),
                 nlist=int(vp.get("NLIST", 0)),
-                nprobe=int(vp.get("NPROBE", 8)))
+                nprobe=int(vp.get("NPROBE", 8)),
+                multi=vp.get("MULTI", "FALSE").upper() == "TRUE",
+                flat_buffer_limit=int(vp.get("FLAT_BUFFER_LIMIT", 1024)),
+                storage=vp.get("STORAGE", "hbm").lower())
         # field options
         while av.more():
             opt = av.peek()

@@ -190,3 +190,50 @@ def test_host_tier_filtered_knn_stemmed_union_window():
     d = ((vecs - q[None, :]) ** 2).sum(1)
     expect = [f"d{i}" for i in np.argsort(d) if i % 3][:6]
     assert [h.key for h in res.hits] == expect
+
+
+def test_host_tier_aggregation_over_knn():
+    """FT.AGGREGATE over a host-tier KNN source (the agg pipeline pulls
+    KNN sources through topk mode, so the host tier serves it)."""
+    from redisearch_tpu.agg.pipeline import AggregateRequest
+    ix, vecs = _mk_index(n=200, nlist=4)
+    q = vecs[3].tobytes()
+    req = (AggregateRequest("*=>[KNN 20 @v $b]", params={"b": q})
+           .group_by("@t", ("COUNT", [], "cnt")))
+    res = ix.aggregate(req)
+    assert sum(int(r["cnt"]) for r in res.rows) == 20
+    d = ((vecs - np.frombuffer(q, np.float32)[None, :]) ** 2).sum(1)
+    top = np.argsort(d)[:20]
+    even = int((top % 2 == 0).sum())
+    got = {r["t"]: int(r["cnt"]) for r in res.rows}
+    assert got.get("even", 0) == even
+
+
+def test_host_tier_wire_create(loop=None):
+    """STORAGE HOST reaches the schema through FT.CREATE's VECTOR args."""
+    import asyncio
+    from redisearch_tpu.server import Server
+
+    async def flow():
+        srv = Server(port=0)
+        server = await srv.serve()
+        try:
+            srv.dispatch(["FT.CREATE", "hw", "SCHEMA", "v", "VECTOR",
+                          "HNSW", "10", "TYPE", "FLOAT32", "DIM", "8",
+                          "DISTANCE_METRIC", "L2", "NLIST", "4",
+                          "STORAGE", "HOST"])
+            ix = srv.client._indexes["hw"]
+            assert ix.schema.field("v").vector.storage == "host"
+            rng = np.random.default_rng(0)
+            for i in range(100):
+                srv.client.hset(f"d{i}",
+                                {"v": rng.normal(size=8)
+                                 .astype(np.float32)})
+            ix.commit()
+            assert ix.segments[0].vectors["v"].host
+            assert ix.segments[0].vectors["v"].host_ivf is not None
+        finally:
+            server.close()
+            await server.wait_closed()
+            await srv.aclose()
+    asyncio.new_event_loop().run_until_complete(flow())
