@@ -24,7 +24,8 @@ def main():
 
     from redisearch_tpu.ops import intersect as IK
 
-    assert IK._use_pallas(), "run on TPU"
+    if "--cpu-smoke" not in sys.argv:
+        assert IK._use_pallas(), "run on TPU"
     BLK = IK.BLK
     rng = np.random.default_rng(7)
     n_docs = 500_000
@@ -115,6 +116,123 @@ def main():
         bad += m_doc + m_sc + m_cnt
         print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
               f"scores={m_sc} counts={m_cnt}")
+    # ---- phrase kernel (chain over position keys) --------------------
+    stride = 64
+
+    def make_phrase(B, Ws, PWs, plant=0.3):
+        T = len(Ws)
+        rows_total = (B * sum(Ws)) // BLK + 4 * B * T
+        pk_rows_total = (B * sum(PWs)) // BLK + 4 * B * T
+        doc_ids = np.full((rows_total, BLK), 2**31 - 1, np.int32)
+        freqs = np.zeros((rows_total, BLK), np.float32)
+        masks = np.zeros((rows_total, BLK), np.int32)
+        dl = np.abs(rng.normal(24.0, 6.0, (rows_total, BLK))
+                    ).astype(np.float32) + 1.0
+        poskeys = np.full((pk_rows_total, BLK), 2**31 - 1, np.int32)
+        meta = np.zeros((B, 5 * T), np.int32)
+        fmeta = np.zeros((B, T + 1), np.float32)
+        at = 0
+        pk_at = 0
+        for b in range(B):
+            pool = np.sort(rng.choice(20000, size=max(Ws) * 2,
+                                      replace=False))
+            term_docs = []
+            positions = []           # per term: dict doc -> [pos]
+            for t, W in enumerate(Ws):
+                live = int(rng.integers(max(1, W // 2), W + 1))
+                take = rng.random(len(pool)) < 0.5
+                docs = np.unique(pool[take][:live]).astype(np.int32)
+                term_docs.append(docs)
+                pos = {}
+                for d in docs:
+                    cnt = int(rng.integers(1, 3))
+                    pos[int(d)] = sorted(
+                        rng.integers(0, stride - T - 1, cnt).tolist())
+                positions.append(pos)
+            # plant aligned runs on some docs shared by every term
+            shared = term_docs[0]
+            for t in range(1, T):
+                shared = np.intersect1d(shared, term_docs[t])
+            for d in shared[rng.random(len(shared)) < plant]:
+                p0 = int(rng.integers(0, stride - T - 1))
+                for t in range(T):
+                    positions[t][int(d)] = sorted(
+                        set(positions[t][int(d)] + [p0 + t]))
+            for t, W in enumerate(Ws):
+                docs = term_docs[t]
+                live = len(docs)
+                off = int(rng.integers(0, BLK))
+                flat = at * BLK + off
+                rows_w = (off + W + BLK - 1) // BLK
+                fd = doc_ids[at:at + rows_w].reshape(-1)
+                ff = freqs[at:at + rows_w].reshape(-1)
+                fm = masks[at:at + rows_w].reshape(-1)
+                fd[off:off + live] = docs
+                ff[off:off + live] = [len(positions[t][int(d)])
+                                      for d in docs]
+                fm[off:off + live] = np.where(
+                    rng.random(live) < 0.9, 3, 4)
+                doc_ids[at:at + rows_w] = fd.reshape(rows_w, BLK)
+                freqs[at:at + rows_w] = ff.reshape(rows_w, BLK)
+                masks[at:at + rows_w] = fm.reshape(rows_w, BLK)
+                meta[b, t] = flat
+                meta[b, T + t] = live
+                meta[b, 2 * T + t] = 3
+                at += rows_w + 1
+                # position keys for this term window
+                keys = np.sort(np.array(
+                    [int(d) * stride + p for d in docs
+                     for p in positions[t][int(d)]], np.int64)
+                    ).astype(np.int32)
+                keys = keys[:PWs[t]]
+                poff = int(rng.integers(0, BLK))
+                pflat = pk_at * BLK + poff
+                pk_rows_w = (poff + PWs[t] + BLK - 1) // BLK
+                fk = poskeys[pk_at:pk_at + pk_rows_w].reshape(-1)
+                fk[poff:poff + len(keys)] = keys
+                poskeys[pk_at:pk_at + pk_rows_w] = fk.reshape(
+                    pk_rows_w, BLK)
+                meta[b, 3 * T + t] = pflat
+                meta[b, 4 * T + t] = len(keys)
+                pk_at += pk_rows_w + 1
+            fmeta[b, :T] = rng.uniform(0.5, 4.0, T)
+            fmeta[b, T] = 24.0
+        return (jnp.asarray(meta), jnp.asarray(fmeta),
+                jnp.asarray(doc_ids.reshape(-1)),
+                jnp.asarray(freqs.reshape(-1)),
+                jnp.asarray(masks.reshape(-1)),
+                jnp.asarray(dl.reshape(-1)),
+                jnp.asarray(poskeys.reshape(-1)))
+
+    PH_CASES = [
+        # (Ws, PWs, slop, k, label)
+        ((2048, 2048), (4096, 4096), 0, 16, "ph2-exact"),
+        ((2048, 8192), (4096, 16384), 0, 16, "ph2-asym"),
+        ((2048, 2048, 2048), (4096, 4096, 4096), 0, 16, "ph3-exact"),
+        ((2048, 2048), (4096, 4096), 2, 16, "ph2-slop2"),
+        ((2048, 2048, 2048), (4096, 4096, 4096), 1, 16, "ph3-slop1"),
+        ((2048, 2048), (4096, 131072), 0, 16, "ph2-bigpos"),
+        ((2048, 2048), (4096, 4096), 0, 1, "ph-k1"),
+    ]
+    for Ws, PWs, slop, k, label in PH_CASES:
+        args = make_phrase(64, Ws, PWs)
+        kd, ks, kc = jax.device_get(IK.phrase_batch(
+            *args, T=len(Ws), Ws=Ws, PWs=PWs, stride=stride,
+            slop=slop, k=k))
+        xd, xs, xc = jax.device_get(IK._xla_phrase_impl(
+            *args, T=len(Ws), Ws=Ws, PWs=PWs, stride=stride,
+            slop=slop, k=k))
+        kd, ks = kd[:, :k], ks[:, :k]
+        xd, xs = xd[:, :k], xs[:, :k]
+        m_doc = int((kd != xd).sum())
+        m_sc = int((np.abs(ks - xs) > 1e-3 * np.maximum(
+            1.0, np.abs(xs))).sum())
+        m_cnt = int((kc != xc).sum())
+        status = "OK " if (m_doc + m_sc + m_cnt) == 0 else "FAIL"
+        bad += m_doc + m_sc + m_cnt
+        print(f"{status} {label:10s} Ws={Ws} PWs={PWs} docs={m_doc} "
+              f"scores={m_sc} counts={m_cnt}")
+
     if bad:
         print(f"CROSSCHECK FAILED: {bad} mismatches")
         sys.exit(1)

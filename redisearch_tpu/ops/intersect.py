@@ -411,6 +411,427 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     return docs, scores, jnp.sum(cnts[:, :P_n], axis=1)
 
 
+def _member_min_ge(anch_ref, ok_ref, found_ref, mkeys_r, r_m, mlen,
+                   rows_p, rows_m, p_end):
+    """Per pivot lane: the smallest member key >= anchor (INT32_MAX if
+    none) — the greedy probe of the in-order proximity chain
+    (engine._phrase_chain_pivot probe_ge).  Same tile strategy as
+    _member_pass: member tiles are range-bounded per pivot tile, plus
+    ONE tile past the range (the first key beyond the pivot's max anchor
+    may live there)."""
+    fi_m = _flat_iota(rows_m)
+    m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
+    mkeys_masked = jnp.where(m_inr, mkeys_r[:rows_m, :],
+                             jnp.int32(2**31 - 1))
+    n_pt = rows_p // R_TILE
+    mt_max = rows_m // R_TILE
+    R = R_TILE
+    INF = jnp.int32(2**31 - 1)
+
+    def pivot_tile(pt, _c):
+        prow = pl.multiple_of(pt * R, R)
+        pa = anch_ref[pl.ds(prow, R), :]           # [8, 128] anchors
+        pv = ok_ref[pl.ds(prow, R), :] != 0
+        pam_lo = jnp.where(pv, pa, INF)
+        pam_hi = jnp.where(pv, pa, jnp.int32(-1))
+        pmin = jnp.min(pam_lo)
+        pmax = jnp.max(pam_hi)
+        rmin = jnp.min(pam_lo, axis=1, keepdims=True)     # [8, 1]
+        rmax = jnp.max(pam_hi, axis=1, keepdims=True)
+        lo_e = r_m + jnp.sum((mkeys_masked < pmin).astype(jnp.int32))
+        hi_e = r_m + jnp.sum((mkeys_masked <= pmax).astype(jnp.int32))
+        lo_t = lo_e // TILE
+        # +1 tile: the smallest key > pmax can sit past the counted range
+        hi_t = jnp.minimum((hi_e + TILE - 1) // TILE + 1, mt_max)
+
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
+        found_ref[pl.ds(prow, R), :] = jnp.full((R, BLK), INF)
+
+        def member_tile(mtile, _i):
+            mrow = pl.multiple_of(mtile * R, R)
+            mk = mkeys_r[pl.ds(mrow, R), :]
+            base = mtile * TILE
+            fi = (base + rsel * BLK
+                  + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
+            mv = (fi >= r_m) & (fi < r_m + mlen)
+            mkm = jnp.where(mv, mk, INF)
+            mt_lo = jnp.min(mkm)
+            mt_hi = jnp.max(jnp.where(mv, mk, jnp.int32(-1)))
+            for pi in range(R):
+                # a tile matters for row pi if any of its keys could be
+                # the row's successor: tile overlaps [rmin, +inf) and
+                # starts at or below the current found frontier is not
+                # trackable cheaply — use [rmin, mt_hi] overlap
+                @pl.when((mt_hi >= rmin[pi, 0]) & (mt_lo != INF))
+                def _overlapping_row():
+                    pa_i = pa[pi]                   # [128] static row
+                    best = jnp.full((BLK,), INF)
+                    for mi in range(R):
+                        ge = mkm[mi][None, :] >= pa_i[:, None]
+                        cand = jnp.where(ge, mkm[mi][None, :], INF)
+                        best = jnp.minimum(best, jnp.min(cand, axis=1))
+                    row_is_pi = rsel == pi
+                    blk = found_ref[pl.ds(prow, R), :]
+                    found_ref[pl.ds(prow, R), :] = jnp.where(
+                        row_is_pi, jnp.minimum(blk, best[None, :]), blk)
+            return _i
+
+        jax.lax.fori_loop(lo_t, hi_t, member_tile, 0)
+        return _c
+
+    jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
+
+
+def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
+                   out_docs, out_scores, out_counts, *scratch,
+                   T, Ws, PWs, stride, slop, k):
+    """Exact / in-order-slop phrase, one query per grid step.
+
+    Chain semantics mirror engine._phrase_chain_pivot (in-order branch):
+    candidates are TERM 0's position keys; each later term greedily
+    advances to its smallest key >= anchor; the running span
+    sum(pos_i - pos_{i-1} - 1) must stay <= slop at every step and every
+    key must stay in the candidate's doc.  Valid keys then fold to doc
+    hits on term 0's posting window (key // stride == doc), and scoring
+    adds each slot's BM25 contribution where the doc sits mask-valid in
+    that slot's postings (engine gen_phrase)."""
+    q = pl.program_id(0)
+    at = 0
+    refs = []
+    for t in range(T):
+        refs.append((scratch[at], scratch[at + 1], scratch[at + 2],
+                     scratch[at + 3]))          # docs, tf, fm, dl
+        at += 4
+    pkrefs = []
+    for t in range(T):
+        pkrefs.append(scratch[at])
+        at += 1
+    anch_ref = scratch[at]
+    ok_ref = scratch[at + 1]
+    span_ref = scratch[at + 2]
+    found_ref = scratch[at + 3]
+    kd_ref = scratch[at + 4]        # key -> doc (int), all lanes
+    kdum_ref = scratch[at + 5]      # dummy f32 member-tf for the fold
+    valid_ref = scratch[at + 6]
+    hit_ref = scratch[at + 7]
+    tfa_ref = scratch[at + 8]
+    sems = scratch[at + 9]
+
+    def m(i):
+        return meta_ref[q, i]
+
+    starts = [m(t) for t in range(T)]
+    lens = [m(T + t) for t in range(T)]
+    qmasks = [m(2 * T + t) for t in range(T)]
+    pstarts = [m(3 * T + t) for t in range(T)]
+    plens = [m(4 * T + t) for t in range(T)]
+    tws = [fmeta[0, 0, t] for t in range(T)]
+    avgdl = fmeta[0, 0, T]
+
+    rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
+    pkrows = [PWs[t] // BLK + R_EXTRA for t in range(T)]
+    srows = [starts[t] // BLK for t in range(T)]
+    rr = [starts[t] % BLK for t in range(T)]
+    psrows = [pstarts[t] // BLK for t in range(T)]
+    prr = [pstarts[t] % BLK for t in range(T)]
+
+    dmas = []
+    for t in range(T):
+        d, f, fm, dlr = refs[t]
+        dmas.append(pltpu.make_async_copy(
+            doc_ids.at[pl.ds(srows[t], rows[t]), :], d, sems.at[5 * t]))
+        dmas.append(pltpu.make_async_copy(
+            freqs.at[pl.ds(srows[t], rows[t]), :], f, sems.at[5 * t + 1]))
+        dmas.append(pltpu.make_async_copy(
+            masks.at[pl.ds(srows[t], rows[t]), :], fm,
+            sems.at[5 * t + 2]))
+        if t == 0:
+            dmas.append(pltpu.make_async_copy(
+                dl.at[pl.ds(srows[t], rows[t]), :], dlr,
+                sems.at[5 * t + 3]))
+        dmas.append(pltpu.make_async_copy(
+            poskeys.at[pl.ds(psrows[t], pkrows[t]), :], pkrefs[t],
+            sems.at[5 * t + 4]))
+    for c in dmas:
+        c.start()
+    for c in dmas:
+        c.wait()
+
+    INF = jnp.int32(2**31 - 1)
+    rows_pk = pkrows[0]
+    fi0 = _flat_iota(rows_pk)
+    in_r0 = (fi0 >= prr[0]) & (fi0 < prr[0] + plens[0])
+    cand = jnp.where(in_r0, pkrefs[0][:rows_pk, :], INF)
+    anch_ref[:rows_pk, :] = cand
+    ok_ref[:rows_pk, :] = in_r0.astype(jnp.int32)
+    span_ref[:rows_pk, :] = jnp.zeros((rows_pk, BLK), jnp.int32)
+    doc0 = jnp.where(in_r0, cand // stride, INF)
+    kd_ref[:rows_pk, :] = doc0
+    # kdum's contents are never consumed (the fold reads hit only and
+    # every _member_pass re-zeroes tfa per pivot tile) — it just has to
+    # be a safely readable f32 buffer of the member's row count
+    pk_end = (prr[0] + plens[0] + TILE - 1) // TILE
+
+    for j in range(1, T):
+        _member_min_ge(anch_ref, ok_ref, found_ref, pkrefs[j],
+                       prr[j], plens[j], rows_pk, pkrows[j], pk_end)
+        anchor = anch_ref[:rows_pk, :]
+        ok = ok_ref[:rows_pk, :] != 0
+        span = span_ref[:rows_pk, :]
+        found = found_ref[:rows_pk, :]
+        ok = (ok & (found >= anchor) & (found != INF)
+              & ((found // stride) == doc0))
+        span = jnp.where(ok, span + (found - anchor - 1), span)
+        ok = ok & (span <= max(slop, 0))
+        anchor = jnp.where(ok, found, anchor)
+        anch_ref[:rows_pk, :] = anchor
+        ok_ref[:rows_pk, :] = ok.astype(jnp.int32)
+        span_ref[:rows_pk, :] = span
+
+    # fold valid keys to doc hits on term 0's posting window: kd holds
+    # key//stride for EVERY lane (monotone, so _member_pass range
+    # counting stays sound); lane validity rides ok_ref as the "field
+    # mask" with qm == 1
+    rows_p = rows[0]
+    pdocs_ref, ptf_ref, pfm_ref, pdl_ref = refs[0]
+    iota_w = _flat_iota(rows_p)
+    in_range = (iota_w >= rr[0]) & (iota_w < rr[0] + lens[0])
+    valid_ref[:rows_p, :] = in_range.astype(jnp.int32)
+    p_end = (rr[0] + lens[0] + TILE - 1) // TILE
+    _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                 kd_ref, kdum_ref, ok_ref, prr[0], plens[0],
+                 jnp.int32(1), rows_p, rows_pk, p_end)
+    anylen = lens[0] > 0
+    for t in range(1, T):
+        anylen = anylen & (lens[t] > 0)
+    dochit = (hit_ref[:rows_p, :] != 0) & in_range & anylen
+    valid_ref[:rows_p, :] = dochit.astype(jnp.int32)
+
+    pdl = pdl_ref[:]
+
+    def bm25(tf, w):
+        norm = K1 * (1.0 - B_ + B_ * pdl / jnp.maximum(avgdl, 1e-9))
+        return w * tf * (K1 + 1.0) / (tf + norm)
+
+    # slot 0 contributes where its own posting is mask-valid (scores are
+    # per-slot gated by mask; phrase VALIDITY is positions-only,
+    # engine gen_phrase: valid = chain docs, score = sum of member hits)
+    hit0 = dochit & ((pfm_ref[:rows_p, :] & qmasks[0]) != 0)
+    score = jnp.where(hit0, bm25(ptf_ref[:rows_p, :], tws[0]), 0.0)
+    pdocs = pdocs_ref[:rows_p, :]
+    for u in range(1, T):
+        mdocs_r, mtf_r, mfm_r, _ = refs[u]
+        _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                     mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
+                     qmasks[u], rows_p, rows[u], p_end)
+        hit_u = (hit_ref[:rows_p, :] != 0) & dochit
+        score = score + jnp.where(
+            hit_u, bm25(tfa_ref[:rows_p, :], tws[u]), 0.0)
+
+    d_o = jnp.where(dochit, pdocs, INF)
+    s_o = jnp.where(dochit, score, NEG_INF)
+
+    # top-k extraction + count (single phase)
+    KR = max(-(-k // BLK), 1)
+    oi = _flat_iota(KR)
+    topd = jnp.full((KR, BLK), INF)
+    tops = jnp.full((KR, BLK), NEG_INF, jnp.float32)
+    cnts = jnp.zeros((1, BLK), jnp.int32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    cnts = jnp.where(ci == 0,
+                     jnp.sum((d_o != INF).astype(jnp.int32)), cnts)
+    fiw = _flat_iota(rows_p)
+    sc = s_o
+    for i in range(k):
+        mx = jnp.max(sc)
+        sel = jnp.min(jnp.where(sc == mx, fiw, INF))
+        hit_lane = fiw == sel
+        dv = jnp.min(jnp.where(hit_lane, d_o, INF))
+        opos = oi == i
+        topd = jnp.where(opos, dv, topd)
+        tops = jnp.where(opos, mx, tops)
+        sc = jnp.where(hit_lane, NEG_INF, sc)
+    out_docs[0] = topd
+    out_scores[0] = tops
+    out_counts[0] = cnts
+
+
+def _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
+                     poskeys, *, T, Ws, PWs, stride, slop, k):
+    """Pure-XLA twin of _phrase_kernel — CPU fallback + lowering oracle.
+    Semantics are the kernel's (which mirror engine._phrase_chain_pivot
+    in-order + gen_phrase scoring)."""
+    INF = jnp.int32(2**31 - 1)
+    pk_flat = poskeys
+
+    def one(mrow, frow):
+        tstarts = mrow[:T]
+        tlens = mrow[T:2 * T]
+        qm = mrow[2 * T:3 * T]
+        pstarts = mrow[3 * T:4 * T]
+        plens = mrow[4 * T:5 * T]
+        tws = frow[:T]
+        avgdl = frow[T]
+
+        def pwin(t):
+            ks = jax.lax.dynamic_slice(pk_flat, (pstarts[t],), (PWs[t],))
+            i = jnp.arange(PWs[t])
+            return jnp.where(i < plens[t], ks, INF)
+
+        cand = pwin(0)
+        alive = cand != INF
+        doc0 = jnp.where(alive, cand // stride, INF)
+        anchor = cand
+        ok = alive
+        span = jnp.zeros(cand.shape, jnp.int32)
+        for j in range(1, T):
+            kj = pwin(j)
+            idx = jnp.clip(jnp.searchsorted(kj, anchor), 0, PWs[j] - 1)
+            found = jnp.where(jnp.searchsorted(kj, anchor) < PWs[j],
+                              kj[idx], INF)
+            ok = (ok & (found >= anchor) & (found != INF)
+                  & ((found // stride) == doc0))
+            span = jnp.where(ok, span + (found - anchor - 1), span)
+            ok = ok & (span <= max(slop, 0))
+            anchor = jnp.where(ok, found, anchor)
+
+        def win(t):
+            W = Ws[t]
+            st = tstarts[t]
+            d = jax.lax.dynamic_slice(doc_ids, (st,), (W,))
+            f = jax.lax.dynamic_slice(freqs, (st,), (W,))
+            mk = jax.lax.dynamic_slice(masks, (st,), (W,))
+            dlw = jax.lax.dynamic_slice(posting_dl, (st,), (W,))
+            i = jnp.arange(W)
+            inr = i < tlens[t]
+            mv = inr & ((mk & qm[t]) != 0)
+            return jnp.where(inr, d, INF), f, mv, inr, dlw
+
+        pd, pf, pmv, pinr, pdl = win(0)
+        # fold: cumulative count of valid keys below each doc boundary
+        okc = jnp.cumsum(ok.astype(jnp.int32))
+        lo = jnp.searchsorted(cand, pd * stride)
+        hi = jnp.searchsorted(cand, (pd + 1) * stride)
+        c_at = lambda i: jnp.where(i > 0, okc[jnp.maximum(i - 1, 0)], 0)
+        anylen = jnp.all(tlens > 0)
+        dochit = pinr & (c_at(hi) - c_at(lo) > 0) & anylen
+
+        def bm25(tf, w):
+            norm = K1 * (1.0 - B_ + B_ * pdl / jnp.maximum(avgdl, 1e-9))
+            return w * tf * (K1 + 1.0) / (tf + norm)
+
+        score = jnp.where(dochit & pmv, bm25(pf, tws[0]), 0.0)
+        for u in range(1, T):
+            md, mf_, mmv, _minr, _mdl = win(u)
+            idx = jnp.clip(jnp.searchsorted(md, pd), 0, Ws[u] - 1)
+            hit = (md[idx] == pd) & mmv[idx] & dochit
+            score = score + jnp.where(hit, bm25(mf_[idx], tws[u]), 0.0)
+
+        d_o = jnp.where(dochit, pd, INF)
+        s_o = jnp.where(dochit, score, jnp.float32(NEG_INF))
+        KR = max(-(-k // BLK), 1)
+        oi = jnp.arange(KR * BLK)
+        topd = jnp.full((KR * BLK,), INF)
+        tops = jnp.full((KR * BLK,), NEG_INF, jnp.float32)
+        cnt = jnp.sum((d_o != INF).astype(jnp.int32))
+        fiw = jnp.arange(d_o.shape[0])
+        sc = s_o
+        for i in range(k):
+            mx = jnp.max(sc)
+            sel = jnp.min(jnp.where(sc == mx, fiw, INF))
+            hit_lane = fiw == sel
+            dv = jnp.min(jnp.where(hit_lane, d_o, INF))
+            opos = oi == i
+            topd = jnp.where(opos, dv, topd)
+            tops = jnp.where(opos, mx, tops)
+            sc = jnp.where(hit_lane, NEG_INF, sc)
+        return topd, tops, cnt
+
+    docs, scores, cnts = jax.vmap(one)(meta, fmeta)
+    return docs, scores, cnts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "Ws", "PWs", "stride", "slop", "k"))
+def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
+                 *, T: int, Ws: tuple, PWs: tuple, stride: int,
+                 slop: int = 0, k: int = 16):
+    """Exact / in-order phrase kernel over a batch.
+
+    meta: int32 [B, 5T] — per slot posting starts, lens, qmasks, then
+    poskey-window starts and lens (flat offsets into `poskeys`).
+    fmeta: f32 [B, T+1] — slot tweights then avgdl.  Returns
+    (docs [B, >=k], scores, counts [B]) — top-k score desc, doc asc ties.
+    """
+    if not _use_pallas():
+        return _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks,
+                                posting_dl, poskeys, T=T, Ws=Ws, PWs=PWs,
+                                stride=stride, slop=slop, k=k)
+    B = meta.shape[0]
+    rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
+    pkrows = [PWs[t] // BLK + R_EXTRA for t in range(T)]
+    KR = max(-(-k // BLK), 1)
+    scratch = []
+    for t in range(T):
+        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
+        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+        scratch.append(pltpu.VMEM(
+            (rows[t] if t == 0 else R_TILE, BLK), jnp.float32))
+    for t in range(T):
+        scratch.append(pltpu.VMEM((pkrows[t], BLK), jnp.int32))
+    rows_pk = pkrows[0]
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # anchor
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # ok
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # span
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # found
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # key->doc
+    scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.float32))  # dummy tf
+    scratch.append(pltpu.VMEM((rows[0], BLK), jnp.int32))    # valid
+    scratch.append(pltpu.VMEM((rows[0], BLK), jnp.int32))    # hit
+    scratch.append(pltpu.VMEM((rows[0], BLK), jnp.float32))  # tfacc
+    scratch.append(pltpu.SemaphoreType.DMA((5 * T,)))
+
+    n2 = doc_ids.shape[0] // BLK
+    d2 = doc_ids.reshape(n2, BLK)
+    f2 = freqs.reshape(n2, BLK)
+    m2 = masks.reshape(n2, BLK)
+    dl2 = posting_dl.reshape(n2, BLK)
+    pk2 = poskeys.reshape(poskeys.shape[0] // BLK, BLK)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 1, T + 1),
+                               lambda q, meta: (q, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=[
+            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda q, meta: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+    kern = functools.partial(_phrase_kernel, T=T, Ws=Ws, PWs=PWs,
+                             stride=stride, slop=slop, k=k)
+    docs, scores, counts = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
+        ],
+    )(meta, fmeta[:, None, :], d2, f2, m2, dl2, pk2)
+    return (docs.reshape(B, KR * BLK),
+            scores.reshape(B, KR * BLK),
+            counts.reshape(B, BLK)[:, 0])
+
+
 def iter_topk(scores, docs, k: int):
     """Exact batched top-k by iterative max extraction.
 

@@ -1318,17 +1318,7 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
     import os
     if os.environ.get("RS_TPU_NO_INTERSECT_KERNEL"):
         return None
-    opts = cq0.opts
-    if (opts.scorer != "BM25STD" or opts.sort_field is not None
-            or cq0.knn is not None or k_pad > 64):
-        return None
-    if (seg.n_deleted > 0 or seg.has_ttl or seg.text_fexp is not None
-            or not seg.uniform_docscore or seg.field_fexp):
-        return None
-    try:
-        if seg.text.field_masks.ndim != 1:
-            return None
-    except Exception:
+    if not _kernel_seg_ok(cq0, seg, k_pad):
         return None
     from ..ops import intersect as IK
 
@@ -1420,6 +1410,77 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
     return tuple(slots), tuple(Ws), tuple(groups), pivot_g
 
 
+def _kernel_seg_ok(cq0: CompiledQuery, seg: Segment, k_pad: int) -> bool:
+    """Shared cleanliness preconditions for the Pallas term kernels."""
+    opts = cq0.opts
+    if (opts.scorer != "BM25STD" or opts.sort_field is not None
+            or cq0.knn is not None or k_pad > 64):
+        return False
+    if (seg.n_deleted > 0 or seg.has_ttl or seg.text_fexp is not None
+            or not seg.uniform_docscore or seg.field_fexp):
+        return False
+    try:
+        if seg.text.field_masks.ndim != 1:
+            return False
+    except Exception:
+        return False
+    return True
+
+
+def _kernel_plan_phrase(cq0: CompiledQuery, seg: Segment, bk: dict,
+                        k_pad: int):
+    """Eligibility for the Pallas phrase kernel (ops/intersect.py
+    phrase_batch): a single exact / in-order-slop phrase leaf on a clean
+    segment, with in-window (non-overflow) position lists.  Returns
+    (slots, Ws, PWs, stride, slop) or None."""
+    import os
+    if os.environ.get("RS_TPU_NO_INTERSECT_KERNEL"):
+        return None
+    if not _kernel_seg_ok(cq0, seg, k_pad):
+        return None
+    tree = cq0.tree
+    if tree[0] != "leaf" or not isinstance(tree[1], LPhrase):
+        return None
+    leaf = tree[1]
+    if not leaf.inorder or leaf.slop < 0:
+        return None
+    T = len(leaf.slots)
+    if not 2 <= T <= 4:
+        return None
+    if tuple(leaf.slots) != tuple(range(leaf.score_lo, leaf.score_hi)):
+        return None
+    e = bk.get(tree[2])
+    if not e:
+        return None
+    Wn, Pc, Pm, pivot_j, bigs, _big_rounds, n_chunks = e
+    if n_chunks > 1 or any(bigs) or pivot_j != 0:
+        return None
+    from ..ops import intersect as IK
+    if Wn > IK.MAX_W_MEMBER or Wn % 1024:
+        return None
+    if Pc > IK.MAX_W_MEMBER or Pc % 1024 or Pm > IK.MAX_W_MEMBER \
+            or Pm % 1024:
+        return None
+    try:
+        if seg.text.poskeys.shape[0] % 128:
+            return None
+    except Exception:
+        return None
+    Ws = (Wn,) * T
+    PWs = (Pc,) + (Pm,) * (T - 1)
+    # VMEM budget: posting windows (slot0 carries doclens), poskey
+    # windows, 6 chain buffers (Pc), 3 fold/score buffers (W0)
+    vmem = sum((4 if t == 0 else 3) * (Ws[t] + 1024) * 4
+               for t in range(T))
+    vmem += sum((PWs[t] + 1024) * 4 for t in range(T))
+    vmem += 6 * (Pc + 1024) * 4
+    vmem += 3 * (Wn + 1024) * 4
+    if vmem > 12 * 1024 * 1024:
+        return None
+    return (tuple(leaf.slots), Ws, PWs, int(seg.text.pos_stride),
+            max(int(leaf.slop), 0))
+
+
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    k: int) -> "_PackedExecutor":
     """Compile-cached batched executor over stacked transport rows.
@@ -1471,6 +1532,41 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 k=_k)
             # kernel emits per-phase top-k ([B, P*k] lanes) + counts;
             # merging the tiny phase lists replaces the [B, W] iter_topk
+            vals, sel = IK.iter_topk(scores, docs, _k)
+            idx = jnp.take_along_axis(docs, sel, axis=1)
+            return {"idx": idx, "scores": vals, "count": count}
+
+        proto = {"rows": np.zeros((B, total), np.int32)}
+        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        _COMPILE_CACHE[sig] = entry
+        return entry
+
+    pplan = _kernel_plan_phrase(cq0, seg, bk, k_pad)
+    if pplan is not None:
+        from ..ops import intersect as IK
+        pslots, pWs, pPWs, pstride, pslop = pplan
+        pslots_l = list(pslots)
+
+        def batched(seg_args_, dyn, _slots=pslots_l, _Ws=pWs,
+                    _PWs=pPWs, _stride=pstride, _slop=pslop, _k=k_pad):
+            stacked = _device_unpack_rows(layout, dyn["rows"])
+            ts = stacked["tstarts"][:, _slots].astype(jnp.int32)
+            tl = stacked["tlens"][:, _slots].astype(jnp.int32)
+            tm = stacked["tmasks"][:, _slots].astype(jnp.int32)
+            po = seg_args_["pos_offsets"]
+            pstart = po[ts]
+            plen = po[ts + tl] - pstart
+            meta = jnp.concatenate([ts, tl, tm, pstart, plen], axis=1)
+            fmeta = jnp.concatenate(
+                [stacked["tweight"][:, _slots],
+                 stacked["avgdl"].reshape(-1, 1)],
+                axis=1).astype(jnp.float32)
+            docs, scores, count = IK.phrase_batch(
+                meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
+                seg_args_["field_masks"], seg_args_["posting_dl"],
+                seg_args_["poskeys"],
+                T=len(_slots), Ws=_Ws, PWs=_PWs, stride=_stride,
+                slop=_slop, k=_k)
             vals, sel = IK.iter_topk(scores, docs, _k)
             idx = jnp.take_along_axis(docs, sel, axis=1)
             return {"idx": idx, "scores": vals, "count": count}
