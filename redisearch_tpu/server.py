@@ -379,10 +379,12 @@ class Server:
             except RSError as e:
                 for i in idxs:
                     if out[i] is None:
+                        self._count_query_error("FT.SEARCH", e)
                         out[i] = e
             except Exception as e:
                 for i in idxs:
                     if out[i] is None:
+                        self._count_query_error("FT.SEARCH", None)
                         out[i] = RSError(f"{type(e).__name__}: {e}")
         return out
 
@@ -390,11 +392,23 @@ class Server:
         try:
             return self._run_search(spec)
         except RSError as e:
+            self._count_query_error("FT.SEARCH", e)
             return e
         except Exception as e:
+            self._count_query_error("FT.SEARCH", None)
             return RSError(f"{type(e).__name__}: {e}")
 
     # -- command dispatch ---------------------------------------------------
+    # query-command error codes feed the global error stats (reference:
+    # QueryErrorsGlobalStats_UpdateError, src/info/global_stats.c:184 —
+    # syntax / arguments / timeout / oom)
+    _QUERY_CMDS = frozenset({
+        "FT.SEARCH", "FT.AGGREGATE", "FT.HYBRID", "FT.PROFILE",
+        "FT.CURSOR"})
+    _ERRSTAT_BY_CODE = {
+        "ESYNTAX": "syntax", "EPARSEARGS": "arguments",
+        "EBADVAL": "arguments", "ETIMEDOUT": "timeout", "EOOM": "oom"}
+
     def dispatch(self, argv: list[str]):
         if not argv:
             return RSError("empty command")
@@ -407,9 +421,23 @@ class Server:
                 return RSError(f"unknown command '{argv[0]}'")
             return handler(av)
         except RSError as e:
+            self._count_query_error(cmd, e)
             return e
         except Exception as e:  # command errors become RESP errors
+            self._count_query_error(cmd, None)
             return RSError(f"{type(e).__name__}: {e}")
+
+    def _count_query_error(self, cmd: str, err) -> None:
+        if cmd not in self._QUERY_CMDS:
+            return
+        bucket = self._ERRSTAT_BY_CODE.get(
+            getattr(err, "code", None), None)
+        stats = getattr(self, "_query_error_stats", None)
+        if stats is None:
+            stats = self._query_error_stats = {
+                "syntax": 0, "arguments": 0, "timeout": 0, "oom": 0}
+        if bucket is not None:
+            stats[bucket] += 1
 
     # -- generic ----------------------------------------------------------
     def _cmd_PING(self, av):
@@ -455,6 +483,11 @@ class Server:
         qerrs = sum(ix.index_errors["count"] for ix in idx)
         lines += ["# search_runtime_configurations",
                   f"search_errors_indexing_failures:{qerrs}"]
+        es = getattr(self, "_query_error_stats",
+                     {"syntax": 0, "arguments": 0, "timeout": 0,
+                      "oom": 0})
+        lines += ["# search_query_errors"] + [
+            f"shard_total_query_errors_{k}:{v}" for k, v in es.items()]
         return "\r\n".join(lines) + "\r\n"
 
     def _cmd_HSET(self, av):

@@ -52,12 +52,6 @@ class DocumentExists(RSError):
     code = "EDOCEXISTS"
 
 
-class DocumentNotFound(RSError):
-    """FT.ADD NOCREATE on a missing doc (reference:
-    QUERY_ERROR_CODE_NO_DOC, src/document_add.c:174)."""
-    code = "ENODOC"
-
-
 class QuerySyntaxError(RSError):
     code = "ESYNTAX"
 

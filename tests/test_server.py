@@ -355,3 +355,26 @@ def test_limit_bounds(loop):
         await c.cmd("FT.CONFIG", "SET", "MAXAGGREGATERESULTS", "1000000")
         return True
     assert run_session(loop, flow)
+
+
+def test_global_query_error_stats(loop):
+    """Per-class query error counters in INFO (reference:
+    QueryErrorsGlobalStats_UpdateError, src/info/global_stats.c:184;
+    field names from src/info/info_redis/info_redis.c:333-335)."""
+    async def flow(c):
+        await c.cmd("FT.CREATE", "es", "SCHEMA", "t", "TEXT")
+        for _ in range(2):
+            try:
+                await c.cmd("FT.SEARCH", "es", "((((")   # syntax
+            except Exception:
+                pass
+        try:
+            await c.cmd("FT.SEARCH", "es", "@t:$missing")  # bad param
+        except Exception:
+            pass
+        info = await c.cmd("INFO", "SEARCH")
+        text = info if isinstance(info, str) else str(info)
+        assert "shard_total_query_errors_syntax:2" in text, text
+        assert "shard_total_query_errors_arguments:1" in text
+        return True
+    assert run_session(loop, flow)
