@@ -116,6 +116,62 @@ def main():
         bad += m_doc + m_sc + m_cnt
         print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
               f"scores={m_sc} counts={m_cnt}")
+    # ---- tag (aux doc-window) groups ---------------------------------
+    def make_with_aux(B, Ws, aux_slots):
+        """Like make(), but slots in `aux_slots` draw from a separate
+        doc-window array (tag postings: no tf/mask, const scoring)."""
+        meta, fmeta, d, f, m, dl = make(B, Ws)
+        meta = np.asarray(meta).copy()
+        T = len(Ws)
+        rows_aux = (B * sum(Ws[t] for t in aux_slots)) // BLK \
+            + 4 * B * len(aux_slots)
+        aux = np.full((rows_aux, BLK), 2**31 - 1, np.int32)
+        at = 0
+        for b in range(B):
+            for t in aux_slots:
+                W = Ws[t]
+                live = int(rng.integers(max(1, W // 2), W + 1))
+                docs = np.sort(rng.choice(n_docs, size=live,
+                                          replace=False)).astype(np.int32)
+                off = int(rng.integers(0, BLK))
+                flat = at * BLK + off
+                rows_w = (off + W + BLK - 1) // BLK
+                fa = aux[at:at + rows_w].reshape(-1)
+                fa[off:off + live] = docs
+                aux[at:at + rows_w] = fa.reshape(rows_w, BLK)
+                meta[b, t] = flat
+                meta[b, T + t] = live
+                at += rows_w + 1
+        return (jnp.asarray(meta), fmeta, d, f, m, dl,
+                jnp.asarray(aux.reshape(-1)))
+
+    AUX_CASES = [
+        (((IK.REQ, (0,), -1), (IK.REQ, (1,), 0)), (2048, 8192), (1,),
+         "and+tag"),
+        (((IK.REQ, (0,), -1), (IK.NOT, (1,), 0)), (2048, 8192), (1,),
+         "and-nottag"),
+        (((IK.REQ, (0,), -1), (IK.REQ, (1, 2), 0)), (2048, 4096, 4096),
+         (1, 2), "and+tagor"),
+        (((IK.REQ, (0,), -1), (IK.REQ, (1,), -1), (IK.OPT, (2,), 0)),
+         (2048, 8192, 8192), (2,), "and2+opttag"),
+    ]
+    for groups, Ws, aux_slots, label in AUX_CASES:
+        args = make_with_aux(64, Ws, aux_slots)
+        kd, ks, kc = jax.device_get(IK.intersect_batch(
+            *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=16))
+        xd, xs, xc = jax.device_get(IK._xla_impl(
+            *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=16))
+        kd, ks = kd[:, :16], ks[:, :16]
+        xd, xs = xd[:, :16], xs[:, :16]
+        m_doc = int((kd != xd).sum())
+        m_sc = int((np.abs(ks - xs) > 1e-3 * np.maximum(
+            1.0, np.abs(xs))).sum())
+        m_cnt = int((kc != xc).sum())
+        status = "OK " if (m_doc + m_sc + m_cnt) == 0 else "FAIL"
+        bad += m_doc + m_sc + m_cnt
+        print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
+              f"scores={m_sc} counts={m_cnt}")
+
     # ---- phrase kernel (chain over position keys) --------------------
     stride = 64
 

@@ -67,7 +67,7 @@ def _flat_iota(rows):
 
 def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
                  mdocs_r, mtf_r, mfm_r, r_m, mlen, qm_t,
-                 rows_p, rows_m, p_end):
+                 rows_p, rows_m, p_end, check_mask: bool = True):
     """hit/tf of the member window at the pivot candidates.
 
     Writes hit_ref/tfa_ref over the first rows_p rows.  valid_ref narrows
@@ -77,7 +77,10 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
     (the pivot's live row count; rows past it keep stale hit/tf, which
     only ever lands in lanes the phase has already invalidated), and a
     member tile compares only against pivot rows whose [min, max] doc
-    range overlaps it (pl.when predication — typically 1-2 of 8 rows)."""
+    range overlaps it (pl.when predication — typically 1-2 of 8 rows).
+    check_mask=False skips the field-mask validity test — for member
+    windows without masks (tag postings, key->doc folds use an explicit
+    0/1 validity buffer with qm == 1 instead)."""
     fi_m = _flat_iota(rows_m)
     m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
     mdocs_masked = jnp.where(m_inr, mdocs_r[:rows_m, :],
@@ -114,11 +117,13 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
             mrow = pl.multiple_of(mtile * R, R)
             md = mdocs_r[pl.ds(mrow, R), :]
             mtf = mtf_r[pl.ds(mrow, R), :]
-            mf = mfm_r[pl.ds(mrow, R), :]
             base = mtile * TILE
             fi = (base + rsel * BLK
                   + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
-            mv = (fi >= r_m) & (fi < r_m + mlen) & ((mf & qm_t) != 0)
+            mv = (fi >= r_m) & (fi < r_m + mlen)
+            if check_mask:
+                mf = mfm_r[pl.ds(mrow, R), :]
+                mv = mv & ((mf & qm_t) != 0)
             mdm = jnp.where(mv, md, INF)
             mt_lo = jnp.min(mdm)
             mt_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)))
@@ -150,17 +155,35 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
     jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
 
 
+def _slot_srcs(T: int, groups) -> list:
+    """Per-slot source index from the (flag, slots, src) groups:
+    -1 = text postings, >= 0 = aux doc-window array (tag postings)."""
+    src = [-1] * T
+    for g in groups:
+        s = g[2] if len(g) > 2 else -1
+        for t in g[1]:
+            src[t] = s
+    return src
+
+
 def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
-            out_docs, out_scores, out_counts, *scratch,
-            T, Ws, groups, pivot_g, k):
+            *rest, T, Ws, groups, pivot_g, k, n_aux):
     """One query per grid step (see module docstring)."""
+    aux = rest[:n_aux]
+    out_docs, out_scores, out_counts = rest[n_aux:n_aux + 3]
+    scratch = rest[n_aux + 3:]
     q = pl.program_id(0)
+    srcs = _slot_srcs(T, groups)
     refs = []
     at = 0
     for t in range(T):
-        refs.append((scratch[at], scratch[at + 1], scratch[at + 2],
-                     scratch[at + 3]))          # docs, tf, fm, dl
-        at += 4
+        if srcs[t] < 0:
+            refs.append((scratch[at], scratch[at + 1], scratch[at + 2],
+                         scratch[at + 3]))      # docs, tf, fm, dl
+            at += 4
+        else:
+            refs.append((scratch[at], scratch[at + 1]))  # docs, dummy tf
+            at += 2
     valid_ref = scratch[at]
     hit_ref = scratch[at + 1]
     tfa_ref = scratch[at + 2]
@@ -181,18 +204,26 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     pivots = list(groups[pivot_g][1])
     dmas = []
     for t in range(T):
-        d, f, fm, dlr = refs[t]
-        dmas.append(pltpu.make_async_copy(
-            doc_ids.at[pl.ds(srows[t], rows[t]), :], d, sems.at[4 * t]))
-        dmas.append(pltpu.make_async_copy(
-            freqs.at[pl.ds(srows[t], rows[t]), :], f, sems.at[4 * t + 1]))
-        dmas.append(pltpu.make_async_copy(
-            masks.at[pl.ds(srows[t], rows[t]), :], fm,
-            sems.at[4 * t + 2]))
-        if t in pivots:
+        if srcs[t] < 0:
+            d, f, fm, dlr = refs[t]
             dmas.append(pltpu.make_async_copy(
-                dl.at[pl.ds(srows[t], rows[t]), :], dlr,
-                sems.at[4 * t + 3]))
+                doc_ids.at[pl.ds(srows[t], rows[t]), :], d,
+                sems.at[4 * t]))
+            dmas.append(pltpu.make_async_copy(
+                freqs.at[pl.ds(srows[t], rows[t]), :], f,
+                sems.at[4 * t + 1]))
+            dmas.append(pltpu.make_async_copy(
+                masks.at[pl.ds(srows[t], rows[t]), :], fm,
+                sems.at[4 * t + 2]))
+            if t in pivots:
+                dmas.append(pltpu.make_async_copy(
+                    dl.at[pl.ds(srows[t], rows[t]), :], dlr,
+                    sems.at[4 * t + 3]))
+        else:
+            d, _ = refs[t]
+            dmas.append(pltpu.make_async_copy(
+                aux[srcs[t]].at[pl.ds(srows[t], rows[t]), :], d,
+                sems.at[4 * t]))
     for c in dmas:
         c.start()
     for c in dmas:
@@ -227,10 +258,17 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         p_end = (r_p + lens[p] + TILE - 1) // TILE
 
         def slot_member(u):
-            mdocs_r, mtf_r, mfm_r, _ = refs[u]
-            _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
-                         mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
-                         qmasks[u], rows_p, rows[u], p_end)
+            if srcs[u] < 0:
+                mdocs_r, mtf_r, mfm_r, _ = refs[u]
+                _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                             mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
+                             qmasks[u], rows_p, rows[u], p_end)
+            else:
+                mdocs_r, mdum_r = refs[u]
+                _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                             mdocs_r, mdum_r, mdum_r, rr[u], lens[u],
+                             jnp.int32(0), rows_p, rows[u], p_end,
+                             check_mask=False)
             return hit_ref[:rows_p, :] != 0, tfa_ref[:rows_p, :]
 
         for item in others:
@@ -243,14 +281,19 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
                     # an earlier sibling owns docs it also matched
                     valid = valid & ~hit
             else:
-                _tag, fl, slots_g = item
+                _tag, fl, slots_g, gsrc = item
                 ghit = jnp.zeros((rows_p, BLK), jnp.bool_)
                 gadd = jnp.zeros((rows_p, BLK), jnp.float32)
                 for u in slots_g:
                     hit, tf_u = slot_member(u)
                     ghit = ghit | hit
-                    gadd = gadd + jnp.where(hit, bm25(tf_u, tws[u]),
-                                            0.0)
+                    if gsrc < 0:
+                        gadd = gadd + jnp.where(hit, bm25(tf_u, tws[u]),
+                                                0.0)
+                if gsrc >= 0:
+                    # doc-window groups (tags) score their leaf constant
+                    # ONCE per doc (engine pred_leaf LTag: const)
+                    gadd = jnp.where(ghit, tws[slots_g[0]], 0.0)
                 if fl == REQ:
                     valid = valid & ghit
                     score = score + gadd
@@ -281,10 +324,11 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     for pi, p in enumerate(pivots):
         others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
         others += [("slot", u, "fold") for u in pivots[pi + 1:]]
-        for gi, (fl, slots_g) in enumerate(groups):
+        for gi, g in enumerate(groups):
             if gi == pivot_g:
                 continue
-            others.append(("group", fl, slots_g))
+            others.append(("group", g[0], g[1],
+                           g[2] if len(g) > 2 else -1))
         d_o, s_o = run_phase(p, others)
         fiw = _flat_iota(rows[p])
         cnts = jnp.where(ci == pi,
@@ -305,11 +349,12 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-              *, T, Ws, groups, pivot_g, k):
+              *aux, T, Ws, groups, pivot_g, k):
     """Pure-XLA twin of the kernel semantics — the CPU fallback and the
     cross-check oracle for the Pallas lowering (interpret mode cannot
     discharge the kernels' DMAs)."""
     INF = jnp.int32(2**31 - 1)
+    srcs = _slot_srcs(T, groups)
 
     def one(mrow, frow):
         starts = mrow[:T]
@@ -321,6 +366,13 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         def win(t):
             W = Ws[t]
             st = starts[t]
+            if srcs[t] >= 0:
+                d = jax.lax.dynamic_slice(aux[srcs[t]], (st,), (W,))
+                i = jnp.arange(W)
+                inr = i < lens[t]
+                return (jnp.where(inr, d, INF),
+                        jnp.zeros((W,), jnp.float32), inr,
+                        jnp.zeros((W,), jnp.float32))
             d = jax.lax.dynamic_slice(doc_ids, (st,), (W,))
             f = jax.lax.dynamic_slice(freqs, (st,), (W,))
             mk = jax.lax.dynamic_slice(masks, (st,), (W,))
@@ -355,14 +407,17 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     if kind == "dedup+fold":
                         valid = valid & ~hit
                 else:
-                    _tag, fl, slots_g = item
+                    _tag, fl, slots_g, gsrc = item
                     ghit = jnp.zeros_like(pvalid)
                     gadd = jnp.zeros_like(score)
                     for u in slots_g:
                         hit, tf_m = member(u, pd)
                         ghit = ghit | hit
-                        gadd = gadd + jnp.where(
-                            hit, bm25(tf_m, tws[u]), 0.0)
+                        if gsrc < 0:
+                            gadd = gadd + jnp.where(
+                                hit, bm25(tf_m, tws[u]), 0.0)
+                    if gsrc >= 0:
+                        gadd = jnp.where(ghit, tws[slots_g[0]], 0.0)
                     if fl == REQ:
                         valid = valid & ghit
                         score = score + gadd
@@ -384,10 +439,11 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         for pi, p in enumerate(pivots):
             others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
             others += [("slot", u, "fold") for u in pivots[pi + 1:]]
-            for gi, (fl, slots_g) in enumerate(groups):
+            for gi, g in enumerate(groups):
                 if gi == pivot_g:
                     continue
-                others.append(("group", fl, slots_g))
+                others.append(("group", g[0], g[1],
+                               g[2] if len(g) > 2 else -1))
             d, sc = phase(p, others)
             fiw = jnp.arange(d.shape[0])
             cnts = jnp.where(ci == pi,
@@ -867,23 +923,28 @@ def _use_pallas() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g", "k"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                    *, T: int, Ws: tuple, groups: tuple,
+                    *aux, T: int, Ws: tuple, groups: tuple,
                     pivot_g: int = 0, k: int = 16):
     """Run the term-query kernel over a batch.
 
     meta: int32 [B, 3T] — per slot starts, lens, qmasks.
     fmeta: f32 [B, T+1] — per slot tweights (idf*weight), then avgdl.
-    groups: ((flag, (slot_idx, ...)), ...) — REQ/NOT/OPT groups over the
-    T slots; `pivot_g` names the REQ group whose slots generate the
-    candidate phases.  Returns (docs [B, >=P*k], scores, counts [B]):
-    per phase the top-k (score desc, window position asc) with
-    INT32_MAX / -inf filler — merge phases with iter_topk — plus the
-    total match count.
+    groups: ((flag, (slot_idx, ...)[, src]), ...) — REQ/NOT/OPT groups
+    over the T slots.  src (default -1) selects the slot's array: -1 =
+    text postings, >= 0 = the positional `aux` doc-window array at that
+    index (tag postings: hit-only members scoring their leaf constant
+    once per doc).  `pivot_g` names the TEXT REQ group whose slots
+    generate the candidate phases.  Returns (docs [B, >=P*k], scores,
+    counts [B]): per phase the top-k (score desc, window position asc)
+    with INT32_MAX / -inf filler — merge phases with iter_topk — plus
+    the total match count.
     """
     if not _use_pallas():
         return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-                         T=T, Ws=Ws, groups=groups, pivot_g=pivot_g, k=k)
+                         *aux, T=T, Ws=Ws, groups=groups,
+                         pivot_g=pivot_g, k=k)
     B = meta.shape[0]
+    srcs = _slot_srcs(T, groups)
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     pivots = set(groups[pivot_g][1])
     P_n = len(groups[pivot_g][1])
@@ -891,13 +952,17 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     rows_scratch = max(rows[p] for p in pivots)
     scratch = []
     for t in range(T):
-        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
-        scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-        # posting doclens are only read at pivot candidates; member
-        # slots get a dummy tile so the scratch layout stays uniform
-        scratch.append(pltpu.VMEM(
-            (rows[t] if t in pivots else R_TILE, BLK), jnp.float32))
+        if srcs[t] < 0:
+            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
+            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+            # posting doclens are only read at pivot candidates; member
+            # slots get a dummy tile so the scratch layout stays uniform
+            scratch.append(pltpu.VMEM(
+                (rows[t] if t in pivots else R_TILE, BLK), jnp.float32))
+        else:
+            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # valid
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # hit
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.float32))  # tfacc
@@ -910,6 +975,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     f2 = freqs.reshape(n2, BLK)
     m2 = masks.reshape(n2, BLK)
     dl2 = posting_dl.reshape(n2, BLK)
+    aux2 = tuple(a.reshape(a.shape[0] // BLK, BLK) for a in aux)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -917,7 +983,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         in_specs=[pl.BlockSpec((1, 1, T + 1),
                                lambda q, meta: (q, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (4 + len(aux)),
         out_specs=[
             pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -929,7 +995,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
-                             pivot_g=pivot_g, k=k)
+                             pivot_g=pivot_g, k=k, n_aux=len(aux))
     docs, scores, counts = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -938,7 +1004,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
             jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
         ],
-    )(meta, fmeta[:, None, :], d2, f2, m2, dl2)
+    )(meta, fmeta[:, None, :], d2, f2, m2, dl2, *aux2)
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
             jnp.sum(counts.reshape(B, BLK)[:, :P_n], axis=1))

@@ -1311,10 +1311,15 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
 
 def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
     """Eligibility for the Pallas term-query mega-kernel
-    (ops/intersect.py).  Returns (slots, Ws, groups, pivot_g) or None.
-    Covered: BM25STD top-k over AND/OR/NOT/OPT of term groups with 1..4
-    live slots each (stem/synonym-expanded tokens included) on a clean
-    segment — the serving hot path."""
+    (ops/intersect.py).  Returns (slot_descs, Ws, groups, pivot_g,
+    aux_keys) or None.  Covered: BM25STD top-k over AND/OR/NOT/OPT of
+    term groups with 1..4 live slots each (stem/synonym-expanded tokens
+    included), plus TAG leaves inside intersections (sorted doc windows
+    streamed from the tag postings array, hit-only members scoring the
+    leaf constant once per doc), on a clean segment — the serving hot
+    path.  slot_descs: ("t", term_slot) or ("g", tag_ord, value_j,
+    leaf_idx); aux_keys name the segment-arg arrays the tag slots DMA
+    from."""
     import os
     if os.environ.get("RS_TPU_NO_INTERSECT_KERNEL"):
         return None
@@ -1331,7 +1336,31 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
         nu, W = e
         if not 1 <= nu <= 4:
             return None
-        return (flag, [t[1].lo + j for j in range(nu)], [W] * nu)
+        return (flag, [("t", t[1].lo + j) for j in range(nu)],
+                [W] * nu, -1)
+
+    aux_ords: list[int] = []
+
+    def tag_group(t, flag):
+        if t[0] != "leaf" or not isinstance(t[1], LTag):
+            return None
+        leaf, idx = t[1], t[2]
+        e = bk.get(idx)
+        if not e:
+            return None
+        nu, W = e
+        if not 1 <= nu <= 4:
+            return None
+        tp = seg.tags.get(leaf.field)   # LTag.field is the attribute
+        if tp is None or tp.doc_ids.shape[0] % 128:
+            return None
+        if leaf.ord not in aux_ords:
+            if len(aux_ords) >= 2:
+                return None
+            aux_ords.append(leaf.ord)
+        src = aux_ords.index(leaf.ord)
+        return (flag, [("g", leaf.ord, j, idx) for j in range(nu)],
+                [W] * nu, src)
 
     tree = cq0.tree
     raw_groups = []
@@ -1345,7 +1374,7 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
         # exactly union_windows semantics)
         if not 2 <= len(tree[1]) <= 4:
             return None
-        slots_u: list[int] = []
+        slots_u: list = []
         ws_u: list[int] = []
         for kid in tree[1]:
             g = leaf_group(kid, IK.REQ)
@@ -1353,61 +1382,66 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
                 return None
             slots_u += g[1]
             ws_u += g[2]
-        raw_groups.append((IK.REQ, slots_u, ws_u))
+        raw_groups.append((IK.REQ, slots_u, ws_u, -1))
     elif tree[0] == "and":
         if not 2 <= len(tree[1]) <= 4:
             return None
         for kid in tree[1]:
             if kid[0] == "leaf":
-                g = leaf_group(kid, IK.REQ)
+                g = leaf_group(kid, IK.REQ) or tag_group(kid, IK.REQ)
             elif kid[0] in ("not", "opt"):
-                g = leaf_group(kid[1],
-                               IK.NOT if kid[0] == "not" else IK.OPT)
+                fl = IK.NOT if kid[0] == "not" else IK.OPT
+                g = leaf_group(kid[1], fl) or tag_group(kid[1], fl)
             else:
                 g = None
             if g is None:
                 return None
             raw_groups.append(g)
-        if not any(g[0] == IK.REQ for g in raw_groups):
-            return None
+        if not any(g[0] == IK.REQ and g[3] < 0 for g in raw_groups):
+            return None   # the pivot must be a TEXT group
     else:
         return None
 
     total_slots = sum(len(g[1]) for g in raw_groups)
-    if total_slots > 6:
+    if total_slots > 8:
+        return None
+    if sum(len(g[1]) for g in raw_groups if g[3] < 0) > 6:
         return None
     if any(w > IK.MAX_W_MEMBER or w % 1024
            for g in raw_groups for w in g[2]):
         return None
-    slots: list[int] = []
+    slot_descs: list = []
     Ws: list[int] = []
     groups: list[tuple] = []
-    for fl, sl, wl in raw_groups:
-        idxs = tuple(range(len(slots), len(slots) + len(sl)))
-        groups.append((fl, idxs))
-        slots += sl
+    for fl, sl, wl, src in raw_groups:
+        idxs = tuple(range(len(slot_descs), len(slot_descs) + len(sl)))
+        groups.append((fl, idxs, src))
+        slot_descs += sl
         Ws += wl
     # the pivot group's windows bound the [B, W] output buffers; member
     # windows only occupy VMEM — a rare pivot can intersect against an
     # ultra-common member term without falling back
     req = [(i, sum(Ws[j] for j in g[1]))
            for i, g in enumerate(groups)
-           if g[0] == IK.REQ
+           if g[0] == IK.REQ and g[2] < 0
            and all(Ws[j] <= IK.MAX_W_PIVOT for j in g[1])]
     if not req:
         return None
     pivot_g = min(req, key=lambda e: e[1])[0]
     if len(groups[pivot_g][1]) > 4:
         return None
-    # VMEM budget: 3 window arrays per slot (+doclens per pivot slot)
-    # plus 3 pivot-sized state buffers must fit comfortably
+    # VMEM budget: 3 window arrays per text slot (+doclens per pivot
+    # slot), 2 per tag slot, plus 3 pivot-sized state buffers
     pivs = set(groups[pivot_g][1])
-    vmem = sum((4 if j in pivs else 3) * (Ws[j] + 1024) * 4
+    srcs = IK._slot_srcs(len(slot_descs), groups)
+    vmem = sum(((4 if j in pivs else 3) if srcs[j] < 0 else 2)
+               * (Ws[j] + 1024) * 4
                for j in range(len(Ws)))
     vmem += 3 * (max(Ws[j] for j in pivs) + 1024) * 4
     if vmem > 12 * 1024 * 1024:
         return None
-    return tuple(slots), tuple(Ws), tuple(groups), pivot_g
+    aux_keys = tuple(f"tag{o}_docs" for o in aux_ords)
+    return tuple(slot_descs), tuple(Ws), tuple(groups), pivot_g, aux_keys
 
 
 def _kernel_seg_ok(cq0: CompiledQuery, seg: Segment, k_pad: int) -> bool:
@@ -1511,24 +1545,36 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     kplan = _kernel_plan(cq0, seg, bk, k_pad)
     if kplan is not None:
         from ..ops import intersect as IK
-        slots, Ws, kgroups, pivot_g = kplan
-        slots_l = list(slots)
+        slot_descs, Ws, kgroups, pivot_g, aux_keys = kplan
 
-        def batched(seg_args_, dyn, _slots=slots_l, _Ws=Ws,
-                    _groups=kgroups, _pg=pivot_g, _k=k_pad):
+        def batched(seg_args_, dyn, _descs=slot_descs, _Ws=Ws,
+                    _groups=kgroups, _pg=pivot_g, _aux=aux_keys,
+                    _k=k_pad):
             stacked = _device_unpack_rows(layout, dyn["rows"])
-            meta = jnp.concatenate(
-                [stacked["tstarts"][:, _slots],
-                 stacked["tlens"][:, _slots],
-                 stacked["tmasks"][:, _slots]], axis=1).astype(jnp.int32)
-            fmeta = jnp.concatenate(
-                [stacked["tweight"][:, _slots],
-                 stacked["avgdl"].reshape(-1, 1)],
+            cs, cl, cm, cw = [], [], [], []
+            for d in _descs:
+                if d[0] == "t":
+                    s = d[1]
+                    cs.append(stacked["tstarts"][:, s])
+                    cl.append(stacked["tlens"][:, s])
+                    cm.append(stacked["tmasks"][:, s])
+                    cw.append(stacked["tweight"][:, s])
+                else:               # ("g", tag_ord, value_j, leaf_idx)
+                    _g, ordn, j, lidx = d
+                    cs.append(stacked[f"tag{ordn}_starts"][:, j])
+                    cl.append(stacked[f"tag{ordn}_lens"][:, j])
+                    cm.append(jnp.zeros_like(cs[-1]))
+                    cw.append(stacked["leaf_const"][:, lidx])
+            meta = jnp.stack(cs + cl + cm, axis=1).astype(jnp.int32)
+            fmeta = jnp.stack(
+                cw + [stacked["avgdl"].reshape(-1)],
                 axis=1).astype(jnp.float32)
+            aux_arrs = tuple(seg_args_[kk] for kk in _aux)
             docs, scores, count = IK.intersect_batch(
                 meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
                 seg_args_["field_masks"], seg_args_["posting_dl"],
-                T=len(_slots), Ws=_Ws, groups=_groups, pivot_g=_pg,
+                *aux_arrs,
+                T=len(_descs), Ws=_Ws, groups=_groups, pivot_g=_pg,
                 k=_k)
             # kernel emits per-phase top-k ([B, P*k] lanes) + counts;
             # merging the tiny phase lists replaces the [B, W] iter_topk

@@ -46,7 +46,7 @@ def test_kernel_plan_eligibility(idx):
     # unions are eligible too (single multi-slot group)
     pl_or = _plan_for(idx, "alpha | beta", True)
     assert pl_or is not None
-    _slots, _ws, groups, _pg = pl_or
+    _slots, _ws, groups, _pg, _aux = pl_or
     assert len(groups) == 1 and len(groups[0][1]) == 2
     # phrase / other scorers -> not eligible
     assert _plan_for(idx, '"alpha beta"', True) is None
@@ -155,7 +155,7 @@ def test_kernel_big_member_window():
 
     cq_rc, pl = plan("rare common")
     assert pl is not None
-    slots, ws, groups, pivot_g = pl
+    slots, ws, groups, pivot_g, _aux = pl
     assert max(ws) > IK.MAX_W_PIVOT          # the common member window
     assert all(ws[j] <= IK.MAX_W_PIVOT for j in groups[pivot_g][1])
     # ultra-common term as the only REQ group -> no eligible pivot
@@ -216,3 +216,63 @@ def test_kernel_multislot_stem_groups():
               for d, s in zip(want.local_idx, want.scores)
               if s > -3.3e38]
         assert gd == wd, (gd[:3], wd[:3])
+
+
+@pytest.fixture(scope="module")
+def tag_idx():
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "omega"]
+    ix = rs.SearchIndex(rs.Schema(name="iktag", fields=[
+        rs.Field("a", rs.FieldType.TEXT),
+        rs.Field("color", rs.FieldType.TAG),
+        rs.Field("labels", rs.FieldType.TAG)]))
+    for i in range(1500):
+        ix.add_document(f"d{i}", {
+            "a": " ".join(rng.choice(words, 6)),
+            "color": "rgb"[i % 3],
+            "labels": ",".join({"xy"[i % 2], "yz"[(i * 3 + 1) % 2]})})
+    ix.commit()
+    return ix
+
+
+TAG_QUERIES = [
+    "alpha beta @color:{r}",
+    "alpha @color:{r|g}",
+    "alpha beta -@color:{b}",
+    "alpha @color:{r} @labels:{x}",      # two tag fields (two aux arrays)
+    "alpha @color:{nosuchvalue}",        # empty tag window
+    "alpha ~@color:{g}",                 # optional tag
+]
+
+
+def test_kernel_plan_tag_groups(tag_idx):
+    """Intersections with TAG leaves are kernel-eligible (aux doc-window
+    sources); tag-only or union trees stay on the XLA path."""
+    pl = _plan_for(tag_idx, "alpha beta @color:{r}", True)
+    assert pl is not None
+    _descs, _ws, groups, _pg, aux = pl
+    assert aux and aux[0].startswith("tag")
+    assert any(len(g) > 2 and g[2] >= 0 for g in groups)
+    # a tag cannot pivot: tag-only query is ineligible
+    assert _plan_for(tag_idx, "@color:{r}", True) is None
+
+
+def test_kernel_tag_groups_match_scan_path(tag_idx, monkeypatch):
+    """Batched (kernel XLA twin) == single-query scan path for text+tag
+    intersections: docs, scores, counts."""
+    ix = tag_idx
+    seg = ix.segments[0]
+    cqs = [ix.prepare(q, None, QueryOptions(k=10, verbatim=True), 2)
+           for q in TAG_QUERIES]
+    batch = execute_batch(cqs, seg, 10)
+    for q, cq, bres in zip(TAG_QUERIES, cqs, batch):
+        sres = execute(cq, seg, 10)
+        bdocs = [int(d) for d, s in zip(bres.local_idx, bres.scores)
+                 if d != 2**31 - 1 and s > -3e38][:10]
+        sdocs = [int(d) for d, s in zip(sres.local_idx, sres.scores)
+                 if d != 2**31 - 1 and s > -3e38][:len(bdocs)]
+        assert bdocs == sdocs, q
+        assert bres.count == sres.count, q
+        bs = [s for s in bres.scores if s > -3e38][:len(bdocs)]
+        ss = [s for s in sres.scores if s > -3e38][:len(bdocs)]
+        np.testing.assert_allclose(bs, ss, rtol=1e-5, err_msg=q)
