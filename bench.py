@@ -46,12 +46,15 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
     vocab = 200_000
     words = np.array(["w%06d" % i for i in range(vocab)])
     zipf = np.clip(rng.zipf(1.25, size=(n_docs, 24)) - 1, 0, vocab - 1)
+    cats = np.array(["cat%02d" % i for i in range(16)])
     docs = [(f"d{i}", {"title": " ".join(words[zipf[i, :4]]),
-                       "body": " ".join(words[zipf[i, 4:]])})
+                       "body": " ".join(words[zipf[i, 4:]]),
+                       "cat": cats[i % 16]})
             for i in range(n_docs)]
     schema = rs.Schema(name="bm25", fields=[
         rs.Field("title", rs.FieldType.TEXT, weight=2.0),
-        rs.Field("body", rs.FieldType.TEXT)])
+        rs.Field("body", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG)])
     ix = rs.SearchIndex(schema)
     t0 = time.perf_counter()
     ix.add_documents(docs)
@@ -63,6 +66,9 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
         "and2": lambda i, it: f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}",
         "phrase": lambda i, it:
             f'"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}"',
+        "and2_tag": lambda i, it:
+            f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]} "
+            f"@cat:{{cat{(i + it) % 16:02d}}}",
     }
     out = {"build_docs_per_s": round(n_docs / build_s, 0)}
     for name, qfn in cases.items():
@@ -156,6 +162,7 @@ def main():
         "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),
         "extra": {
             "bm25_phrase_qps": bm25["phrase"],
+            "bm25_and2_tag_qps": bm25["and2_tag"],
             "bm25_build_docs_per_s": bm25["build_docs_per_s"],
             "flat_knn_qps": knn_qps,
             "flat_knn_vs_baseline": round(knn_qps / KNN_BASELINE_QPS, 2),
