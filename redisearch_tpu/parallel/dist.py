@@ -37,6 +37,10 @@ AXIS = "shards"
 DCN_AXIS = "dcn"
 
 
+class _BatchFallback(Exception):
+    """Internal: batch shape unsupported — run queries one by one."""
+
+
 def make_mesh(n_shards: Optional[int] = None,
               n_dcn: int = 1) -> Mesh:
     """Device mesh for doc-axis sharding.
@@ -268,6 +272,160 @@ class ShardedIndex:
 
         return dist
 
+    # -- batched SPMD execution (deep-queue serving on meshes) ------------
+    def execute_batch(self, cqs: list, k: int,
+                      shard_k_ratio: float = 1.0) -> dict:
+        """Run a batch of SAME-STRUCTURE queries SPMD: transport rows
+        stack to [S, B, total], ONE shard_map program scans the batch on
+        every shard (engine._rows_executor's shape, fanned out), and the
+        per-query hierarchical top-k merge stays in-graph.  This is the
+        mesh analog of engine.execute_batch — per-dispatch overhead and
+        collective latency amortize over the whole batch instead of
+        being paid per query (the reference amortizes with WORKERS
+        threads + pipelined RMR fanouts).
+
+        Returns stacked host arrays: gids/scores [B, k'], counts [B]
+        (+ knn/sortkeys when present)."""
+        from ..query.engine import _device_unpack_rows
+
+        n = len(self.shards)
+        B_real = len(cqs)
+        B = int(next_pow2(B_real))
+        padded = list(cqs) + [cqs[-1]] * (B - B_real)
+        rows = None
+        common_bk: dict = {}
+        P2 = 1
+        lfp = None
+        layout = total = None
+        for qi, cq in enumerate(padded):
+            for si, seg in enumerate(self.shards):
+                row, ent = cq.bind_row(seg)
+                if rows is None:
+                    layout, total = ent[2], ent[3]
+                    rows = np.zeros((n, B, total), np.int32)
+                if ent[7] != (lfp := lfp or ent[7]):
+                    raise ValueError("mixed query structures in batch")
+                rows[si, qi] = row
+                for idx, t in ent[4].items():
+                    cur = common_bk.get(idx)
+                    common_bk[idx] = (t if cur is None else tuple(
+                        max(a, c) for a, c in zip(t, cur)))
+                P2 = max(P2, ent[5])
+        k_local = int(min(
+            next_pow2(max(int(np.ceil(k * shard_k_ratio)), 1)),
+            max(s.n_pad for s in self.shards)))
+        cq0 = cqs[0]
+        key = cq0.signature(
+            f"distbatch|S={n}|B={B}|lfp={lfp}"
+            f"|n={max(s.n_pad for s in self.shards)}"
+            f"|mesh={tuple(self.mesh.shape.items())}",
+            common_bk, int(next_pow2(P2)), k_local)
+        fn = _COMPILE_CACHE.get(key)
+        if fn is None:
+            fn = self._build_dist_batch_fn(cq0, layout, common_bk,
+                                           int(next_pow2(P2)), k_local)
+            _COMPILE_CACHE[key] = fn
+        seg_stack = _tree_stack([_segment_args(cq0, s)
+                                 for s in self.shards])
+        sharding = NamedSharding(self.mesh, _shard_spec(self.mesh))
+        seg_dev = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), seg_stack)
+        rows_dev = jax.device_put(jnp.asarray(rows), sharding)
+        out = fn(seg_dev, rows_dev)
+        out = {kk: np.asarray(v) for kk, v in out.items()}
+        return {kk: v[:B_real] if v.ndim and v.shape[0] == B else v
+                for kk, v in out.items()}
+
+    def _build_dist_batch_fn(self, cq: CompiledQuery, layout,
+                             buckets: dict, P_: int, k_local: int):
+        from ..query.engine import _device_unpack_rows
+
+        proto = self.shards[0]
+        run = _build_fn(cq, proto, buckets, P_, k_local,
+                        has_extra=False, mode="topk", jit=False)
+        mesh = self.mesh
+        spec = _shard_spec(mesh)
+        dcn = DCN_AXIS in mesh.axis_names
+        n_dcn = mesh.shape[DCN_AXIS] if dcn else 1
+        asc_sort = cq.opts.sort_asc
+
+        def shard_body(seg, rows_s):
+            seg = jax.tree.map(lambda x: x[0], seg)
+            stacked = _device_unpack_rows(layout, rows_s[0])
+
+            def body(_, dyn_i):
+                return None, run(seg, dyn_i)
+            _, outs = jax.lax.scan(body, None, stacked)
+            gid = seg["gids"][outs["idx"]]            # [B, kl]
+            res = {"gids": gid[None], "scores": outs["scores"][None],
+                   "count": outs["count"][None]}
+            if "knn" in outs:
+                res["knn"] = outs["knn"][None]
+            if "sortkeys" in outs:
+                res["sortkeys"] = outs["sortkeys"][None]
+            return res
+
+        @jax.jit
+        def dist(seg, rows):
+            specs_in = (jax.tree.map(lambda _: spec, seg), spec)
+            out = jax.shard_map(
+                shard_body, mesh=mesh, in_specs=specs_in,
+                out_specs=spec)(seg, rows)
+            # leaves [S, B, kl] (counts [S, B]); per-query merges are
+            # batched over B — same (primary, gid) two-key sort as the
+            # single-query path, so tie orderings match the local engine
+            merged = {"count": jnp.sum(out["count"], axis=0),
+                      "shard_counts": out["count"]}
+            S = out["gids"].shape[0]
+            kl = out["gids"].shape[2]
+            kk = min(k_local, S * kl)
+
+            def merge2(primary, gids, payloads, k_out):
+                ops = (primary, gids) + tuple(payloads)
+                sorted_ops = jax.lax.sort(ops, num_keys=2, dimension=-1)
+                return tuple(o[..., :k_out] for o in sorted_ops)
+
+            def hierarchical(primary, payloads):
+                gids = out["gids"]
+
+                def to_b(x, lead):
+                    # [S, B, kl] -> [lead, B, (S/lead)*kl]
+                    return (x.reshape(lead, S // lead, -1, kl)
+                            .transpose(0, 2, 1, 3)
+                            .reshape(lead, x.shape[1], -1))
+                if dcn:
+                    p1 = to_b(primary, n_dcn)
+                    g1 = to_b(gids, n_dcn)
+                    pl1 = tuple(to_b(p, n_dcn) for p in payloads)
+                    k1 = min(kk, p1.shape[-1])
+                    outs = merge2(p1, g1, pl1, k1)
+                    outs = tuple(o.transpose(1, 0, 2)
+                                 .reshape(o.shape[1], -1) for o in outs)
+                else:
+                    outs = tuple(to_b(x, 1)[0] for x in
+                                 (primary, gids) + tuple(payloads))
+                return merge2(outs[0], outs[1], outs[2:], kk)
+
+            if "knn" in out:
+                dm, g, s = hierarchical(out["knn"], (out["scores"],))
+                merged["knn"] = dm
+                merged["gids"] = g
+                merged["scores"] = s
+            elif "sortkeys" in out:
+                sk = out["sortkeys"]
+                key_, g, s, sk_o = hierarchical(
+                    sk if asc_sort else -sk, (out["scores"], sk))
+                merged["sortkeys"] = sk_o
+                merged["gids"] = g
+                merged["scores"] = s
+            else:
+                neg, g = hierarchical(-out["scores"], ())
+                merged["scores"] = -neg
+                merged["gids"] = g
+            return merged
+
+        return dist
+
     def _search_string_sort(self, query, params, offset, num, scorer,
                             sort_by, sort_asc, shard_k_ratio):
         """SPMD search sorted by a string column: per-shard top-k by
@@ -346,17 +504,78 @@ class ShardedIndex:
 
     def search_many(self, queries, params=None, k: int = 10,
                     opts_list=None, **_kw):
-        """Run several queries, each SPMD across the shards (used by
-        FT.HYBRID's two branches; the reference drains branch cursor
-        sets per shard, coord/hybrid/dist_hybrid.c)."""
+        """Run several queries SPMD across the shards.  Same-structure
+        batches share ONE shard_map dispatch (execute_batch — the
+        deep-queue serving shape); mixed structures fall back to
+        per-query execution.  Used directly and by FT.HYBRID's branches
+        (the reference drains branch cursor sets per shard,
+        coord/hybrid/dist_hybrid.c)."""
+        from ..query.engine import QueryOptions
         params = params or [None] * len(queries)
         opts_list = opts_list or [None] * len(queries)
+        try:
+            cqs = []
+            ks = []
+            for q, prm, opts in zip(queries, params, opts_list):
+                scorer = opts.scorer if opts is not None else "BM25STD"
+                kk = max(k, opts.k if opts is not None else k)
+                root = self.index.parse_query(q, prm)
+                cq = self.index.compile(
+                    root, QueryOptions(scorer=scorer, k=kk))
+                if cq.opts.sort_field or cq.host_nodes:
+                    raise _BatchFallback
+                cqs.append(cq)
+                ks.append(kk)
+            kmax = max(ks)
+            try:
+                out = self.execute_batch(cqs, kmax)
+            except ValueError:
+                raise _BatchFallback            # mixed structures
+            res = []
+            for i, (cq, kk) in enumerate(zip(cqs, ks)):
+                row = {key: v[i] for key, v in out.items()
+                       if key != "shard_counts"}
+                r = self._assemble(cq, row, num=kk)
+                r.shard_counts = [int(c)
+                                  for c in out["shard_counts"][:, i]]
+                res.append(r)
+            return res
+        except _BatchFallback:
+            pass
         out = []
         for q, prm, opts in zip(queries, params, opts_list):
             scorer = opts.scorer if opts is not None else "BM25STD"
             kk = max(k, opts.k if opts is not None else k)
             out.append(self.search(q, params=prm, num=kk, scorer=scorer))
         return out
+
+    def _assemble(self, cq, out: dict, offset: int = 0, num: int = 10):
+        """Merged device outputs -> SearchResult (shared by search and
+        the batched path; mirrors the single-index reply layout)."""
+        from ..index.index import Hit, SearchResult
+        hits = []
+        for j in range(len(out["gids"])):
+            gid = int(out["gids"][j])
+            sc = float(out["scores"][j])
+            dist = float(out["knn"][j]) if "knn" in out else None
+            skey = (float(out["sortkeys"][j])
+                    if "sortkeys" in out else None)
+            if dist is not None and dist >= 3.3e38:
+                continue
+            if skey is not None and abs(skey) >= 3.3e38:
+                continue
+            if dist is None and skey is None and sc <= -3.3e38:
+                continue
+            meta = self.index.doctable.get(gid)
+            if meta is None or meta.deleted:
+                continue
+            hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
+                            sortkey=skey, vector_distance=dist, gid=gid))
+        total = int(out["count"])
+        if cq.knn is not None:
+            hits = hits[:cq.knn.k]
+            total = min(total, cq.knn.k)
+        return SearchResult(total=total, hits=hits[offset:offset + num])
 
     def hybrid(self, hq, tail=None):
         """Distributed FT.HYBRID: both branches fan out over the shards
@@ -441,30 +660,7 @@ class ShardedIndex:
                             sort_field=sort_by, sort_asc=sort_asc)
         cq = self.index.compile(root, opts)
         out = self.execute(cq, offset + num, shard_k_ratio)
-        from ..index.index import Hit, SearchResult
-        hits = []
-        order = range(len(out["gids"]))
-        for j in order:
-            gid = int(out["gids"][j])
-            sc = float(out["scores"][j])
-            dist = float(out["knn"][j]) if "knn" in out else None
-            skey = float(out["sortkeys"][j]) if "sortkeys" in out else None
-            if dist is not None and dist >= 3.3e38:
-                continue
-            if skey is not None and abs(skey) >= 3.3e38:
-                continue
-            if dist is None and skey is None and sc <= -3.3e38:
-                continue
-            meta = self.index.doctable.get(gid)
-            if meta is None or meta.deleted:
-                continue
-            hits.append(Hit(meta.key, sc, fields=dict(meta.fields),
-                            sortkey=skey, vector_distance=dist, gid=gid))
-        total = int(out["count"])
-        if cq.knn is not None:
-            hits = hits[:cq.knn.k]
-            total = min(total, cq.knn.k)
-        res = SearchResult(total=total, hits=hits[offset:offset + num])
+        res = self._assemble(cq, out, offset=offset, num=num)
         if "shard_counts" in out:
             res.shard_counts = [int(c) for c in out["shard_counts"]]
         return res

@@ -219,3 +219,73 @@ def test_dist_profile_per_shard_iterators(sharded):
         assert it["counter"] == s["results_count"], i
         assert it["time_ms"] >= 0.0
         assert it.get("children"), i
+
+
+def test_dist_batched_search_many_matches_single(sharded):
+    """Same-structure batches run as ONE shard_map dispatch
+    (ShardedIndex.execute_batch): results must equal per-query SPMD
+    search and the local index."""
+    sh, ix, vecs = sharded
+    queries = ["apple banana", "banana cherry", "cherry mango",
+               "mango kiwi"]
+    batch = sh.search_many(queries, k=20)
+    for q, b in zip(queries, batch):
+        single = sh.search(q, num=20)
+        local = ix.search(q, num=20)
+        # batched == per-query SPMD exactly (same program semantics)
+        assert [h.key for h in b.hits] == [h.key for h in single.hits], q
+        np.testing.assert_allclose(
+            [h.score for h in b.hits], [h.score for h in single.hits],
+            rtol=1e-6)
+        # vs local: same match set/total; ordering may differ on ties
+        # because shards score with SHARD-LOCAL idf — exactly the
+        # reference cluster's semantics (each shard scores its own
+        # index, searchResultReducer merges shard-local scores)
+        assert b.total == single.total == local.total, q
+        assert {h.key for h in b.hits} == {h.key for h in local.hits}, q
+        assert sum(b.shard_counts) == b.total
+
+
+def test_dist_batched_mixed_structures_fall_back(sharded):
+    """Structurally different queries still return correct results (the
+    batch path falls back to per-query execution)."""
+    sh, ix, _ = sharded
+    queries = ["apple", "apple banana -cherry", "@cat:{a} apple"]
+    batch = sh.search_many(queries, k=20)
+    for q, b in zip(queries, batch):
+        local_all = ix.search(q, num=64)
+        # truncation under shard-local idf may pick a different top-20
+        # subset than the local index (reference cluster semantics);
+        # totals and match membership must agree
+        assert b.total == local_all.total, q
+        assert {h.key for h in b.hits} <= {h.key
+                                           for h in local_all.hits}, q
+        # per-query dist execution agrees with the batch's fallback
+        single = sh.search(q, num=20)
+        assert [h.key for h in b.hits] == [h.key for h in single.hits], q
+
+
+def test_dist_batched_knn(sharded):
+    """Batched KNN across shards: per-shard top-k + in-graph merge,
+    batched over queries."""
+    sh, ix, vecs = sharded
+    qs = [f"*=>[KNN 5 @v $b{i}]" for i in range(3)]
+    prms = [{f"b{i}": vecs[i * 7].tobytes()} for i in range(3)]
+    batch = sh.search_many(qs, params=prms, k=5)
+    for i, b in enumerate(batch):
+        local = ix.search(qs[i], params=prms[i])
+        assert [h.key for h in b.hits] == [h.key for h in local.hits]
+
+
+def test_dist_batched_dcn_mesh(sharded):
+    """The batched path's hierarchical merge on a 2D (dcn x shards)
+    mesh matches the 1D mesh."""
+    sh, ix, _ = sharded
+    mesh2 = make_mesh(8, n_dcn=2)
+    sh2 = ShardedIndex.build(ix, mesh2)
+    queries = ["apple banana", "banana cherry"]
+    b1 = sh.search_many(queries, k=10)
+    b2 = sh2.search_many(queries, k=10)
+    for r1, r2 in zip(b1, b2):
+        assert [h.key for h in r1.hits] == [h.key for h in r2.hits]
+        assert r1.total == r2.total
