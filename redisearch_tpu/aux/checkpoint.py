@@ -43,6 +43,7 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         "n_docs": seg.n_docs, "n_pad": seg.n_pad,
         "n_deleted": seg.n_deleted, "has_ttl": seg.has_ttl,
         "uniform_docscore": seg.uniform_docscore,
+        "cold": seg.cold,
         "pos_stride": t.pos_stride, "nnz": t.nnz,
         "max_postings": t.max_postings,
         "tag_fields": list(seg.tags), "numeric_fields": list(seg.numerics),
@@ -157,16 +158,18 @@ def load(path: str):
     for i in range(meta["n_segments"]):
         p = f"seg{i}"
         sm = meta[p]
+        cold = bool(sm.get("cold"))
+        csr = (lambda name: np.asarray(npz[name])) if cold else arr
         ids, terms, dfs = host["terms"][i]
         td = TermDict(ids=ids, terms=terms, doc_freq=np.asarray(dfs))
         text = TextPostings(
-            term_offsets=arr(f"{p}.text.term_offsets"),
-            doc_ids=arr(f"{p}.text.doc_ids"),
-            freqs=arr(f"{p}.text.freqs"),
-            field_masks=arr(f"{p}.text.field_masks"),
-            doclens=arr(f"{p}.text.doclens"),
-            pos_offsets=arr(f"{p}.text.pos_offsets"),
-            poskeys=arr(f"{p}.text.poskeys"),
+            term_offsets=csr(f"{p}.text.term_offsets"),
+            doc_ids=csr(f"{p}.text.doc_ids"),
+            freqs=csr(f"{p}.text.freqs"),
+            field_masks=csr(f"{p}.text.field_masks"),
+            doclens=csr(f"{p}.text.doclens"),
+            pos_offsets=csr(f"{p}.text.pos_offsets"),
+            poskeys=csr(f"{p}.text.poskeys"),
             pos_stride=sm["pos_stride"], nnz=sm["nnz"],
             max_postings=sm["max_postings"],
             term_offsets_np=np.asarray(npz[f"{p}.text.term_offsets"]),
@@ -179,8 +182,8 @@ def load(path: str):
             tmeta = sm[f"tag.{attr}"]
             tags[attr] = TagPostings(
                 ids=tids, values=tvals,
-                offsets=arr(f"{p}.tag.{attr}.offsets"),
-                doc_ids=arr(f"{p}.tag.{attr}.doc_ids"),
+                offsets=csr(f"{p}.tag.{attr}.offsets"),
+                doc_ids=csr(f"{p}.tag.{attr}.doc_ids"),
                 nnz=tmeta["nnz"], max_postings=tmeta["max_postings"],
                 offsets_np=np.asarray(npz[f"{p}.tag.{attr}.offsets"]),
                 codes=(arr(f"{p}.tag.{attr}.codes")
@@ -261,6 +264,7 @@ def load(path: str):
             n_deleted=sm.get("n_deleted", 0),
             has_ttl=sm.get("has_ttl", True),
             uniform_docscore=sm.get("uniform_docscore", False),
+            cold=cold,
             text_fexp=(arr(f"{p}.text_fexp")
                        if f"{p}.text_fexp" in npz.files else None),
             field_fexp={attr: arr(f"{p}.fexp.{attr}")

@@ -458,15 +458,20 @@ class SegmentBuilder:
         )
         cap = next_pow2(n_pad)
         posting_dl = doclen[doc_ids]  # replicate doc length per posting
+        # cold (storage="host") segments keep the CSR arrays in host RAM
+        # — queries page their term windows up per execution
+        # (engine._execute_cold); everything dense stays on device
+        cold = self.schema.storage == "host"
+        dev = (lambda a: np.ascontiguousarray(a)) if cold else jnp.asarray
         text = TextPostings(
-            term_offsets=jnp.asarray(term_offsets.astype(np.int32)),
-            doc_ids=jnp.asarray(tail_pad(doc_ids, cap)),
-            freqs=jnp.asarray(tail_pad(freqs, cap)),
-            field_masks=jnp.asarray(tail_pad(field_masks, cap)),
-            doclens=jnp.asarray(tail_pad(posting_dl, cap)),
-            pos_offsets=jnp.asarray(pos_offsets.astype(np.int32)),
-            poskeys=jnp.asarray(tail_pad(poskeys, POS_SLICE_PAD,
-                                         2**31 - 1)),
+            term_offsets=dev(term_offsets.astype(np.int32)),
+            doc_ids=dev(tail_pad(doc_ids, cap)),
+            freqs=dev(tail_pad(freqs, cap)),
+            field_masks=dev(tail_pad(field_masks, cap)),
+            doclens=dev(tail_pad(posting_dl, cap)),
+            pos_offsets=dev(pos_offsets.astype(np.int32)),
+            poskeys=dev(tail_pad(poskeys, POS_SLICE_PAD,
+                                 2**31 - 1)),
             pos_stride=pos_stride,
             nnz=nnz,
             max_postings=max_postings,
@@ -498,8 +503,8 @@ class SegmentBuilder:
             tags[attr] = TagPostings(
                 ids={v: i for i, v in enumerate(values)},
                 values=values,
-                offsets=jnp.asarray(t_off.astype(np.int32)),
-                doc_ids=jnp.asarray(tail_pad(t_ids, cap)),
+                offsets=dev(t_off.astype(np.int32)),
+                doc_ids=dev(tail_pad(t_ids, cap)),
                 nnz=t_nnz,
                 max_postings=t_max,
                 offsets_np=t_off.astype(np.int32),
@@ -575,6 +580,7 @@ class SegmentBuilder:
             geometries=geometries,
             has_ttl=any(e != 0 for e in self._expire),
             uniform_docscore=all(s_ == 1.0 for s_ in self._docscore),
+            cold=cold,
             **self._seal_field_ttls(n, n_pad),
         )
 

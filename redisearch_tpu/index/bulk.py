@@ -31,6 +31,11 @@ from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
 def can_use_native(index) -> bool:
     if not native.available():
         return False
+    if index.schema.storage == "host":
+        # cold segments seal through the incremental builder (it keeps
+        # the CSR arrays host-resident); the native path builds device
+        # arrays directly
+        return False
     if len(index.synonyms) > 0:
         return False
     if any(f.phonetic for f in index.schema.text_fields()):

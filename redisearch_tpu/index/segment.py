@@ -412,6 +412,9 @@ class Segment:
     n_deleted: int = 0
     has_ttl: bool = False
     uniform_docscore: bool = True
+    # Cold (beyond-HBM) segment: text/tag CSR arrays are HOST numpy;
+    # each query uploads only its term windows (engine._execute_cold).
+    cold: bool = False
     # field-level TTLs (reference: ttl_table + expiration_checker):
     # text_fexp [n_pad, n_text_fields] int32 expiry per TEXT field (0 =
     # never); field_fexp: attr -> int32[n_pad] for non-text fields.

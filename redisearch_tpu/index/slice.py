@@ -116,14 +116,17 @@ def slice_segment(seg: Segment, sel: np.ndarray,
     pkp[:npos_new] = pk
     posting_dl = doclen[di]
 
+    # cold segments keep CSR arrays host-resident through compaction
+    # (no transient HBM spike for beyond-HBM corpora)
+    dev = (lambda a: np.ascontiguousarray(a)) if seg.cold else jnp.asarray
     text = TextPostings(
-        term_offsets=jnp.asarray(new_to.astype(np.int32)),
-        doc_ids=jnp.asarray(tail_pad(di, cap)),
-        freqs=jnp.asarray(tail_pad(fr, cap)),
-        field_masks=jnp.asarray(tail_pad(ms, cap)),
-        doclens=jnp.asarray(tail_pad(posting_dl, cap)),
-        pos_offsets=jnp.asarray(po_pad.astype(np.int32)),
-        poskeys=jnp.asarray(tail_pad(pkp, POS_SLICE_PAD, 2**31 - 1)),
+        term_offsets=dev(new_to.astype(np.int32)),
+        doc_ids=dev(tail_pad(di, cap)),
+        freqs=dev(tail_pad(fr, cap)),
+        field_masks=dev(tail_pad(ms, cap)),
+        doclens=dev(tail_pad(posting_dl, cap)),
+        pos_offsets=dev(po_pad.astype(np.int32)),
+        poskeys=dev(tail_pad(pkp, POS_SLICE_PAD, 2**31 - 1)),
         pos_stride=stride, nnz=nnz_new,
         max_postings=int(new_counts.max()) if n_terms else 0,
         term_offsets_np=new_to.astype(np.int32),
@@ -158,8 +161,8 @@ def slice_segment(seg: Segment, sel: np.ndarray,
             new_codes = jnp.asarray(nc)
         tags[attr] = TagPostings(
             ids=tp.ids, values=tp.values,
-            offsets=jnp.asarray(t_new_off.astype(np.int32)),
-            doc_ids=jnp.asarray(tail_pad(t_ids, cap)), nnz=t_nnz,
+            offsets=dev(t_new_off.astype(np.int32)),
+            doc_ids=dev(tail_pad(t_ids, cap)), nnz=t_nnz,
             max_postings=int(t_counts.max()) if n_vals else 0,
             offsets_np=t_new_off.astype(np.int32),
             codes=new_codes)
@@ -288,6 +291,7 @@ def slice_segment(seg: Segment, sel: np.ndarray,
         has_ttl=bool((expire_at != 0).any()),
         uniform_docscore=bool((docscore[:n_new] == 1.0).all()),
         text_fexp=text_fexp, field_fexp=field_fexp,
+        cold=seg.cold,
     )
     return out
 

@@ -887,6 +887,8 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
                 "host-tier (storage='host') vector fields cannot feed "
                 "window-mode execution; KNN over them yields top-k only")
         return _execute_host_knn(cq, seg, k, extra_mask)
+    if seg.cold:
+        return _execute_cold(cq, seg, k, extra_mask, mode)
     binding, P = cq.bind(seg)
     dyn = binding.dyn
     dyn.pop("_tagL", None)
@@ -930,6 +932,189 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
         knn_dists=out.get("knn"),
         warnings=binding.warnings,
     )
+
+
+def _cold_slab_args(cq: CompiledQuery, seg: Segment, dyn: dict,
+                    buckets: dict):
+    """Assemble per-query window slabs from a COLD segment's host CSR
+    arrays and rewrite the dyn starts to slab offsets.
+
+    Cold segments (Schema.storage="host") keep postings/positions/tag
+    CSR in host RAM — beyond-HBM text capacity, the disk-tier analog
+    (reference src/search_disk_api.h).  A query's windows are contiguous
+    CSR runs, so paging is plain numpy slices: the slab upload is
+    bounded by the query's own window buckets, not the corpus.  The
+    compiled program is IDENTICAL to the hot path (same _build_fn) —
+    only the posting arrays it slices are the little slabs.
+
+    Returns (seg_args, dyn, slab_sig)."""
+    text = seg.text
+    hd = np.asarray(text.doc_ids)
+    hf = np.asarray(text.freqs)
+    hm = np.asarray(text.field_masks)
+    hdl = np.asarray(text.doclens)
+    pk = np.asarray(text.poskeys)
+    po = text.pos_offsets_np                    # int64 host mirror
+    n_slots = len(cq.term_strings)
+    tstarts = np.asarray(dyn["tstarts"]).copy()
+    tlens = np.asarray(dyn["tlens"])
+
+    # per-slot posting-window width + position-window width
+    slotW = np.zeros(n_slots, np.int64)
+    posW = np.zeros(n_slots, np.int64)
+    for leaf, idx in cq.leaves():
+        if isinstance(leaf, LTerms):
+            _nu, W = buckets[idx]
+            slotW[leaf.lo:leaf.hi] = np.maximum(slotW[leaf.lo:leaf.hi], W)
+        elif isinstance(leaf, LPhrase):
+            Wn, Pc, Pm, pivot_j, _bigs, _br, _nch = buckets[idx]
+            for i, s in enumerate(leaf.slots):
+                slotW[s] = max(slotW[s], Wn)
+                posW[s] = max(posW[s], Pc if i == pivot_j else
+                              max(Pc, Pm))
+    sb = buckets.get(-1)
+    if sb is not None:                           # slop-divisor scorers
+        slop_info = _slop_root_children(cq.tree)
+        if slop_info is not None:
+            for ch, per in zip(slop_info[1], sb):
+                if ch[0] == "slots":
+                    for s_, Pj in zip(ch[1], per):
+                        posW[s_] = max(posW[s_], Pj)
+
+    live = [s for s in range(n_slots) if slotW[s] > 0]
+    total = int(sum(int(slotW[s]) for s in live))
+    total_pad = int(next_pow2(max(total, 1024)))
+    sd = np.zeros(total_pad, hd.dtype)
+    sf = np.zeros(total_pad, hf.dtype)
+    sm_ = np.zeros(total_pad, hm.dtype)
+    sdl = np.zeros(total_pad, hdl.dtype)
+    spo = np.zeros(total_pad + 1, np.int64)
+
+    # position slab: full runs (chunked/overflow paths scan them) + a
+    # tail pad covering the widest position window slice
+    pos_slots = [s for s in live if posW[s] > 0 and tlens[s] > 0]
+    run_lens = {s: int(po[tstarts[s] + tlens[s]] - po[tstarts[s]])
+                for s in pos_slots}
+    pk_tail = int(max([int(posW[s]) for s in pos_slots], default=1))
+    pk_total = sum(run_lens.values()) + pk_tail
+    pk_pad = int(next_pow2(max(pk_total, 1024)))
+    spk = np.full(pk_pad, 2**31 - 1, np.int32)
+
+    cur = 0
+    pk_cur = 0
+    for s in live:
+        W = int(slotW[s])
+        st = int(tstarts[s])
+        o = cur
+        cur += W
+        end = min(st + W, len(hd))
+        sd[o:o + end - st] = hd[st:end]
+        sf[o:o + end - st] = hf[st:end]
+        sm_[o:o + end - st] = hm[st:end]
+        sdl[o:o + end - st] = hdl[st:end]
+        if s in run_lens:
+            kb = int(po[st])
+            rl = run_lens[s]
+            spk[pk_cur:pk_cur + rl] = pk[kb:kb + rl]
+            # pos_offsets rows for the whole window (slop reads them at
+            # arbitrary posting positions); rebased into the pk slab
+            ke = min(st + W + 1, len(po) - 1)
+            spo[o:o + ke - st] = po[st:ke] - kb + pk_cur
+            pk_cur += rl
+        tstarts[s] = o
+
+    dyn = dict(dyn)
+    dyn["tstarts"] = tstarts.astype(tlens.dtype)
+
+    args = _segment_args(cq, seg)
+    import jax.numpy as jnp
+    args["doc_ids"] = jnp.asarray(sd)
+    args["freqs"] = jnp.asarray(sf)
+    args["field_masks"] = jnp.asarray(sm_)
+    args["posting_dl"] = jnp.asarray(sdl)
+    args["pos_offsets"] = jnp.asarray(spo.astype(np.int32))
+    args["poskeys"] = jnp.asarray(spk)
+
+    # tag window slabs
+    for j, node in enumerate(cq.tag_nodes):
+        tp = seg.tags.get(cq.schema.field(node.field).attribute)
+        if tp is None or not isinstance(tp.doc_ids, np.ndarray):
+            continue
+        e = None
+        for lf, idx in cq.leaves():
+            if isinstance(lf, LTag) and lf.ord == j:
+                e = buckets.get(idx)
+        if not e:
+            continue
+        nu, Wt = e
+        ts = np.asarray(dyn[f"tag{j}_starts"]).copy()
+        tl = np.asarray(dyn[f"tag{j}_lens"])
+        td = np.asarray(tp.doc_ids)
+        slab = np.zeros(int(next_pow2(max(nu * Wt, 256))), td.dtype)
+        c2 = 0
+        for v in range(min(nu, len(ts))):
+            st = int(ts[v])
+            end = min(st + Wt, len(td))
+            slab[c2:c2 + end - st] = td[st:end]
+            ts[v] = c2
+            c2 += Wt
+        dyn[f"tag{j}_starts"] = ts
+        args[f"tag{j}_docs"] = jnp.asarray(slab)
+
+    # safety net: any CSR array still numpy (odd leaf shapes) uploads
+    # wholesale — correct, just not paged
+    for kk in list(args):
+        if isinstance(args[kk], np.ndarray):
+            args[kk] = jnp.asarray(args[kk])
+
+    slab_sig = (f"T={total_pad}|PK={pk_pad}|"
+                + ",".join(f"{s}:{int(slotW[s])}:{int(posW[s])}"
+                           for s in live))
+    return args, dyn, slab_sig
+
+
+def _execute_cold(cq: CompiledQuery, seg: Segment, k: int,
+                  extra_mask: Optional[np.ndarray] = None,
+                  mode: str = "topk") -> SegmentResult:
+    """Execute against a cold (beyond-HBM) segment: page this query's
+    windows to the device as slabs, then run the normal compiled
+    program over them."""
+    binding, P = cq.bind(seg)
+    dyn = dict(binding.dyn)
+    dyn.pop("_tagL", None)
+    buckets = dyn.pop("_buckets")
+    if extra_mask is not None:
+        dyn["extra_mask"] = extra_mask
+    seg_args, dyn, slab_sig = _cold_slab_args(cq, seg, dyn, buckets)
+    k_pad = int(min(next_pow2(max(k, 1)), seg.n_pad))
+    seg_sig = (f"cold[{slab_sig}]|n={seg.n_pad}"
+               f"|stride={seg.text.pos_stride}"
+               f"|extra={extra_mask is not None}|mode={mode}"
+               f"|ivf={_knn_ivf_sig(cq, seg)}"
+               f"|tc={_tag_codes_ords(cq, seg)}"
+               f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
+               f"|u={seg.uniform_docscore}"
+               f"|ft={seg.text_fexp is not None}:"
+               f"{sorted(seg.field_fexp)}")
+    sig = (cq.signature(seg_sig, buckets, P, k_pad)
+           + _dyn_fingerprint(dyn))
+    entry = _COMPILE_CACHE.get(sig)
+    if entry is None:
+        raw = _build_fn(cq, seg, buckets, P, k_pad,
+                        has_extra="extra_mask" in dyn, mode=mode,
+                        jit=False)
+        entry = _PackedExecutor(raw, dyn, seg_args)
+        _COMPILE_CACHE[sig] = entry
+    out = entry(seg_args, dyn)
+    if mode == "window":
+        return SegmentResult(
+            local_idx=out["docs"], scores=out["score"],
+            count=int(out["count"]), valid=out["valid"],
+            knn_dists=out.get("knn"), warnings=binding.warnings)
+    return SegmentResult(
+        local_idx=out["idx"], scores=out["scores"],
+        count=int(out["count"]), sortkeys=out.get("sortkeys"),
+        knn_dists=out.get("knn"), warnings=binding.warnings)
 
 
 class _BatchHandle:
@@ -1281,6 +1466,12 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     """
     if _knn_host_col(cqs[0], seg) is not None:
         return _execute_batch_host_knn(cqs, seg, k, async_)
+    if seg.cold:
+        # cold segments page windows per query; slab assembly is the
+        # host-side pipeline (one h2d per query, device work overlaps)
+        handle = _HostKnnBatchHandle(
+            [_execute_cold(cq, seg, k) for cq in cqs])
+        return handle if async_ else handle.result()
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
     # bind every query as a packed transport row (memoized per segment:

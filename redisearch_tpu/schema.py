@@ -171,6 +171,13 @@ class Schema:
     payload_field: Optional[str] = None
     stopwords: Optional[Sequence[str]] = None  # None → default list
     on_json: bool = False
+    # Index residency tier: "hbm" keeps posting CSR arrays on device;
+    # "host" builds COLD segments — postings/positions/tag CSR stay in
+    # host RAM and each query uploads only its term windows (beyond-HBM
+    # text capacity; the disk-tier analog, reference src/search_disk*).
+    # Dense per-doc columns (doclen, sortables, numerics, vectors) stay
+    # on device either way — postings dominate index memory.
+    storage: str = "hbm"
 
     def __post_init__(self):
         self._by_attr: dict[str, Field] = {}

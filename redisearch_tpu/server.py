@@ -548,6 +548,7 @@ class Server:
         language = "english"
         stopwords = None
         score_field = None
+        storage = "hbm"
         while av.more():
             opt = av.peek()
             if opt == "ON":
@@ -576,6 +577,10 @@ class Server:
                 av.next()
                 n = av.next_int()
                 stopwords = av.take(n)
+            elif opt == "STORAGE":
+                # beyond-HBM cold segments (Schema.storage="host")
+                av.next()
+                storage = av.next().lower()
             elif opt in ("NOOFFSETS", "NOHL", "NOFIELDS", "NOFREQS",
                          "SKIPINITIALSCAN", "MAXTEXTFIELDS", "TEMPORARY",
                          "NOTERMOFFSETS"):
@@ -589,7 +594,7 @@ class Server:
                     name, fields, prefixes=prefixes,
                     filter_expr=filter_expr, language=language,
                     stopwords=stopwords, score_field=score_field,
-                    on_json=on_json)
+                    on_json=on_json, storage=storage)
                 return OK
             else:
                 return RSError(f"Unknown argument `{av.next()}`")
