@@ -18,5 +18,6 @@ run bm25           python benchmarks/bm25_bench.py
 run filtered_knn   python benchmarks/filtered_knn_bench.py
 run agg            python benchmarks/agg_bench.py
 run ann_sweep      python benchmarks/ann_sweep.py
+run cold           python benchmarks/cold_bench.py
 run bench_headline python bench.py
 echo "=== done; logs in /tmp/bench_logs ==="
