@@ -32,6 +32,17 @@ import numpy as np
 
 BM25_BASELINE_QPS = 10_000.0   # documented 16-core WORKERS=6 estimate
 KNN_BASELINE_QPS = 195.0       # 16-core FLAT scan memory-bandwidth roofline
+# FT.AGGREGATE 2-term match (~10-50k docs) -> GROUPBY(1000)+COUNT/SUM/AVG
+# +SORTBY: reference streams matched docs through RLookup+hash-groupby at
+# ~2-5M rows/s/core -> ~5-10 ms/query/core, WORKERS=6 concurrency on 16
+# cores => ~600-1200 QPS.  Documented estimate (BASELINE.md publishes no
+# absolute numbers): 1,000 QPS.
+AGG_BASELINE_QPS = 1_000.0
+# Filtered KNN25 EF_RUNTIME=64 over 500k x 384 angular (HNSW M16):
+# reference CI workload (vecsim-arxiv-titles-384-angular-filters-*) at 32
+# memtier conns; HNSW filtered search ~0.5-1.5 ms/query/core => 16-core
+# estimate ~4,000 QPS.  Documented estimate.
+FKNN_BASELINE_QPS = 4_000.0
 
 N_DOCS = 1_000_000
 KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
@@ -40,6 +51,7 @@ KNN_B, KNN_ITERS = 2048, 48
 
 def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
     import redisearch_tpu as rs
+    from redisearch_tpu.query import engine as E
     from redisearch_tpu.query.engine import QueryOptions, execute_batch
 
     rng = np.random.default_rng(0)
@@ -47,14 +59,20 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
     words = np.array(["w%06d" % i for i in range(vocab)])
     zipf = np.clip(rng.zipf(1.25, size=(n_docs, 24)) - 1, 0, vocab - 1)
     cats = np.array(["cat%02d" % i for i in range(16)])
+    cat2 = np.array(["g%04d" % i for i in range(1000)])
+    price = rng.integers(1, 10_000, n_docs)
     docs = [(f"d{i}", {"title": " ".join(words[zipf[i, :4]]),
                        "body": " ".join(words[zipf[i, 4:]]),
-                       "cat": cats[i % 16]})
+                       "cat": cats[i % 16],
+                       "grp": cat2[i % 1000],
+                       "price": float(price[i])})
             for i in range(n_docs)]
     schema = rs.Schema(name="bm25", fields=[
         rs.Field("title", rs.FieldType.TEXT, weight=2.0),
         rs.Field("body", rs.FieldType.TEXT),
-        rs.Field("cat", rs.FieldType.TAG)])
+        rs.Field("cat", rs.FieldType.TAG),
+        rs.Field("grp", rs.FieldType.TAG, sortable=True),
+        rs.Field("price", rs.FieldType.NUMERIC, sortable=True)])
     ix = rs.SearchIndex(schema)
     t0 = time.perf_counter()
     ix.add_documents(docs)
@@ -71,6 +89,7 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
             f"@cat:{{cat{(i + it) % 16:02d}}}",
     }
     out = {"build_docs_per_s": round(n_docs / build_s, 0)}
+    E.QUERY_PATH_STATS.clear()
     for name, qfn in cases.items():
         def make(it):
             return [ix.prepare(qfn(i, it), None, QueryOptions(k=10), 2)
@@ -88,6 +107,99 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
             pending = None
             for it in range(iters):
                 h = execute_batch(make(it), seg, 10, async_=True)
+                if pending is not None:
+                    pending.result()
+                pending = h
+            pending.result()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(iters * B / best, 1)
+    stats = dict(E.QUERY_PATH_STATS)
+    hit = stats.get("kernel", 0) + stats.get("phrase-kernel", 0)
+    tot = max(sum(stats.values()), 1)
+    out["kernel_hit_pct"] = round(100.0 * hit / tot, 1)
+    out["_ix"] = ix      # reused by bench_agg (same 1M corpus)
+    return out
+
+
+def bench_agg(ix, iters: int = 6, B: int = 64):
+    """FT.AGGREGATE (BASELINE config 5): 2-term text match -> GROUPBY
+    grp(1000) + COUNT/SUM/AVG(price) + SORTBY sum DESC + LIMIT 10, on
+    the same 1M-doc corpus, batched via run_aggregate_many."""
+    from redisearch_tpu.agg.pipeline import (DESC, AggregateRequest,
+                                             run_aggregate_many)
+    rng = np.random.default_rng(3)
+    qt = ["w%06d" % i for i in rng.integers(20, 2000, size=256)]
+
+    def mk(i):
+        q = f"{qt[(2 * i) % 256]} {qt[(2 * i + 1) % 256]}" \
+            if i % 2 else "*"
+        return (AggregateRequest(q)
+                .group_by("@grp", ("COUNT", [], "n"),
+                          ("SUM", ["@price"], "s"),
+                          ("AVG", ["@price"], "a"))
+                .sort_by(("@s", DESC)).limit(0, 10))
+
+    run_aggregate_many(ix, [mk(i) for i in range(B)])   # warm
+    best = None
+    for r in range(max(iters // 2, 2)):
+        t0 = time.perf_counter()
+        run_aggregate_many(ix, [mk(r * B + i) for i in range(B)])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(B / best, 1)
+
+
+def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
+                       B: int = 512, iters: int = 6):
+    """Filtered KNN (BASELINE config 4): KNN 25 cosine behind fulltext /
+    numeric / tag prefilters on an arxiv-shaped 500k x 384 corpus."""
+    import redisearch_tpu as rs
+    from redisearch_tpu.query.engine import QueryOptions, execute_batch
+
+    rng = np.random.default_rng(0)
+    words = np.array(["algebra", "graph", "neural", "quantum", "protein",
+                      "market", "vision", "speech", "logic", "random"])
+    vecs = rng.normal(size=(n_docs, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    docs = [(f"p{i}", {
+        "title": " ".join(words[rng.integers(0, 10, 3)]),
+        "year": int(1990 + (i % 35)),
+        "cat": f"c{i % 20}",
+        "emb": vecs[i]}) for i in range(n_docs)]
+    schema = rs.Schema(name="arxivb", fields=[
+        rs.Field("title", rs.FieldType.TEXT),
+        rs.Field("year", rs.FieldType.NUMERIC, sortable=True),
+        rs.Field("cat", rs.FieldType.TAG),
+        rs.Field("emb", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=dim,
+                                        metric=rs.VectorMetric.COSINE))])
+    ix = rs.SearchIndex(schema)
+    ix.add_documents(docs)
+    seg = ix.segments[0]
+    qvecs = rng.normal(size=(512, dim)).astype(np.float32)
+    out = {}
+    for name, qfn in {
+        "fulltext": lambda i: f"(@title:{words[i % 10]})"
+                              "=>[KNN 25 @emb $b EF_RUNTIME 64]",
+        "numeric": lambda i: f"(@year:[{1990 + i % 30} "
+                             f"{1995 + i % 30}])"
+                             "=>[KNN 25 @emb $b EF_RUNTIME 64]",
+        "tag": lambda i: f"(@cat:{{c{i % 20}}})"
+                         "=>[KNN 25 @emb $b EF_RUNTIME 64]",
+    }.items():
+        def make(it):
+            return [ix.prepare(qfn(it * B + i),
+                               {"b": qvecs[(it * B + i) % 512]},
+                               QueryOptions(k=25), 2) for i in range(B)]
+        for it in range(2):
+            execute_batch(make(it), seg, 25)
+        best = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            pending = None
+            for it in range(iters):
+                h = execute_batch(make(it), seg, 25, async_=True)
                 if pending is not None:
                     pending.result()
                 pending = h
@@ -153,20 +265,41 @@ def main():
     rs.enable_compilation_cache()
 
     bm25 = bench_bm25()
-    knn_qps = bench_knn()
+    ix = bm25.pop("_ix")
+    extra = {
+        "bm25_phrase_qps": bm25["phrase"],
+        "bm25_and2_tag_qps": bm25["and2_tag"],
+        "bm25_build_docs_per_s": bm25["build_docs_per_s"],
+        "kernel_hit_pct": bm25["kernel_hit_pct"],
+    }
+    try:
+        agg_qps = bench_agg(ix)
+        extra["agg_groupby_qps"] = agg_qps
+        extra["agg_vs_baseline"] = round(agg_qps / AGG_BASELINE_QPS, 2)
+    except Exception as e:   # extras must not kill the headline
+        extra["agg_error"] = repr(e)[:120]
+    del ix
+    try:
+        knn_qps = bench_knn()
+        extra["flat_knn_qps"] = knn_qps
+        extra["flat_knn_vs_baseline"] = round(
+            knn_qps / KNN_BASELINE_QPS, 2)
+    except Exception as e:
+        extra["knn_error"] = repr(e)[:120]
+    try:
+        fk = bench_filtered_knn()
+        extra["filtered_knn_qps"] = fk
+        extra["filtered_knn_vs_baseline"] = {
+            k: round(v / FKNN_BASELINE_QPS, 2) for k, v in fk.items()}
+    except Exception as e:
+        extra["filtered_knn_error"] = repr(e)[:120]
 
     print(json.dumps({
         "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 1024)",
         "value": bm25["and2"],
         "unit": "qps",
         "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),
-        "extra": {
-            "bm25_phrase_qps": bm25["phrase"],
-            "bm25_and2_tag_qps": bm25["and2_tag"],
-            "bm25_build_docs_per_s": bm25["build_docs_per_s"],
-            "flat_knn_qps": knn_qps,
-            "flat_knn_vs_baseline": round(knn_qps / KNN_BASELINE_QPS, 2),
-        },
+        "extra": extra,
     }))
 
 

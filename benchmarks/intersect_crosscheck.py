@@ -172,6 +172,63 @@ def main():
         print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
               f"scores={m_sc} counts={m_cnt}")
 
+    # ---- dense (posting-aligned code) predicates ----------------------
+    def make_with_dense(B, Ws, dense):
+        """Standard make() args plus one posting-ALIGNED int32 code
+        column per dense predicate (random codes 0..7) and the extra
+        meta qcode / fmeta const columns."""
+        meta, fmeta, d, f, m, dl = make(B, Ws)
+        meta = np.asarray(meta).copy()
+        fmeta = np.asarray(fmeta).copy()
+        T = len(Ws)
+        cols = []
+        qparts = [meta]
+        fparts = [fmeta]
+        for (_fl, _src, nv) in dense:
+            cols.append(jnp.asarray(rng.integers(
+                0, 8, size=d.shape[0]).astype(np.int32)))
+            q = rng.integers(-1, 10, size=(B, nv)).astype(np.int32)
+            if nv > 1:   # some unbound (-2) value slots
+                q[rng.random(B) < 0.3, nv - 1] = -2
+            qparts.append(q)
+            fparts.append(rng.uniform(0.5, 4.0, (B, 1)
+                                      ).astype(np.float32))
+        return (jnp.asarray(np.concatenate(qparts, axis=1)),
+                jnp.asarray(np.concatenate(fparts, axis=1)),
+                d, f, m, dl, *cols)
+
+    DENSE_CASES = [
+        (((IK.REQ, (0,)), (IK.REQ, (1,))), (2048, 8192),
+         ((IK.REQ, 0, 1),), "and2+dense"),
+        (((IK.REQ, (0,)), (IK.REQ, (1,))), (2048, 8192),
+         ((IK.NOT, 0, 1),), "and2-ndense"),
+        (((IK.REQ, (0,)), (IK.REQ, (1,))), (2048, 8192),
+         ((IK.REQ, 0, 3),), "and2+dor3"),
+        (((IK.REQ, (0, 1)),), (2048, 2048),
+         ((IK.REQ, 0, 1),), "or2+dense"),
+        (((IK.REQ, (0,)), (IK.OPT, (1,))), (2048, 8192),
+         ((IK.REQ, 0, 1), (IK.NOT, 1, 1)), "opt+2dense"),
+    ]
+    for groups, Ws, dense, label in DENSE_CASES:
+        args = make_with_dense(64, Ws, dense)
+        kd, ks, kc = jax.device_get(IK.intersect_batch(
+            *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=16,
+            dense=dense))
+        xd, xs, xc = jax.device_get(IK._xla_impl(
+            *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=16,
+            dense=dense))
+        P_n = len(groups[0][1])
+        kd, ks = kd[:, :P_n * 16], ks[:, :P_n * 16]
+        xd, xs = xd[:, :P_n * 16], xs[:, :P_n * 16]
+        m_doc = int((kd != xd).sum())
+        m_sc = int((np.abs(ks - xs) > 1e-3 * np.maximum(
+            1.0, np.abs(xs))).sum())
+        m_cnt = int((kc != xc).sum())
+        status = "OK " if (m_doc + m_sc + m_cnt) == 0 else "FAIL"
+        bad += m_doc + m_sc + m_cnt
+        print(f"{status} {label:10s} Ws={Ws} docs={m_doc} "
+              f"scores={m_sc} counts={m_cnt}")
+
     # ---- phrase kernel (chain over position keys) --------------------
     stride = 64
 

@@ -563,6 +563,15 @@ class Client:
             raise IndexError_("Alias does not exist")
         del self._aliases[alias]
 
+    def ft_aliaslist(self, name: Optional[str] = None) -> dict:
+        """alias -> index map (reference: FT.ALIASLIST, src/alias.c —
+        the coordinator lists every alias; with `name` only the aliases
+        of that index)."""
+        if name is None:
+            return dict(self._aliases)
+        self._index(name)
+        return {a: n for a, n in self._aliases.items() if n == name}
+
     # -- synonyms ----------------------------------------------------------------
     def ft_synupdate(self, name: str, group_id: str,
                      terms: Iterable[str],

@@ -333,9 +333,11 @@ class SearchIndex:
 
     # -- read path ----------------------------------------------------------
     def parse_query(self, query: str, params=None,
-                    dialect: int = 2) -> ast.Node:
-        root = QueryParser(params=params, stopwords=self.stopwords,
-                           dialect=dialect).parse(query)
+                    dialect: int = 2, nostopwords: bool = False) -> ast.Node:
+        root = QueryParser(
+            params=params,
+            stopwords=StopWordList([]) if nostopwords else self.stopwords,
+            dialect=dialect).parse(query)
         if dialect == 1:
             root = self._d1_resolve_fields(root)
         return root
@@ -395,11 +397,12 @@ class SearchIndex:
                opts.scorer, opts.sort_field, opts.sort_asc, opts.slop,
                opts.inorder, opts.verbatim, opts.language,
                opts.max_expansions, opts.expander, opts.in_fields,
-               opts.tanh_factor,
+               opts.tanh_factor, opts.nostopwords,
                self.doctable.num_docs)  # stats change -> new idf
         cq = self._prepared.get(key)
         if cq is None:
-            root = self.parse_query(query, params, dialect)
+            root = self.parse_query(query, params, dialect,
+                                    nostopwords=opts.nostopwords)
             cq = self.compile(root, opts)
             if len(self._prepared) >= 2048:
                 self._prepared.clear()
@@ -451,9 +454,13 @@ class SearchIndex:
         in_keys: Optional[Iterable[str]] = None,
         in_fields: Optional[Iterable[str]] = None,
         tanh_factor: float = 4.0,
+        expander: str = "",
+        nostopwords: bool = False,
     ) -> SearchResult:
-        """FT.SEARCH analog.  in_keys/in_fields mirror INKEYS/INFIELDS
-        (reference: RSSearchOptions inkeys/fieldmask, aggregate_request.c)."""
+        """FT.SEARCH analog.  in_keys/in_fields mirror INKEYS/INFIELDS;
+        expander/nostopwords mirror the per-query EXPANDER/NOSTOPWORDS
+        search options (reference: RSSearchOptions inkeys/fieldmask/
+        expanderName/Search_NoStopwrods, aggregate_request.c)."""
         self.commit()
         self.stats["queries"] += 1
         oom = self._check_oom()
@@ -477,6 +484,7 @@ class SearchIndex:
             language=language or self.schema.language,
             in_fields=tuple(in_fields) if in_fields else None,
             tanh_factor=tanh_factor,
+            expander=expander, nostopwords=nostopwords,
         )
         if max_expansions:
             opts.max_expansions = max_expansions

@@ -421,10 +421,36 @@ class Segment:
     text_fexp: Any = None
     field_fexp: dict = dataclasses.field(default_factory=dict)
     _gids_np: Any = None
+    # posting-ALIGNED tag code columns (attr -> int32[nnz_pad]), built
+    # lazily on first kernel-eligible tag-filtered query: pcodes[i] =
+    # codes[text.doc_ids[i]], so a tag predicate at text-posting pivot
+    # candidates is one contiguous window read + compare instead of a
+    # posting-window membership pass (reference tag read path:
+    # src/tag_index.c:17-57 — here the TPU answer is a dense column in
+    # posting order, no gather)
+    _pcode_cache: dict = dataclasses.field(default_factory=dict)
     # identity for per-segment caches (bind memos): segments are immutable
     # after seal, so a monotone uid is a sound cache key
     uid: int = dataclasses.field(
         default_factory=lambda: next(_SEG_UIDS))
+
+    def tag_pcodes(self, attr: str):
+        """Posting-aligned dense code column for a single-valued TAG
+        field (None when unavailable: multi-valued, cold, or no text
+        postings).  One device gather on first use, then cached — the
+        segment is immutable after seal."""
+        tp = self.tags.get(attr)
+        if tp is None or tp.codes is None or self.cold:
+            return None
+        cached = self._pcode_cache.get(attr)
+        if cached is None:
+            import jax.numpy as jnp
+            if int(self.text.doc_ids.shape[0]) == 0:
+                return None
+            idx = jnp.clip(self.text.doc_ids, 0, self.n_pad - 1)
+            cached = jnp.asarray(tp.codes)[idx].astype(jnp.int32)
+            self._pcode_cache[attr] = cached
+        return cached
 
     @property
     def gids_host(self) -> np.ndarray:

@@ -20,7 +20,18 @@ Covered query families (everything else stays on the XLA path):
   * mode="or": union of T<=4 term slots (explicit `a|b` queries AND the
     stem-expanded token groups the default english pipeline produces) —
     per-slot candidate phases with cross-slot score folding and
-    first-owner dedup, matching ops/window.py union_windows semantics.
+    first-owner dedup, matching ops/window.py union_windows semantics;
+  * dense predicates: single-valued TAG filters ride posting-ALIGNED
+    code columns (Segment.tag_pcodes) — one window DMA + vector compare
+    per pivot phase instead of a member-window membership pass.
+
+Membership (the hot loop): since both windows are doc-sorted, the
+[128, 128] all-pairs compares run per (pivot row, member row) PAIR,
+predicated by hoisted scalar row ranges — ~W/128 truly overlapping
+pairs do work instead of all 8x8 row pairs per tile pair (measured
+~2-4x on the serving shapes).  Pair results accumulate into (8, 128)
+statically-addressed scratch rows, folded into the hit/tf buffers once
+per pivot tile.
 Common constraints: BM25STD scoring, clean segment (no deletions, TTL,
 non-uniform doc scores), single-word field masks, pivot-group windows
 <= 32768 (they bound the [B, W] output); member windows may reach
@@ -65,9 +76,37 @@ def _flat_iota(rows):
             + jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1))
 
 
-def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+def _extract_pass(sc, d_o, riota, fiw):
+    """One max-extraction from a [rows, BLK] masked score block.
+
+    Returns (mx, dv, sc'): the max score, its doc (ties by lowest flat
+    window index — identical to the XLA twins' extraction loop), and
+    the block with that element invalidated.  Full-block-to-scalar tree
+    reductions cost ~70 cycles each on the VPU; reducing over ROWS
+    first (vector->vector) keeps all but one scalar reduction on a
+    single [1, BLK] register — measured ~2.6x on the k=16 serving path
+    (13.5 -> ~8 us/q at the (8k, 8k) bucket, 3% fill).
+    """
+    INF32 = jnp.int32(2**31 - 1)
+    liota1 = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    colmax = jnp.max(sc, axis=0, keepdims=True)            # [1, BLK]
+    mx = jnp.max(colmax)                                   # scalar
+    is_mx = sc == mx
+    rowmin = jnp.min(jnp.where(is_mx, riota, INF32),
+                     axis=0, keepdims=True)                # [1, BLK]
+    flat = jnp.where(rowmin != INF32, rowmin * BLK + liota1, INF32)
+    sel = jnp.min(flat)                                    # scalar
+    dcol = jnp.min(jnp.where(is_mx & (riota == rowmin), d_o, INF32),
+                   axis=0, keepdims=True)                  # [1, BLK]
+    dv = jnp.min(jnp.where(flat == sel, dcol, INF32))      # scalar
+    sc = jnp.where(fiw == sel, NEG_INF, sc)
+    return mx, dv, sc
+
+
+def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                  mdocs_r, mtf_r, mfm_r, r_m, mlen, qm_t,
-                 rows_p, rows_m, p_end, check_mask: bool = True):
+                 rows_p, rows_m, p_end, check_mask: bool = True,
+                 want_tf: bool = True):
     """hit/tf of the member window at the pivot candidates.
 
     Writes hit_ref/tfa_ref over the first rows_p rows.  valid_ref narrows
@@ -75,12 +114,20 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
     don't widen the member search.  Work scales with the REAL window
     lengths, not the pow-4 buckets: the pivot-tile loop stops at `p_end`
     (the pivot's live row count; rows past it keep stale hit/tf, which
-    only ever lands in lanes the phase has already invalidated), and a
-    member tile compares only against pivot rows whose [min, max] doc
-    range overlaps it (pl.when predication — typically 1-2 of 8 rows).
+    only ever lands in lanes the phase has already invalidated).
+
+    The [128, 128] all-pairs compares run per (pivot row, member row)
+    PAIR, predicated by hoisted scalar row ranges — since both windows
+    are doc-sorted, only ~W/128 row pairs truly overlap, vs 8x8 per tile
+    pair.  Results accumulate in (8, 128) scratch rows (static sublane
+    addressing — dynamic single-row VMEM writes would be misaligned) and
+    fold into hit_ref/tfa_ref once per pivot tile.
+
     check_mask=False skips the field-mask validity test — for member
-    windows without masks (tag postings, key->doc folds use an explicit
-    0/1 validity buffer with qm == 1 instead)."""
+    windows without masks (tag postings; key->doc folds use an explicit
+    0/1 validity buffer with qm == 1 instead).  want_tf=False skips the
+    tf accumulation entirely for members whose tf the caller never reads
+    (tag postings, phrase key->doc folds)."""
     fi_m = _flat_iota(rows_m)
     m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
     mdocs_masked = jnp.where(m_inr, mdocs_r[:rows_m, :],
@@ -99,9 +146,12 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
         pmin = jnp.min(pdm_lo)
         pmax = jnp.max(pdm_hi)
         # per-row doc ranges for the overlap predicate ([8, 1] keepdims:
-        # 1D vectors are fragile under Mosaic legalization)
+        # 1D vectors are fragile under Mosaic legalization); scalars are
+        # hoisted once per tile so pair predicates are scalar-ALU only
         rmin = jnp.min(pdm_lo, axis=1, keepdims=True)    # [8, 1]
         rmax = jnp.max(pdm_hi, axis=1, keepdims=True)
+        s_rmin = [rmin[pi, 0] for pi in range(R)]
+        s_rmax = [rmax[pi, 0] for pi in range(R)]
         # member tile range covering [pmin, pmax]: counts are positions
         # among the window's live docs (flat offset r_m)
         lo_e = r_m + jnp.sum((mdocs_masked < pmin).astype(jnp.int32))
@@ -110,13 +160,13 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
         hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, mt_max)
 
         rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
-        hit_ref[pl.ds(prow, R), :] = jnp.zeros((R, BLK), jnp.int32)
-        tfa_ref[pl.ds(prow, R), :] = jnp.zeros((R, BLK), jnp.float32)
+        acc_h[:] = jnp.zeros((R, BLK), jnp.int32)
+        if want_tf:
+            acc_t[:] = jnp.zeros((R, BLK), jnp.float32)
 
         def member_tile(mtile, _i):
             mrow = pl.multiple_of(mtile * R, R)
             md = mdocs_r[pl.ds(mrow, R), :]
-            mtf = mtf_r[pl.ds(mrow, R), :]
             base = mtile * TILE
             fi = (base + rsel * BLK
                   + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
@@ -124,32 +174,69 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
             if check_mask:
                 mf = mfm_r[pl.ds(mrow, R), :]
                 mv = mv & ((mf & qm_t) != 0)
+            # invalid member lanes become INF: they can only "match"
+            # INT32_MAX pivot padding lanes, which the phase has already
+            # invalidated (their score/valid is masked downstream)
             mdm = jnp.where(mv, md, INF)
-            mt_lo = jnp.min(mdm)
-            mt_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)))
-            for pi in range(R):
-                @pl.when((rmax[pi, 0] >= mt_lo) & (rmin[pi, 0] <= mt_hi))
-                def _overlapping_row():
+            if want_tf:
+                mtfm = jnp.where(mv, mtf_r[pl.ds(mrow, R), :], 0.0)
+            mrow_lo = jnp.min(mdm, axis=1, keepdims=True)      # [8, 1]
+            mrow_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)),
+                              axis=1, keepdims=True)
+            if rows_m <= 2 * rows_p:
+                # comparable densities: ~1 member row overlaps each
+                # pivot row — per-PAIR predication skips most of the
+                # 8x8 compares (measured 63 -> 47 us/q at (8k, 8k))
+                s_mlo = [mrow_lo[mi, 0] for mi in range(R)]
+                s_mhi = [mrow_hi[mi, 0] for mi in range(R)]
+                for pi in range(R):
                     pd_i = pd[pi]                   # [128] static row
-                    hi_ = jnp.zeros((BLK,), jnp.bool_)
-                    ti_ = jnp.zeros((BLK,), jnp.float32)
                     for mi in range(R):
-                        eq = (pd_i[:, None] == md[mi][None, :]) \
-                            & mv[mi][None, :]
-                        hi_ = hi_ | jnp.any(eq, axis=1)
-                        ti_ = ti_ + jnp.sum(
-                            jnp.where(eq, mtf[mi][None, :], 0.0), axis=1)
-                    row_is_pi = rsel == pi
-                    blk_h = hit_ref[pl.ds(prow, R), :]
-                    blk_t = tfa_ref[pl.ds(prow, R), :]
-                    hit_ref[pl.ds(prow, R), :] = jnp.maximum(
-                        blk_h,
-                        jnp.where(row_is_pi & hi_[None, :], 1, 0))
-                    tfa_ref[pl.ds(prow, R), :] = blk_t + jnp.where(
-                        row_is_pi, ti_[None, :], 0.0)
+                        @pl.when((s_mhi[mi] >= s_rmin[pi])
+                                 & (s_mlo[mi] <= s_rmax[pi]))
+                        def _pair(pi=pi, mi=mi, pd_i=pd_i):
+                            eq = pd_i[:, None] == mdm[mi][None, :]
+                            acc_h[pi:pi + 1, :] = jnp.maximum(
+                                acc_h[pi:pi + 1, :],
+                                jnp.any(eq, axis=1
+                                        ).astype(jnp.int32)[None, :])
+                            if want_tf:
+                                acc_t[pi:pi + 1, :] = \
+                                    acc_t[pi:pi + 1, :] + jnp.sum(
+                                        jnp.where(eq, mtfm[mi][None, :],
+                                                  0.0), axis=1)[None, :]
+            else:
+                # member much denser than pivot: most pairs in a visited
+                # tile DO overlap — per-pair predication/RMW only adds
+                # overhead (measured 198 -> 313 us/q at (8k, 131k)).
+                # Register-fold the mi loop per pivot row instead, with
+                # one tile-level guard.
+                mt_lo = jnp.min(mdm)
+                mt_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)))
+                for pi in range(R):
+                    @pl.when((mt_hi >= s_rmin[pi]) & (mt_lo <= s_rmax[pi]))
+                    def _row(pi=pi):
+                        pd_i = pd[pi]               # [128] static row
+                        hi_ = jnp.zeros((BLK,), jnp.bool_)
+                        ti_ = jnp.zeros((BLK,), jnp.float32)
+                        for mi in range(R):
+                            eq = pd_i[:, None] == mdm[mi][None, :]
+                            hi_ = hi_ | jnp.any(eq, axis=1)
+                            if want_tf:
+                                ti_ = ti_ + jnp.sum(jnp.where(
+                                    eq, mtfm[mi][None, :], 0.0), axis=1)
+                        acc_h[pi:pi + 1, :] = jnp.maximum(
+                            acc_h[pi:pi + 1, :],
+                            hi_.astype(jnp.int32)[None, :])
+                        if want_tf:
+                            acc_t[pi:pi + 1, :] = acc_t[pi:pi + 1, :] \
+                                + ti_[None, :]
             return _i
 
         jax.lax.fori_loop(lo_t, hi_t, member_tile, 0)
+        hit_ref[pl.ds(prow, R), :] = acc_h[:]
+        if want_tf:
+            tfa_ref[pl.ds(prow, R), :] = acc_t[:]
         return _c
 
     jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
@@ -167,13 +254,22 @@ def _slot_srcs(T: int, groups) -> list:
 
 
 def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
-            *rest, T, Ws, groups, pivot_g, k, n_aux):
-    """One query per grid step (see module docstring)."""
+            *rest, T, Ws, groups, pivot_g, k, n_aux, dense=()):
+    """One query per grid step (see module docstring).
+
+    `dense`: ((flag, aux_src, n_vals), ...) — dense posting-aligned code
+    predicates (single-valued TAG fields).  aux[aux_src] is an int32
+    column PARALLEL to the text postings (code of the posting's doc);
+    the predicate DMAs the column rows at each PIVOT slot's window
+    offsets and compares against the query's value ids — one vector
+    compare instead of a posting-window membership pass.  Applied before
+    the member passes so dead candidates narrow their doc ranges."""
     aux = rest[:n_aux]
     out_docs, out_scores, out_counts = rest[n_aux:n_aux + 3]
     scratch = rest[n_aux + 3:]
     q = pl.program_id(0)
     srcs = _slot_srcs(T, groups)
+    pivots = list(groups[pivot_g][1])
     refs = []
     at = 0
     for t in range(T):
@@ -184,10 +280,19 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
         else:
             refs.append((scratch[at], scratch[at + 1]))  # docs, dummy tf
             at += 2
+    drefs = []                       # dense code windows [d][pivot_j]
+    for _d in dense:
+        row = []
+        for _p in pivots:
+            row.append(scratch[at])
+            at += 1
+        drefs.append(row)
     valid_ref = scratch[at]
     hit_ref = scratch[at + 1]
     tfa_ref = scratch[at + 2]
-    sems = scratch[at + 3]
+    acc_h = scratch[at + 3]
+    acc_t = scratch[at + 4]
+    sems = scratch[at + 5]
 
     def m(i):
         return meta_ref[q, i]
@@ -195,13 +300,17 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     starts = [m(t) for t in range(T)]
     lens = [m(T + t) for t in range(T)]
     qmasks = [m(2 * T + t) for t in range(T)]
+    dense_off = []
+    _off = 3 * T
+    for (_fl, _src, nv) in dense:
+        dense_off.append(_off)
+        _off += nv
     tws = [fmeta[0, 0, t] for t in range(T)]
     avgdl = fmeta[0, 0, T]
 
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     srows = [starts[t] // BLK for t in range(T)]
     rr = [starts[t] % BLK for t in range(T)]
-    pivots = list(groups[pivot_g][1])
     dmas = []
     for t in range(T):
         if srcs[t] < 0:
@@ -224,17 +333,24 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             dmas.append(pltpu.make_async_copy(
                 aux[srcs[t]].at[pl.ds(srows[t], rows[t]), :], d,
                 sems.at[4 * t]))
+    for di, (_fl, dsrc, _nv) in enumerate(dense):
+        for pj, p in enumerate(pivots):
+            dmas.append(pltpu.make_async_copy(
+                aux[dsrc].at[pl.ds(srows[p], rows[p]), :],
+                drefs[di][pj], sems.at[4 * T + di * len(pivots) + pj]))
     for c in dmas:
         c.start()
     for c in dmas:
         c.wait()
 
-    def run_phase(p, others):
+    def run_phase(p, pj, others):
         """Candidates = slot p's window.  `others` entries are either
         ("slot", u, kind) pivot-group siblings (kind "fold" /
         "dedup+fold") or ("group", flag, slot_tuple) non-pivot groups
         (hit = OR over the group's slots, score = sum of slot
-        contributions, validity by the group's REQ/NOT/OPT flag)."""
+        contributions, validity by the group's REQ/NOT/OPT flag).
+        Dense code predicates apply FIRST — they're one compare each and
+        dead candidates narrow the member passes' doc ranges."""
         rows_p = rows[p]
         r_p = rr[p]
         pdocs_ref, ptf_ref, pfm_ref, pdl_ref = refs[p]
@@ -250,6 +366,19 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             return w * tf * (K1 + 1.0) / (tf + norm)
 
         score = jnp.where(pvalid, bm25(ptf_ref[:], tws[p]), 0.0)
+        for di, (fl, _src, nv) in enumerate(dense):
+            cw = drefs[di][pj][:rows_p, :]
+            hitd = cw == m(dense_off[di])
+            for v in range(1, nv):
+                hitd = hitd | (cw == m(dense_off[di] + v))
+            dconst = fmeta[0, 0, T + 1 + di]
+            if fl == REQ:
+                pvalid = pvalid & hitd
+                score = score + jnp.where(hitd, dconst, 0.0)
+            elif fl == NOT:
+                pvalid = pvalid & ~hitd
+            else:
+                score = score + jnp.where(hitd, dconst, 0.0)
         valid_ref[:rows_p, :] = pvalid.astype(jnp.int32)
 
         # pivot tiles past the REAL window length hold only invalid
@@ -261,14 +390,16 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             if srcs[u] < 0:
                 mdocs_r, mtf_r, mfm_r, _ = refs[u]
                 _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                             acc_h, acc_t,
                              mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
                              qmasks[u], rows_p, rows[u], p_end)
             else:
                 mdocs_r, mdum_r = refs[u]
                 _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+                             acc_h, acc_t,
                              mdocs_r, mdum_r, mdum_r, rr[u], lens[u],
                              jnp.int32(0), rows_p, rows[u], p_end,
-                             check_mask=False)
+                             check_mask=False, want_tf=False)
             return hit_ref[:rows_p, :] != 0, tfa_ref[:rows_p, :]
 
         for item in others:
@@ -329,32 +460,34 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
                 continue
             others.append(("group", g[0], g[1],
                            g[2] if len(g) > 2 else -1))
-        d_o, s_o = run_phase(p, others)
+        d_o, s_o = run_phase(p, pi, others)
         fiw = _flat_iota(rows[p])
+        riota = jax.lax.broadcasted_iota(jnp.int32, (rows[p], BLK), 0)
         cnts = jnp.where(ci == pi,
                          jnp.sum((d_o != INF32).astype(jnp.int32)), cnts)
         sc = s_o
         for i in range(k):
-            mx = jnp.max(sc)
-            sel = jnp.min(jnp.where(sc == mx, fiw, INF32))
-            hit_lane = fiw == sel
-            dv = jnp.min(jnp.where(hit_lane, d_o, INF32))
+            mx, dv, sc = _extract_pass(sc, d_o, riota, fiw)
             opos = oi == (pi * k + i)
             topd = jnp.where(opos, dv, topd)
             tops = jnp.where(opos, mx, tops)
-            sc = jnp.where(hit_lane, NEG_INF, sc)
     out_docs[0] = topd
     out_scores[0] = tops
     out_counts[0] = cnts
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
-              *aux, T, Ws, groups, pivot_g, k):
+              *aux, T, Ws, groups, pivot_g, k, dense=()):
     """Pure-XLA twin of the kernel semantics — the CPU fallback and the
     cross-check oracle for the Pallas lowering (interpret mode cannot
     discharge the kernels' DMAs)."""
     INF = jnp.int32(2**31 - 1)
     srcs = _slot_srcs(T, groups)
+    dense_off = []
+    _off = 3 * T
+    for (_fl, _src, nv) in dense:
+        dense_off.append(_off)
+        _off += nv
 
     def one(mrow, frow):
         starts = mrow[:T]
@@ -398,6 +531,20 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
 
             score = jnp.where(pvalid, bm25(pf, tws[p]), 0.0)
             valid = pvalid
+            for di, (fl, dsrc, nv) in enumerate(dense):
+                cw = jax.lax.dynamic_slice(aux[dsrc], (starts[p],),
+                                           (Ws[p],))
+                hitd = cw == mrow[dense_off[di]]
+                for v in range(1, nv):
+                    hitd = hitd | (cw == mrow[dense_off[di] + v])
+                dconst = frow[T + 1 + di]
+                if fl == REQ:
+                    valid = valid & hitd
+                    score = score + jnp.where(hitd, dconst, 0.0)
+                elif fl == NOT:
+                    valid = valid & ~hitd
+                else:
+                    score = score + jnp.where(hitd, dconst, 0.0)
             for item in others:
                 if item[0] == "slot":
                     _tag, u, kind = item
@@ -467,14 +614,18 @@ def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     return docs, scores, jnp.sum(cnts[:, :P_n], axis=1)
 
 
-def _member_min_ge(anch_ref, ok_ref, found_ref, mkeys_r, r_m, mlen,
+def _member_min_ge(anch_ref, ok_ref, found_ref, acc_f, mkeys_r, r_m, mlen,
                    rows_p, rows_m, p_end):
     """Per pivot lane: the smallest member key >= anchor (INT32_MAX if
     none) — the greedy probe of the in-order proximity chain
-    (engine._phrase_chain_pivot probe_ge).  Same tile strategy as
-    _member_pass: member tiles are range-bounded per pivot tile, plus
-    ONE tile past the range (the first key beyond the pivot's max anchor
-    may live there)."""
+    (engine._phrase_chain_pivot probe_ge).  Same pair-predicated tile
+    strategy as _member_pass: member tiles are range-bounded per pivot
+    tile, plus ONE tile past the range (the first key beyond the pivot's
+    max anchor may live there).  A member ROW qualifies for pivot row pi
+    when it has keys >= rmin[pi] and either overlaps [rmin, rmax] or is
+    the first row strictly above rmax (its predecessor row still starts
+    at or below rmax); row 0 of a visited tile always qualifies — the
+    predecessor lives in the previous tile, out of scalar reach."""
     fi_m = _flat_iota(rows_m)
     m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
     mkeys_masked = jnp.where(m_inr, mkeys_r[:rows_m, :],
@@ -494,45 +645,72 @@ def _member_min_ge(anch_ref, ok_ref, found_ref, mkeys_r, r_m, mlen,
         pmax = jnp.max(pam_hi)
         rmin = jnp.min(pam_lo, axis=1, keepdims=True)     # [8, 1]
         rmax = jnp.max(pam_hi, axis=1, keepdims=True)
+        s_rmin = [rmin[pi, 0] for pi in range(R)]
+        s_rmax = [rmax[pi, 0] for pi in range(R)]
         lo_e = r_m + jnp.sum((mkeys_masked < pmin).astype(jnp.int32))
         hi_e = r_m + jnp.sum((mkeys_masked <= pmax).astype(jnp.int32))
         lo_t = lo_e // TILE
         # +1 tile: the smallest key > pmax can sit past the counted range
         hi_t = jnp.minimum((hi_e + TILE - 1) // TILE + 1, mt_max)
 
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
-        found_ref[pl.ds(prow, R), :] = jnp.full((R, BLK), INF)
+        acc_f[:] = jnp.full((R, BLK), INF)
 
         def member_tile(mtile, _i):
             mrow = pl.multiple_of(mtile * R, R)
             mk = mkeys_r[pl.ds(mrow, R), :]
             base = mtile * TILE
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
             fi = (base + rsel * BLK
                   + jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1))
             mv = (fi >= r_m) & (fi < r_m + mlen)
             mkm = jnp.where(mv, mk, INF)
-            mt_lo = jnp.min(mkm)
-            mt_hi = jnp.max(jnp.where(mv, mk, jnp.int32(-1)))
-            for pi in range(R):
-                # a tile matters for row pi if any of its keys could be
-                # the row's successor: tile overlaps [rmin, +inf) and
-                # starts at or below the current found frontier is not
-                # trackable cheaply — use [rmin, mt_hi] overlap
-                @pl.when((mt_hi >= rmin[pi, 0]) & (mt_lo != INF))
-                def _overlapping_row():
+            mrow_lo = jnp.min(mkm, axis=1, keepdims=True)      # [8, 1]
+            mrow_hi = jnp.max(jnp.where(mv, mk, jnp.int32(-1)),
+                              axis=1, keepdims=True)
+            if rows_m <= 2 * rows_p:
+                s_mlo = [mrow_lo[mi, 0] for mi in range(R)]
+                s_mhi = [mrow_hi[mi, 0] for mi in range(R)]
+                for pi in range(R):
                     pa_i = pa[pi]                   # [128] static row
-                    best = jnp.full((BLK,), INF)
                     for mi in range(R):
-                        ge = mkm[mi][None, :] >= pa_i[:, None]
-                        cand = jnp.where(ge, mkm[mi][None, :], INF)
-                        best = jnp.minimum(best, jnp.min(cand, axis=1))
-                    row_is_pi = rsel == pi
-                    blk = found_ref[pl.ds(prow, R), :]
-                    found_ref[pl.ds(prow, R), :] = jnp.where(
-                        row_is_pi, jnp.minimum(blk, best[None, :]), blk)
+                        cond = s_mhi[mi] >= s_rmin[pi]
+                        if mi > 0:
+                            # not past the first row strictly above
+                            # rmax; an INF predecessor is an empty/out-
+                            # of-window row (e.g. before the window
+                            # start), not a real row above rmax — stay
+                            # conservative there
+                            cond = cond & ((s_mlo[mi - 1] <= s_rmax[pi])
+                                           | (s_mlo[mi - 1] == INF))
+
+                        @pl.when(cond)
+                        def _pair(pi=pi, mi=mi, pa_i=pa_i):
+                            ge = mkm[mi][None, :] >= pa_i[:, None]
+                            cand = jnp.where(ge, mkm[mi][None, :], INF)
+                            acc_f[pi:pi + 1, :] = jnp.minimum(
+                                acc_f[pi:pi + 1, :],
+                                jnp.min(cand, axis=1)[None, :])
+            else:
+                # dense member: register-fold mi per pivot row (see
+                # _member_pass for the ratio rationale)
+                mt_lo = jnp.min(mkm)
+                mt_hi = jnp.max(jnp.where(mv, mk, jnp.int32(-1)))
+                for pi in range(R):
+                    @pl.when((mt_hi >= s_rmin[pi]) & (mt_lo != INF))
+                    def _row(pi=pi):
+                        pa_i = pa[pi]               # [128] static row
+                        best = jnp.full((BLK,), INF)
+                        for mi in range(R):
+                            ge = mkm[mi][None, :] >= pa_i[:, None]
+                            cand = jnp.where(ge, mkm[mi][None, :], INF)
+                            best = jnp.minimum(best,
+                                               jnp.min(cand, axis=1))
+                        acc_f[pi:pi + 1, :] = jnp.minimum(
+                            acc_f[pi:pi + 1, :], best[None, :])
             return _i
 
         jax.lax.fori_loop(lo_t, hi_t, member_tile, 0)
+        found_ref[pl.ds(prow, R), :] = acc_f[:]
         return _c
 
     jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
@@ -571,7 +749,9 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     valid_ref = scratch[at + 6]
     hit_ref = scratch[at + 7]
     tfa_ref = scratch[at + 8]
-    sems = scratch[at + 9]
+    acc_h = scratch[at + 9]
+    acc_t = scratch[at + 10]
+    sems = scratch[at + 11]
 
     def m(i):
         return meta_ref[q, i]
@@ -629,7 +809,7 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     pk_end = (prr[0] + plens[0] + TILE - 1) // TILE
 
     for j in range(1, T):
-        _member_min_ge(anch_ref, ok_ref, found_ref, pkrefs[j],
+        _member_min_ge(anch_ref, ok_ref, found_ref, acc_h, pkrefs[j],
                        prr[j], plens[j], rows_pk, pkrows[j], pk_end)
         anchor = anch_ref[:rows_pk, :]
         ok = ok_ref[:rows_pk, :] != 0
@@ -654,9 +834,9 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     in_range = (iota_w >= rr[0]) & (iota_w < rr[0] + lens[0])
     valid_ref[:rows_p, :] = in_range.astype(jnp.int32)
     p_end = (rr[0] + lens[0] + TILE - 1) // TILE
-    _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+    _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                  kd_ref, kdum_ref, ok_ref, prr[0], plens[0],
-                 jnp.int32(1), rows_p, rows_pk, p_end)
+                 jnp.int32(1), rows_p, rows_pk, p_end, want_tf=False)
     anylen = lens[0] > 0
     for t in range(1, T):
         anylen = anylen & (lens[t] > 0)
@@ -677,7 +857,7 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     pdocs = pdocs_ref[:rows_p, :]
     for u in range(1, T):
         mdocs_r, mtf_r, mfm_r, _ = refs[u]
-        _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref,
+        _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                      mdocs_r, mtf_r, mfm_r, rr[u], lens[u],
                      qmasks[u], rows_p, rows[u], p_end)
         hit_u = (hit_ref[:rows_p, :] != 0) & dochit
@@ -697,16 +877,13 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     cnts = jnp.where(ci == 0,
                      jnp.sum((d_o != INF).astype(jnp.int32)), cnts)
     fiw = _flat_iota(rows_p)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows_p, BLK), 0)
     sc = s_o
     for i in range(k):
-        mx = jnp.max(sc)
-        sel = jnp.min(jnp.where(sc == mx, fiw, INF))
-        hit_lane = fiw == sel
-        dv = jnp.min(jnp.where(hit_lane, d_o, INF))
+        mx, dv, sc = _extract_pass(sc, d_o, riota, fiw)
         opos = oi == i
         topd = jnp.where(opos, dv, topd)
         tops = jnp.where(opos, mx, tops)
-        sc = jnp.where(hit_lane, NEG_INF, sc)
     out_docs[0] = topd
     out_scores[0] = tops
     out_counts[0] = cnts
@@ -846,6 +1023,8 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
     scratch.append(pltpu.VMEM((rows[0], BLK), jnp.int32))    # valid
     scratch.append(pltpu.VMEM((rows[0], BLK), jnp.int32))    # hit
     scratch.append(pltpu.VMEM((rows[0], BLK), jnp.float32))  # tfacc
+    scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.int32))     # acc_h/f
+    scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.float32))   # acc_t
     scratch.append(pltpu.SemaphoreType.DMA((5 * T,)))
 
     n2 = doc_ids.shape[0] // BLK
@@ -921,32 +1100,38 @@ def _use_pallas() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g", "k"))
+    jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g", "k",
+                              "dense"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     *aux, T: int, Ws: tuple, groups: tuple,
-                    pivot_g: int = 0, k: int = 16):
+                    pivot_g: int = 0, k: int = 16, dense: tuple = ()):
     """Run the term-query kernel over a batch.
 
-    meta: int32 [B, 3T] — per slot starts, lens, qmasks.
-    fmeta: f32 [B, T+1] — per slot tweights (idf*weight), then avgdl.
+    meta: int32 [B, 3T + sum(nv)] — per slot starts, lens, qmasks, then
+    the dense predicates' query value ids (nv each).
+    fmeta: f32 [B, T+1+D] — per slot tweights (idf*weight), avgdl, then
+    one leaf constant per dense predicate.
     groups: ((flag, (slot_idx, ...)[, src]), ...) — REQ/NOT/OPT groups
     over the T slots.  src (default -1) selects the slot's array: -1 =
     text postings, >= 0 = the positional `aux` doc-window array at that
     index (tag postings: hit-only members scoring their leaf constant
-    once per doc).  `pivot_g` names the TEXT REQ group whose slots
-    generate the candidate phases.  Returns (docs [B, >=P*k], scores,
-    counts [B]): per phase the top-k (score desc, window position asc)
-    with INT32_MAX / -inf filler — merge phases with iter_topk — plus
-    the total match count.
+    once per doc).  `dense`: ((flag, aux_src, n_vals), ...) — predicates
+    over posting-ALIGNED int32 code columns in `aux` (see _kernel),
+    evaluated at pivot candidates as vector compares.  `pivot_g` names
+    the TEXT REQ group whose slots generate the candidate phases.
+    Returns (docs [B, >=P*k], scores, counts [B]): per phase the top-k
+    (score desc, window position asc) with INT32_MAX / -inf filler —
+    merge phases with iter_topk — plus the total match count.
     """
     if not _use_pallas():
         return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                          *aux, T=T, Ws=Ws, groups=groups,
-                         pivot_g=pivot_g, k=k)
+                         pivot_g=pivot_g, k=k, dense=dense)
     B = meta.shape[0]
     srcs = _slot_srcs(T, groups)
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     pivots = set(groups[pivot_g][1])
+    pivots_l = list(groups[pivot_g][1])
     P_n = len(groups[pivot_g][1])
     KR = max(-(-(P_n * k) // BLK), 1)
     rows_scratch = max(rows[p] for p in pivots)
@@ -963,10 +1148,15 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         else:
             scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
             scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
+    for _d in dense:
+        for p in pivots_l:
+            scratch.append(pltpu.VMEM((rows[p], BLK), jnp.int32))
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # valid
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # hit
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.float32))  # tfacc
-    scratch.append(pltpu.SemaphoreType.DMA((4 * T,)))
+    scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.int32))          # acc_h
+    scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.float32))        # acc_t
+    scratch.append(pltpu.SemaphoreType.DMA((4 * T + len(dense) * P_n,)))
 
     # HBM arrays as 2D row views: DMA fetches whole 128-lane rows and
     # the kernel masks the (start % 128) in-tile offset
@@ -980,7 +1170,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, 1, T + 1),
+        in_specs=[pl.BlockSpec((1, 1, T + 1 + len(dense)),
                                lambda q, meta: (q, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * (4 + len(aux)),
@@ -995,7 +1185,8 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
-                             pivot_g=pivot_g, k=k, n_aux=len(aux))
+                             pivot_g=pivot_g, k=k, n_aux=len(aux),
+                             dense=dense)
     docs, scores, counts = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

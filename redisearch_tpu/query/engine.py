@@ -139,6 +139,9 @@ class QueryOptions:
     verbatim: bool = False         # disable stemming expansion
     with_vector_scores: bool = True
     expander: str = ""             # custom expander name (ext.py), "" = default
+    # NOSTOPWORDS: keep stopwords as query terms (reference: RSSearchOptions
+    # flag Search_NoStopwrods, parsed in aggregate_request.c)
+    nostopwords: bool = False
     # INFIELDS: default TEXT field mask for terms without an explicit
     # @field modifier (reference: RSSearchOptions fieldmask)
     in_fields: Optional[tuple] = None
@@ -385,13 +388,17 @@ class CompiledQuery:
     def bucket_size(n: int) -> int:
         """Quantize a window length to a coarse bucket.
 
-        Powers of 4 starting at 8192 (8k, 32k, 131k, 524k, 2M): a handful
-        of levels keeps the compile universe tiny (each distinct bucket
-        vector is one XLA executable) while per-query window inflation is
-        bounded at 4x.  Small-side leaves keep small buckets, preserving
-        the pivot-on-smallest intersection advantage.
+        Powers of 4 starting at 2048 (2k, 8k, 32k, 131k, 524k, 2M): a
+        handful of levels keeps the compile universe tiny (each distinct
+        bucket vector is one XLA executable) while per-query window
+        inflation is bounded at 4x.  Small-side leaves keep small
+        buckets, preserving the pivot-on-smallest intersection
+        advantage.  The 2048 floor matters for serving: a zipf query
+        mix's median term df is in the hundreds, and the mega-kernel's
+        per-query cost (DMA rows, phase vectors, top-k extraction) scales
+        with the BUCKET, not the live length.
         """
-        b = 8192
+        b = 2048
         while b < n:
             b *= 4
         return b
@@ -855,6 +862,12 @@ def _lev(a: str, b: str) -> int:
 # ---------------------------------------------------------------------------
 
 _COMPILE_CACHE: dict[str, Any] = {}
+
+# serving observability: how many batched queries rode which executor
+# family (VERDICT round-2: record the kernel hit rate so BENCH numbers
+# can't silently fall back to the scan path).  Reset by callers.
+QUERY_PATH_STATS: dict[str, int] = {"kernel": 0, "phrase-kernel": 0,
+                                    "scan": 0}
 
 
 @dataclasses.dataclass
@@ -1494,6 +1507,8 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
         g = idxs + [idxs[-1]] * (int(next_pow2(len(idxs))) - len(idxs))
         gr = np.stack([rows[i] for i in g])
         entry = _rows_executor(cqs[idxs[0]], ents[idxs[0]], seg, len(g), k)
+        QUERY_PATH_STATS[entry.path] = (
+            QUERY_PATH_STATS.get(entry.path, 0) + len(idxs))
         flat = entry.submit(_segment_args(cqs[idxs[0]], seg), {"rows": gr})
         parts.append((g, entry, flat))
     handle = _BatchHandle(parts, len(cqs), cqs=cqs, seg=seg, k=k)
@@ -1531,6 +1546,25 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
                 [W] * nu, -1)
 
     aux_ords: list[int] = []
+    dense_descs: list = []          # (flag, ord, nv, leaf_idx)
+
+    def tag_dense(t, flag):
+        """Single-valued TAG leaf with a posting-aligned code column:
+        becomes a dense in-kernel predicate (one window compare per
+        pivot phase) instead of a member-window pass."""
+        if t[0] != "leaf" or not isinstance(t[1], LTag):
+            return None
+        leaf, idx = t[1], t[2]
+        e = bk.get(idx)
+        if not e:
+            return None
+        nu, _W = e
+        if not 1 <= nu <= 4 or len(dense_descs) >= 2:
+            return None
+        if seg.tag_pcodes(leaf.field) is None:
+            return None
+        dense_descs.append((flag, leaf.ord, nu, idx))
+        return "dense"
 
     def tag_group(t, flag):
         if t[0] != "leaf" or not isinstance(t[1], LTag):
@@ -1579,15 +1613,18 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
             return None
         for kid in tree[1]:
             if kid[0] == "leaf":
-                g = leaf_group(kid, IK.REQ) or tag_group(kid, IK.REQ)
+                g = (leaf_group(kid, IK.REQ) or tag_dense(kid, IK.REQ)
+                     or tag_group(kid, IK.REQ))
             elif kid[0] in ("not", "opt"):
                 fl = IK.NOT if kid[0] == "not" else IK.OPT
-                g = leaf_group(kid[1], fl) or tag_group(kid[1], fl)
+                g = (leaf_group(kid[1], fl) or tag_dense(kid[1], fl)
+                     or tag_group(kid[1], fl))
             else:
                 g = None
             if g is None:
                 return None
-            raw_groups.append(g)
+            if g != "dense":
+                raw_groups.append(g)
         if not any(g[0] == IK.REQ and g[3] < 0 for g in raw_groups):
             return None   # the pivot must be a TEXT group
     else:
@@ -1622,17 +1659,24 @@ def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
     if len(groups[pivot_g][1]) > 4:
         return None
     # VMEM budget: 3 window arrays per text slot (+doclens per pivot
-    # slot), 2 per tag slot, plus 3 pivot-sized state buffers
+    # slot), 2 per tag slot, dense code windows per (pred, pivot slot),
+    # plus 3 pivot-sized state buffers
     pivs = set(groups[pivot_g][1])
     srcs = IK._slot_srcs(len(slot_descs), groups)
     vmem = sum(((4 if j in pivs else 3) if srcs[j] < 0 else 2)
                * (Ws[j] + 1024) * 4
                for j in range(len(Ws)))
     vmem += 3 * (max(Ws[j] for j in pivs) + 1024) * 4
+    vmem += len(dense_descs) * sum((Ws[j] + 1024) * 4 for j in pivs)
     if vmem > 12 * 1024 * 1024:
         return None
-    aux_keys = tuple(f"tag{o}_docs" for o in aux_ords)
-    return tuple(slot_descs), tuple(Ws), tuple(groups), pivot_g, aux_keys
+    aux_keys = tuple(f"tag{o}_docs" for o in aux_ords) + tuple(
+        f"tag{o}_pcodes" for (_fl, o, _nv, _idx) in dense_descs)
+    kdense = tuple((fl, len(aux_ords) + di, nv)
+                   for di, (fl, _o, nv, _idx) in enumerate(dense_descs))
+    dmeta = tuple((o, nv, idx) for (_fl, o, nv, idx) in dense_descs)
+    return (tuple(slot_descs), tuple(Ws), tuple(groups), pivot_g,
+            aux_keys, kdense, dmeta)
 
 
 def _kernel_seg_ok(cq0: CompiledQuery, seg: Segment, k_pad: int) -> bool:
@@ -1736,11 +1780,12 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
     kplan = _kernel_plan(cq0, seg, bk, k_pad)
     if kplan is not None:
         from ..ops import intersect as IK
-        slot_descs, Ws, kgroups, pivot_g, aux_keys = kplan
+        slot_descs, Ws, kgroups, pivot_g, aux_keys, kdense, dmeta = kplan
+        P_n = len(kgroups[pivot_g][1])
 
         def batched(seg_args_, dyn, _descs=slot_descs, _Ws=Ws,
                     _groups=kgroups, _pg=pivot_g, _aux=aux_keys,
-                    _k=k_pad):
+                    _k=k_pad, _dense=kdense, _dmeta=dmeta, _Pn=P_n):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             cs, cl, cm, cw = [], [], [], []
             for d in _descs:
@@ -1757,8 +1802,14 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     cm.append(jnp.zeros_like(cs[-1]))
                     cw.append(stacked["leaf_const"][:, lidx])
             meta = jnp.stack(cs + cl + cm, axis=1).astype(jnp.int32)
+            qcols = [stacked[f"tag{o}_qcodes"][:, :nv].astype(jnp.int32)
+                     for (o, nv, _lidx) in _dmeta]
+            if qcols:
+                meta = jnp.concatenate([meta] + qcols, axis=1)
             fmeta = jnp.stack(
-                cw + [stacked["avgdl"].reshape(-1)],
+                cw + [stacked["avgdl"].reshape(-1)]
+                + [stacked["leaf_const"][:, lidx]
+                   for (_o, _nv, lidx) in _dmeta],
                 axis=1).astype(jnp.float32)
             aux_arrs = tuple(seg_args_[kk] for kk in _aux)
             docs, scores, count = IK.intersect_batch(
@@ -1766,7 +1817,12 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 seg_args_["field_masks"], seg_args_["posting_dl"],
                 *aux_arrs,
                 T=len(_descs), Ws=_Ws, groups=_groups, pivot_g=_pg,
-                k=_k)
+                k=_k, dense=_dense)
+            if _Pn == 1:
+                # single-phase output is already the exact top-k (score
+                # desc, window position asc) — no merge needed
+                return {"idx": docs[:, :_k], "scores": scores[:, :_k],
+                        "count": count}
             # kernel emits per-phase top-k ([B, P*k] lanes) + counts;
             # merging the tiny phase lists replaces the [B, W] iter_topk
             vals, sel = IK.iter_topk(scores, docs, _k)
@@ -1775,6 +1831,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry.path = "kernel"
         _COMPILE_CACHE[sig] = entry
         return entry
 
@@ -1810,6 +1867,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry.path = "phrase-kernel"
         _COMPILE_CACHE[sig] = entry
         return entry
 
@@ -1885,11 +1943,15 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
     if seg.text_fexp is not None:
         args["text_fexp"] = seg.text_fexp
     for j, node in enumerate(cq.tag_nodes):
-        tp = seg.tags.get(cq.schema.field(node.field).attribute)
+        attr = cq.schema.field(node.field).attribute
+        tp = seg.tags.get(attr)
         args[f"tag{j}_docs"] = (tp.doc_ids if tp is not None
                                 else jnp.zeros(1, jnp.int32))
         if tp is not None and tp.codes is not None:
             args[f"tag{j}_codes"] = tp.codes
+            pc = seg.tag_pcodes(attr)
+            if pc is not None:
+                args[f"tag{j}_pcodes"] = pc
     for leaf, _idx in cq.leaves():
         if (isinstance(leaf, (LTag, LNumeric, LGeo, LVecRange))
                 and leaf.field in seg.field_fexp):
@@ -2078,9 +2140,10 @@ class _PackedExecutor:
     transfer) and still trims dispatch overhead on local attach."""
 
     __slots__ = ("fn", "in_layout", "in_total", "out_layout", "out_total",
-                 "out_keys", "_warm")
+                 "out_keys", "_warm", "path")
 
     def __init__(self, raw_fn, dyn_proto: dict, seg_args: dict):
+        self.path = "scan"      # which executor family built this entry
         # input layout from the prototype dyn (same sig => same shapes)
         self.in_layout, self.in_total = _layout_of(dyn_proto)
         in_layout = self.in_layout

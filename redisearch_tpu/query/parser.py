@@ -72,7 +72,10 @@ class QueryParser:
         dialect: int = 2,
     ):
         self.params = params or {}
-        self.stopwords = stopwords or StopWordList()
+        # explicit `is None` check: an EMPTY StopWordList (len 0, falsy)
+        # is meaningful — NOSTOPWORDS parses with no stopword filtering
+        self.stopwords = (StopWordList() if stopwords is None
+                          else stopwords)
         self.dialect = dialect
 
     # -- public ------------------------------------------------------------

@@ -754,6 +754,12 @@ class Server:
             elif opt == "VERBATIM":
                 av.next()
                 opts["verbatim"] = True
+            elif opt == "NOSTOPWORDS":
+                av.next()
+                opts["nostopwords"] = True
+            elif opt == "EXPANDER":
+                av.next()
+                opts["expander"] = av.next()
             elif opt == "TIMEOUT":
                 av.next()
                 av.next_int()
@@ -1033,6 +1039,11 @@ class Server:
     def _cmd_FT_ALIASDEL(self, av):
         self.client.ft_aliasdel(av.next())
         return OK
+
+    def _cmd_FT_ALIASLIST(self, av):
+        name = av.next() if av.more() else None
+        amap = self.client.ft_aliaslist(name)
+        return [[a, amap[a]] for a in sorted(amap)]
 
     def _cmd_FT_SYNUPDATE(self, av):
         name = av.next()

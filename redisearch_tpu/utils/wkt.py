@@ -10,9 +10,11 @@ bbox + edge intersection + containment tests).  SPHERICAL fields evaluate in
 a gnomonic tangent plane about the query shape, making the planar predicates
 exact for great-circle (geodesic) polygon edges — see _gnomonic.
 
-Supports POINT and POLYGON (outer ring; holes accepted and ignored for
-predicates other than point-in-polygon), matching the reference's documented
-surface (point + polygon WKT).
+Supports POINT and POLYGON with interior rings (holes): point-in-polygon
+excludes holes, polygon WITHIN fails across hole boundaries or around
+enclosed holes, INTERSECTS sees hole-boundary crossings — matching
+Boost.Geometry's evaluation of interior rings (reference:
+src/geometry/rtree.cpp).
 """
 
 from __future__ import annotations
@@ -219,6 +221,14 @@ def within(inner: Optional[Shape], outer: Shape,
         return False
     if _segments_intersect(inner.coords, outer.coords):
         return False
+    for h in outer.holes:
+        # crossing a hole boundary, or fully surrounding a hole, carves
+        # area out of `inner` (reference: Boost.Geometry evaluates
+        # interior rings — src/geometry/rtree.cpp predicates)
+        if _segments_intersect(inner.coords, h):
+            return False
+        if _point_in_ring(h[0], inner.coords):
+            return False
     return all(_point_in_polygon(p, outer) for p in inner.coords)
 
 
@@ -242,6 +252,12 @@ def intersects(a: Optional[Shape], b: Shape,
     if b.kind == "point":
         return within(b, a)
     if _segments_intersect(a.coords, b.coords):
+        return True
+    # a polygon straddling the other's interior-ring (hole) boundary
+    # overlaps its solid region even without touching the outer ring
+    if any(_segments_intersect(a.coords, h) for h in b.holes):
+        return True
+    if any(_segments_intersect(b.coords, h) for h in a.holes):
         return True
     return (_point_in_polygon(a.coords[0], b)
             or _point_in_polygon(b.coords[0], a))

@@ -63,9 +63,37 @@ def test_filter_rule():
 def test_alias(client):
     client.ft_aliasadd("b", "books")
     assert client.ft_search("b", "dune").total == 1
+    assert client.ft_aliaslist() == {"b": "books"}
+    assert client.ft_aliaslist("books") == {"b": "books"}
     client.ft_aliasdel("b")
+    assert client.ft_aliaslist() == {}
     with pytest.raises(rs.errors.IndexNotFound):
         client.ft_search("b", "dune")
+
+
+def test_per_query_nostopwords_and_expander(client):
+    client.ft_create("nsw", fields=[rs.Field("t", rs.FieldType.TEXT)])
+    client.hset("n1", {"t": "the walrus sings"})
+    client.hset("n2", {"t": "walrus sings"})
+    # "the" is a default stopword: dropped from the query normally...
+    assert client.ft_search("nsw", "the walrus", verbatim=True).total == 2
+    # ...but kept as a required term with NOSTOPWORDS — and since index-
+    # side tokenization also drops stopwords, the term has no postings
+    # and the intersection is empty (reference: RSSearchOptions flag
+    # parsed by aggregate_request.c; indexing skips stopwords too)
+    res = client.ft_search("nsw", "the walrus", verbatim=True,
+                           nostopwords=True)
+    assert res.total == 0
+    # per-query EXPANDER selects a registered expander (ext registry)
+    from redisearch_tpu import ext
+    ext.register_expander("SYNO42", lambda t: ["walrus"]
+                          if t == "seacow" else [])
+    try:
+        assert client.ft_search("nsw", "seacow").total == 0
+        assert client.ft_search("nsw", "seacow",
+                                expander="SYNO42").total == 2
+    finally:
+        ext._EXPANDERS.pop("SYNO42", None)
 
 
 def test_dropindex(client):

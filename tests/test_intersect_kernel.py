@@ -46,7 +46,7 @@ def test_kernel_plan_eligibility(idx):
     # unions are eligible too (single multi-slot group)
     pl_or = _plan_for(idx, "alpha | beta", True)
     assert pl_or is not None
-    _slots, _ws, groups, _pg, _aux = pl_or
+    _slots, _ws, groups, _pg, _aux, _dense, _dmeta = pl_or
     assert len(groups) == 1 and len(groups[0][1]) == 2
     # phrase / other scorers -> not eligible
     assert _plan_for(idx, '"alpha beta"', True) is None
@@ -155,7 +155,7 @@ def test_kernel_big_member_window():
 
     cq_rc, pl = plan("rare common")
     assert pl is not None
-    slots, ws, groups, pivot_g, _aux = pl
+    slots, ws, groups, pivot_g, _aux, _dense, _dmeta = pl
     assert max(ws) > IK.MAX_W_PIVOT          # the common member window
     assert all(ws[j] <= IK.MAX_W_PIVOT for j in groups[pivot_g][1])
     # ultra-common term as the only REQ group -> no eligible pivot
@@ -246,13 +246,20 @@ TAG_QUERIES = [
 
 
 def test_kernel_plan_tag_groups(tag_idx):
-    """Intersections with TAG leaves are kernel-eligible (aux doc-window
-    sources); tag-only or union trees stay on the XLA path."""
+    """Intersections with TAG leaves are kernel-eligible: single-valued
+    fields become DENSE posting-aligned code predicates, multi-valued
+    fields keep the member-window (aux doc-window) path; tag-only or
+    union trees stay on the XLA path."""
     pl = _plan_for(tag_idx, "alpha beta @color:{r}", True)
     assert pl is not None
-    _descs, _ws, groups, _pg, aux = pl
-    assert aux and aux[0].startswith("tag")
-    assert any(len(g) > 2 and g[2] >= 0 for g in groups)
+    _descs, _ws, groups, _pg, aux, dense, _dm = pl
+    assert dense and aux and aux[0].endswith("_pcodes")
+    # multi-valued labels field -> member-window group
+    pl2 = _plan_for(tag_idx, "alpha beta @labels:{x}", True)
+    assert pl2 is not None
+    _d2, _w2, groups2, _pg2, aux2, dense2, _dm2 = pl2
+    assert not dense2 and aux2 and aux2[0].endswith("_docs")
+    assert any(len(g) > 2 and g[2] >= 0 for g in groups2)
     # a tag cannot pivot: tag-only query is ineligible
     assert _plan_for(tag_idx, "@color:{r}", True) is None
 
@@ -276,3 +283,73 @@ def test_kernel_tag_groups_match_scan_path(tag_idx, monkeypatch):
         bs = [s for s in bres.scores if s > -3e38][:len(bdocs)]
         ss = [s for s in sres.scores if s > -3e38][:len(bdocs)]
         np.testing.assert_allclose(bs, ss, rtol=1e-5, err_msg=q)
+
+
+def test_dense_tag_predicate_matches_scan_path():
+    """Single-valued TAG filters ride the posting-aligned dense code
+    column inside the kernel plan (one window compare per pivot phase);
+    results must match the scan path exactly, including NOT and
+    multi-value {a|b} forms."""
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    ix = rs.SearchIndex(rs.Schema(name="dtag", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG)]))
+    for i in range(600):
+        ix.add_document(f"d{i}", {
+            "t": " ".join(rng.choice(words, 5)),
+            "cat": f"c{i % 7}"})
+    ix.commit()
+    seg = ix.segments[0]
+    assert seg.tag_pcodes("cat") is not None
+
+    def plan(q):
+        cq = ix.prepare(q, None, QueryOptions(k=10, verbatim=True), 2)
+        b, _ = cq.bind(seg)
+        return _kernel_plan(cq, seg, b.dyn["_buckets"], 16)
+
+    pl = plan("alpha beta @cat:{c3}")
+    assert pl is not None
+    _s, _w, _g, _pg, aux_keys, dense, dmeta = pl
+    assert dense and aux_keys[-1].endswith("_pcodes")
+
+    queries = ["alpha @cat:{c3}", "alpha beta @cat:{c1}",
+               "alpha -@cat:{c2}", "alpha @cat:{c0|c4}",
+               "alpha @cat:{missingvalue}", "alpha ~@cat:{c5}"]
+    cqs = [ix.prepare(q, None, QueryOptions(k=10, verbatim=True), 2)
+           for q in queries for _ in range(2)]
+    got = execute_batch(cqs, seg, 10)
+    for cq, g in zip(cqs, got):
+        want = execute(cq, seg, 10)
+        assert g.count == want.count, cq
+        gd = [(int(d), round(float(s), 4))
+              for d, s in zip(g.local_idx, g.scores) if s > -3.3e38]
+        wd = [(int(d), round(float(s), 4))
+              for d, s in zip(want.local_idx, want.scores)
+              if s > -3.3e38]
+        assert gd == wd
+
+
+def test_dense_tag_multivalue_field_falls_back():
+    """A multi-valued TAG field has no dense codes column; the plan
+    must keep the member-window path (or stay eligible without dense)."""
+    ix = rs.SearchIndex(rs.Schema(name="mvtag", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG)]))
+    for i in range(300):
+        ix.add_document(f"d{i}", {"t": "alpha beta",
+                                  "cat": f"c{i % 5},c{(i + 1) % 5}"})
+    ix.commit()
+    seg = ix.segments[0]
+    assert seg.tag_pcodes("cat") is None
+    cq = ix.prepare("alpha beta @cat:{c3}", None,
+                    QueryOptions(k=10, verbatim=True), 2)
+    b, _ = cq.bind(seg)
+    pl = _kernel_plan(cq, seg, b.dyn["_buckets"], 16)
+    if pl is not None:
+        assert not pl[5]   # no dense predicates
+    got = execute_batch([cq], seg, 10)[0]
+    want = execute(cq, seg, 10)
+    assert got.count == want.count
+    assert list(got.local_idx)[:got.count] == \
+        list(want.local_idx)[:want.count]

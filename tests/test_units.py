@@ -154,6 +154,23 @@ def test_wkt_polygon_with_hole():
         "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
     assert wkt.contains(donut, wkt.parse("POINT(1 1)"))
     assert not wkt.contains(donut, wkt.parse("POINT(5 5)"))  # in the hole
+    # polygon fully inside the hole: neither within nor intersecting
+    in_hole = wkt.parse("POLYGON((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, "
+                        "4.5 4.5))")
+    assert not wkt.within(in_hole, donut)
+    assert not wkt.intersects(in_hole, donut)
+    assert wkt.disjoint(in_hole, donut)
+    # polygon straddling the hole boundary: intersects but not within
+    straddle = wkt.parse("POLYGON((3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert wkt.intersects(straddle, donut)
+    assert not wkt.within(straddle, donut)
+    # polygon surrounding the hole entirely: not within (hole carves it)
+    around = wkt.parse("POLYGON((2 2, 8 2, 8 8, 2 8, 2 2))")
+    assert not wkt.within(around, donut)
+    assert wkt.intersects(around, donut)
+    # polygon in the solid ring area: within
+    solid = wkt.parse("POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert wkt.within(solid, donut)
 
 
 # -- HLL --------------------------------------------------------------------------
