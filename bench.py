@@ -49,7 +49,7 @@ KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
 KNN_B, KNN_ITERS = 2048, 48
 
 
-def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
+def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
     import redisearch_tpu as rs
     from redisearch_tpu.query import engine as E
     from redisearch_tpu.query.engine import QueryOptions, execute_batch
@@ -90,23 +90,28 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 1024, iters: int = 8):
     }
     out = {"build_docs_per_s": round(n_docs / build_s, 0)}
     E.QUERY_PATH_STATS.clear()
+    OPTS = QueryOptions(k=10)
     for name, qfn in cases.items():
         def make(it):
-            return [ix.prepare(qfn(i, it), None, QueryOptions(k=10), 2)
+            return [ix.prepare(qfn(i, it), None, OPTS, 2)
                     for i in range(B)]
         for it in range(iters):   # warm every bucket-shape combo
             execute_batch(make(it), seg, 10)
-        # pipelined serving loop: next batch's host work (parse/bind/
-        # pack/h2d) overlaps the device executing the current batch.
-        # The tunnel's bandwidth fluctuates >2x minute-to-minute; keep
-        # the fastest of 3 repeats (device work is constant, the link
-        # interference is not).
+        # pipelined serving loop: next batch's host work (prepare/bind/
+        # pack) overlaps the device executing the current batch — build
+        # the NEXT batch after submitting the current one, before
+        # collecting.  The tunnel's bandwidth fluctuates >2x minute-to-
+        # minute; keep the fastest of 3 repeats (device work is
+        # constant, the link interference is not).
         best = None
         for _rep in range(3):
             t0 = time.perf_counter()
             pending = None
+            nxt = make(0)
             for it in range(iters):
-                h = execute_batch(make(it), seg, 10, async_=True)
+                h = execute_batch(nxt, seg, 10, async_=True)
+                if it + 1 < iters:
+                    nxt = make(it + 1)
                 if pending is not None:
                     pending.result()
                 pending = h
@@ -198,8 +203,11 @@ def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
         for _rep in range(2):
             t0 = time.perf_counter()
             pending = None
+            nxt = make(0)
             for it in range(iters):
-                h = execute_batch(make(it), seg, 25, async_=True)
+                h = execute_batch(nxt, seg, 25, async_=True)
+                if it + 1 < iters:
+                    nxt = make(it + 1)
                 if pending is not None:
                     pending.result()
                 pending = h
@@ -295,7 +303,7 @@ def main():
         extra["filtered_knn_error"] = repr(e)[:120]
 
     print(json.dumps({
-        "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 1024)",
+        "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 4096)",
         "value": bm25["and2"],
         "unit": "qps",
         "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),

@@ -66,26 +66,29 @@ class SuggestionDictionary:
         terms = self._terms()
         cands: dict[str, float] = {}
 
-        def scan(pfx: str, exact: bool):
+        def scan(pfx: str, dist: int):
             lo = bisect.bisect_left(terms, pfx)
             for i in range(lo, len(terms)):
                 t = terms[i]
                 if not t.startswith(pfx):
                     break
                 e = self._entries[t]
-                # score shaping like the reference: base score scaled by
-                # inverse length distance from the prefix; fuzzy matches
-                # are discounted
-                norm = 1.0 / math.sqrt(max(len(t) - len(pfx), 0) + 1.0)
-                s = e.score * norm * (1.0 if exact else 0.5)
+                # exact reference score shaping (src/trie/trie.c:271-279):
+                # a candidate equal to the query string scores INT_MAX;
+                # fuzzy iteration multiplies by exp(-2*dist); prefix mode
+                # divides by sqrt(1 + |len(candidate) - len(query)|)
+                s = float(2**31 - 1) if t == prefix else e.score
+                if fuzzy:
+                    s *= math.exp(-2.0 * dist)
+                s /= math.sqrt(1.0 + abs(len(t) - len(prefix)))
                 if t not in cands or s > cands[t]:
                     cands[t] = s
 
-        scan(prefix, True)
+        scan(prefix, 0)
         if fuzzy and prefix:
             for pfx in _edits1(prefix):
                 if pfx != prefix:
-                    scan(pfx, False)
+                    scan(pfx, 1)
 
         ranked = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))
         out = []

@@ -404,7 +404,12 @@ class SearchIndex:
             root = self.parse_query(query, params, dialect,
                                     nostopwords=opts.nostopwords)
             cq = self.compile(root, opts)
-            if len(self._prepared) >= 2048:
+            # a cleared cache costs ~0.5 ms/query of host parse+lower —
+            # at serving batch sizes a small cap thrashes as soon as the
+            # live query-string set beats it (measured: a 16-tag x 500-
+            # term mix at cap 2048 dropped batched QPS 10x).  Entries are
+            # a few KB; 32k caps worst-case growth at ~100s of MB.
+            if len(self._prepared) >= 32768:
                 self._prepared.clear()
             self._prepared[key] = cq
         # Return a per-call VIEW owning the mutable bits (opts, KNN node,
@@ -413,8 +418,13 @@ class SearchIndex:
         # outstanding reference — a batch of the same KNN query string
         # with a different $vec per row must not collapse to the last
         # blob (reference analog: each AREQ owns its parsed params).
-        view = copy.copy(cq)
-        view.opts = copy.copy(cq.opts)
+        # Hand-rolled clones: copy.copy's __reduce_ex__ path costs ~10 us
+        # per object, and serving calls prepare() per query per batch.
+        view = CompiledQuery.__new__(CompiledQuery)
+        view.__dict__.update(cq.__dict__)
+        vo = QueryOptions.__new__(QueryOptions)
+        vo.__dict__.update(cq.opts.__dict__)
+        view.opts = vo
         view.vec_blobs = list(cq.vec_blobs)
         if cq.knn is not None:
             view.knn = copy.copy(cq.knn)

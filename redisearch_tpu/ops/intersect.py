@@ -253,9 +253,18 @@ def _slot_srcs(T: int, groups) -> list:
     return src
 
 
-def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
-            *rest, T, Ws, groups, pivot_g, k, n_aux, dense=()):
-    """One query per grid step (see module docstring).
+def _kernel(meta_ref, doc_ids, freqs, masks, dl,
+            *rest, T, Ws, groups, pivot_g, k, n_aux, dense=(), G=1):
+    """G queries per grid step (see module docstring).
+
+    Within a step, queries execute serially under a fori loop while the
+    NEXT query's posting windows DMA into the other half of a double-
+    buffered scratch (selected by a dynamic, tile-aligned row offset),
+    amortizing the per-step machinery and hiding DMA issue latency.
+    Float metadata (tweights, avgdl, dense consts) rides the int32
+    scalar-prefetch buffer as bit patterns, bitcast back through a
+    [1, BLK] vector (scalar tpu.bitcast does not lower) — so the kernel
+    needs NO per-step input block at all.
 
     `dense`: ((flag, aux_src, n_vals), ...) — dense posting-aligned code
     predicates (single-valued TAG fields).  aux[aux_src] is an int32
@@ -267,26 +276,27 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     aux = rest[:n_aux]
     out_docs, out_scores, out_counts = rest[n_aux:n_aux + 3]
     scratch = rest[n_aux + 3:]
-    q = pl.program_id(0)
+    step = pl.program_id(0)
     srcs = _slot_srcs(T, groups)
     pivots = list(groups[pivot_g][1])
-    refs = []
+    nbuf = 2 if G > 1 else 1
+    bufrefs = []
     at = 0
     for t in range(T):
         if srcs[t] < 0:
-            refs.append((scratch[at], scratch[at + 1], scratch[at + 2],
-                         scratch[at + 3]))      # docs, tf, fm, dl
+            bufrefs.append((scratch[at], scratch[at + 1],
+                            scratch[at + 2], scratch[at + 3]))
             at += 4
         else:
-            refs.append((scratch[at], scratch[at + 1]))  # docs, dummy tf
+            bufrefs.append((scratch[at], scratch[at + 1]))
             at += 2
-    drefs = []                       # dense code windows [d][pivot_j]
+    dbufs = []                       # dense code windows [d][pivot_j]
     for _d in dense:
         row = []
         for _p in pivots:
             row.append(scratch[at])
             at += 1
-        drefs.append(row)
+        dbufs.append(row)
     valid_ref = scratch[at]
     hit_ref = scratch[at + 1]
     tfa_ref = scratch[at + 2]
@@ -294,54 +304,111 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     acc_t = scratch[at + 4]
     sems = scratch[at + 5]
 
-    def m(i):
-        return meta_ref[q, i]
-
-    starts = [m(t) for t in range(T)]
-    lens = [m(T + t) for t in range(T)]
-    qmasks = [m(2 * T + t) for t in range(T)]
     dense_off = []
     _off = 3 * T
     for (_fl, _src, nv) in dense:
         dense_off.append(_off)
         _off += nv
-    tws = [fmeta[0, 0, t] for t in range(T)]
-    avgdl = fmeta[0, 0, T]
-
+    F0 = _off                        # f32 metadata bit columns start
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
-    srows = [starts[t] // BLK for t in range(T)]
-    rr = [starts[t] % BLK for t in range(T)]
-    dmas = []
-    for t in range(T):
-        if srcs[t] < 0:
-            d, f, fm, dlr = refs[t]
-            dmas.append(pltpu.make_async_copy(
-                doc_ids.at[pl.ds(srows[t], rows[t]), :], d,
-                sems.at[4 * t]))
-            dmas.append(pltpu.make_async_copy(
-                freqs.at[pl.ds(srows[t], rows[t]), :], f,
-                sems.at[4 * t + 1]))
-            dmas.append(pltpu.make_async_copy(
-                masks.at[pl.ds(srows[t], rows[t]), :], fm,
-                sems.at[4 * t + 2]))
-            if t in pivots:
-                dmas.append(pltpu.make_async_copy(
-                    dl.at[pl.ds(srows[t], rows[t]), :], dlr,
-                    sems.at[4 * t + 3]))
-        else:
-            d, _ = refs[t]
-            dmas.append(pltpu.make_async_copy(
-                aux[srcs[t]].at[pl.ds(srows[t], rows[t]), :], d,
-                sems.at[4 * t]))
-    for di, (_fl, dsrc, _nv) in enumerate(dense):
-        for pj, p in enumerate(pivots):
-            dmas.append(pltpu.make_async_copy(
-                aux[dsrc].at[pl.ds(srows[p], rows[p]), :],
-                drefs[di][pj], sems.at[4 * T + di * len(pivots) + pj]))
-    for c in dmas:
+    n_dma = 4 * T + len(dense) * len(pivots)
+
+    def _copies(g, buf):
+        """The DMA set for query step*G+g into buffer half `buf` —
+        built identically for start() and wait()."""
+        q = step * G + g
+        starts = [meta_ref[q, t] for t in range(T)]
+        srows = [starts[t] // BLK for t in range(T)]
+
+        def dst(r, t):
+            return r.at[pl.ds(pl.multiple_of(buf * rows[t], R_TILE),
+                              rows[t])]
+        cps = []
+        for t in range(T):
+            if srcs[t] < 0:
+                d, f, fm, dlr = bufrefs[t]
+                cps.append(pltpu.make_async_copy(
+                    doc_ids.at[pl.ds(srows[t], rows[t]), :], dst(d, t),
+                    sems.at[buf, 4 * t]))
+                cps.append(pltpu.make_async_copy(
+                    freqs.at[pl.ds(srows[t], rows[t]), :], dst(f, t),
+                    sems.at[buf, 4 * t + 1]))
+                cps.append(pltpu.make_async_copy(
+                    masks.at[pl.ds(srows[t], rows[t]), :], dst(fm, t),
+                    sems.at[buf, 4 * t + 2]))
+                if t in pivots:
+                    cps.append(pltpu.make_async_copy(
+                        dl.at[pl.ds(srows[t], rows[t]), :], dst(dlr, t),
+                        sems.at[buf, 4 * t + 3]))
+            else:
+                d, _ = bufrefs[t]
+                cps.append(pltpu.make_async_copy(
+                    aux[srcs[t]].at[pl.ds(srows[t], rows[t]), :],
+                    dst(d, t), sems.at[buf, 4 * t]))
+        for di, (_fl, dsrc, _nv) in enumerate(dense):
+            for pj, p in enumerate(pivots):
+                cps.append(pltpu.make_async_copy(
+                    aux[dsrc].at[pl.ds(srows[p], rows[p]), :],
+                    dst(dbufs[di][pj], p),
+                    sems.at[buf, 4 * T + di * len(pivots) + pj]))
+        return cps
+
+    for c in _copies(0, 0):
         c.start()
-    for c in dmas:
-        c.wait()
+
+    def body(g, carry):
+        buf = g % nbuf
+        q = step * G + g
+
+        @pl.when(g + 1 < G)
+        def _issue_next():
+            for c in _copies(g + 1, (g + 1) % nbuf):
+                c.start()
+        for c in _copies(g, buf):
+            c.wait()
+
+        def m(i):
+            return meta_ref[q, i]
+
+        def fval(col):
+            """f32 metadata as a [1, BLK] broadcastable vector."""
+            return jax.lax.bitcast_convert_type(
+                jnp.full((1, BLK), m(F0 + col), jnp.int32), jnp.float32)
+
+        starts = [m(t) for t in range(T)]
+        lens = [m(T + t) for t in range(T)]
+        qmasks = [m(2 * T + t) for t in range(T)]
+        tws = [fval(t) for t in range(T)]
+        avgdl = fval(T)
+        srows = [starts[t] // BLK for t in range(T)]
+        rr = [starts[t] % BLK for t in range(T)]
+
+        def view(t):
+            base = pl.multiple_of(buf * rows[t], R_TILE)
+            return tuple(r.at[pl.ds(base, rows[t])] for r in bufrefs[t])
+        refs = [view(t) for t in range(T)]
+        drefs = [[dbufs[di][pj].at[pl.ds(
+            pl.multiple_of(buf * rows[p], R_TILE), rows[p])]
+            for pj, p in enumerate(pivots)]
+            for di in range(len(dense))]
+
+        return _kernel_query(
+            m, fval, refs, drefs, valid_ref, hit_ref, tfa_ref, acc_h,
+            acc_t, out_docs, out_scores, out_counts, g, carry,
+            T=T, Ws=Ws, groups=groups, pivot_g=pivot_g, k=k,
+            dense=dense, dense_off=dense_off, srcs=srcs, pivots=pivots,
+            rows=rows, starts=starts, lens=lens, qmasks=qmasks,
+            tws=tws, avgdl=avgdl, rr=rr)
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+def _kernel_query(m, fval, refs, drefs, valid_ref, hit_ref, tfa_ref,
+                  acc_h, acc_t, out_docs, out_scores, out_counts, g,
+                  carry, *, T, Ws, groups, pivot_g, k, dense, dense_off,
+                  srcs, pivots, rows, starts, lens, qmasks, tws, avgdl,
+                  rr):
+    """One query's phases + in-VMEM top-k (the per-g body)."""
 
     def run_phase(p, pj, others):
         """Candidates = slot p's window.  `others` entries are either
@@ -371,7 +438,7 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             hitd = cw == m(dense_off[di])
             for v in range(1, nv):
                 hitd = hitd | (cw == m(dense_off[di] + v))
-            dconst = fmeta[0, 0, T + 1 + di]
+            dconst = fval(T + 1 + di)
             if fl == REQ:
                 pvalid = pvalid & hitd
                 score = score + jnp.where(hitd, dconst, 0.0)
@@ -455,11 +522,11 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
     for pi, p in enumerate(pivots):
         others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
         others += [("slot", u, "fold") for u in pivots[pi + 1:]]
-        for gi, g in enumerate(groups):
+        for gi, grp in enumerate(groups):
             if gi == pivot_g:
                 continue
-            others.append(("group", g[0], g[1],
-                           g[2] if len(g) > 2 else -1))
+            others.append(("group", grp[0], grp[1],
+                           grp[2] if len(grp) > 2 else -1))
         d_o, s_o = run_phase(p, pi, others)
         fiw = _flat_iota(rows[p])
         riota = jax.lax.broadcasted_iota(jnp.int32, (rows[p], BLK), 0)
@@ -471,9 +538,10 @@ def _kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl,
             opos = oi == (pi * k + i)
             topd = jnp.where(opos, dv, topd)
             tops = jnp.where(opos, mx, tops)
-    out_docs[0] = topd
-    out_scores[0] = tops
-    out_counts[0] = cnts
+    out_docs[pl.ds(g, 1)] = topd[None]
+    out_scores[pl.ds(g, 1)] = tops[None]
+    out_counts[pl.ds(g, 1)] = cnts[None]
+    return carry
 
 
 def _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
@@ -1135,28 +1203,52 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     P_n = len(groups[pivot_g][1])
     KR = max(-(-(P_n * k) // BLK), 1)
     rows_scratch = max(rows[p] for p in pivots)
+    # G queries per grid step with double-buffered window scratch: pick
+    # the largest G dividing B whose 2x scratch stays within VMEM
+    win_rows = sum((4 if (srcs[t] < 0 and t in pivots)
+                    else 3 if srcs[t] < 0 else 2) * rows[t]
+                   for t in range(T))
+    win_rows += len(dense) * sum(rows[p] for p in pivots_l)
+    win_bytes = win_rows * BLK * 4
+    G = 1
+    if 2 * win_bytes < 10 * 1024 * 1024:
+        for cand in (8, 4, 2):
+            if B % cand == 0:
+                G = cand
+                break
+    nbuf = 2 if G > 1 else 1
     scratch = []
     for t in range(T):
         if srcs[t] < 0:
-            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
-            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((nbuf * rows[t], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((nbuf * rows[t], BLK),
+                                      jnp.float32))
+            scratch.append(pltpu.VMEM((nbuf * rows[t], BLK), jnp.int32))
             # posting doclens are only read at pivot candidates; member
             # slots get a dummy tile so the scratch layout stays uniform
             scratch.append(pltpu.VMEM(
-                (rows[t] if t in pivots else R_TILE, BLK), jnp.float32))
+                (nbuf * rows[t] if t in pivots else R_TILE, BLK),
+                jnp.float32))
         else:
-            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
-            scratch.append(pltpu.VMEM((rows[t], BLK), jnp.float32))
+            scratch.append(pltpu.VMEM((nbuf * rows[t], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((nbuf * rows[t], BLK),
+                                      jnp.float32))
     for _d in dense:
         for p in pivots_l:
-            scratch.append(pltpu.VMEM((rows[p], BLK), jnp.int32))
+            scratch.append(pltpu.VMEM((nbuf * rows[p], BLK), jnp.int32))
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # valid
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.int32))    # hit
     scratch.append(pltpu.VMEM((rows_scratch, BLK), jnp.float32))  # tfacc
     scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.int32))          # acc_h
     scratch.append(pltpu.VMEM((R_TILE, BLK), jnp.float32))        # acc_t
-    scratch.append(pltpu.SemaphoreType.DMA((4 * T + len(dense) * P_n,)))
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (nbuf, 4 * T + len(dense) * P_n)))
+
+    # f32 metadata rides the scalar-prefetch buffer as bit patterns
+    meta_full = jnp.concatenate(
+        [meta.astype(jnp.int32),
+         jax.lax.bitcast_convert_type(fmeta.astype(jnp.float32),
+                                      jnp.int32)], axis=1)
 
     # HBM arrays as 2D row views: DMA fetches whole 128-lane rows and
     # the kernel masks the (start % 128) in-tile offset
@@ -1169,24 +1261,21 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 1, T + 1 + len(dense)),
-                               lambda q, meta: (q, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (4 + len(aux)),
+        grid=(B // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (4 + len(aux)),
         out_specs=[
-            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLK), lambda q, meta: (q, 0, 0),
+            pl.BlockSpec((G, 1, BLK), lambda s, meta: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
                              pivot_g=pivot_g, k=k, n_aux=len(aux),
-                             dense=dense)
+                             dense=dense, G=G)
     docs, scores, counts = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1195,7 +1284,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
             jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
         ],
-    )(meta, fmeta[:, None, :], d2, f2, m2, dl2, *aux2)
+    )(meta_full, d2, f2, m2, dl2, *aux2)
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
             jnp.sum(counts.reshape(B, BLK)[:, :P_n], axis=1))

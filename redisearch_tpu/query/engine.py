@@ -1812,12 +1812,27 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    for (_o, _nv, lidx) in _dmeta],
                 axis=1).astype(jnp.float32)
             aux_arrs = tuple(seg_args_[kk] for kk in _aux)
-            docs, scores, count = IK.intersect_batch(
-                meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
-                seg_args_["field_masks"], seg_args_["posting_dl"],
-                *aux_arrs,
-                T=len(_descs), Ws=_Ws, groups=_groups, pivot_g=_pg,
-                k=_k, dense=_dense)
+            # the scalar-prefetch meta lives in SMEM (1 MB, padded to
+            # 128 lanes): chunk big batches into <=1024-query kernel
+            # calls INSIDE this one program — one dispatch/collect pays
+            # the link round trip for the whole batch
+            Bq = meta.shape[0]
+            CH = min(Bq, 1024)
+            dd, ss, cc = [], [], []
+            for c0 in range(0, Bq, CH):
+                docs, scores, count = IK.intersect_batch(
+                    meta[c0:c0 + CH], fmeta[c0:c0 + CH],
+                    seg_args_["doc_ids"], seg_args_["freqs"],
+                    seg_args_["field_masks"], seg_args_["posting_dl"],
+                    *aux_arrs,
+                    T=len(_descs), Ws=_Ws, groups=_groups, pivot_g=_pg,
+                    k=_k, dense=_dense)
+                dd.append(docs)
+                ss.append(scores)
+                cc.append(count)
+            docs = dd[0] if len(dd) == 1 else jnp.concatenate(dd)
+            scores = ss[0] if len(ss) == 1 else jnp.concatenate(ss)
+            count = cc[0] if len(cc) == 1 else jnp.concatenate(cc)
             if _Pn == 1:
                 # single-phase output is already the exact top-k (score
                 # desc, window position asc) — no merge needed
@@ -1855,12 +1870,23 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 [stacked["tweight"][:, _slots],
                  stacked["avgdl"].reshape(-1, 1)],
                 axis=1).astype(jnp.float32)
-            docs, scores, count = IK.phrase_batch(
-                meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
-                seg_args_["field_masks"], seg_args_["posting_dl"],
-                seg_args_["poskeys"],
-                T=len(_slots), Ws=_Ws, PWs=_PWs, stride=_stride,
-                slop=_slop, k=_k)
+            Bq = meta.shape[0]
+            CH = min(Bq, 1024)       # SMEM-bounded kernel chunks
+            dd, ss, cc = [], [], []
+            for c0 in range(0, Bq, CH):
+                docs, scores, count = IK.phrase_batch(
+                    meta[c0:c0 + CH], fmeta[c0:c0 + CH],
+                    seg_args_["doc_ids"], seg_args_["freqs"],
+                    seg_args_["field_masks"], seg_args_["posting_dl"],
+                    seg_args_["poskeys"],
+                    T=len(_slots), Ws=_Ws, PWs=_PWs, stride=_stride,
+                    slop=_slop, k=_k)
+                dd.append(docs)
+                ss.append(scores)
+                cc.append(count)
+            docs = dd[0] if len(dd) == 1 else jnp.concatenate(dd)
+            scores = ss[0] if len(ss) == 1 else jnp.concatenate(ss)
+            count = cc[0] if len(cc) == 1 else jnp.concatenate(cc)
             vals, sel = IK.iter_topk(scores, docs, _k)
             idx = jnp.take_along_axis(docs, sel, axis=1)
             return {"idx": idx, "scores": vals, "count": count}

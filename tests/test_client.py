@@ -147,6 +147,23 @@ def test_suggestions(client):
     assert client.ft_suglen("ac") == 2
     scored = client.ft_sugget("ac", "hello", with_scores=True)
     assert scored[0][0] == "hello world"
+    # pinned score normalization (reference: src/trie/trie.c:271-279 —
+    # prefix mode divides by sqrt(1 + |len(candidate) - len(query)|))
+    import math
+    assert abs(scored[0][1] - 1.0 / math.sqrt(1 + 6)) < 1e-6
+    assert abs(scored[1][1] - 0.5 / math.sqrt(1 + 6)) < 1e-6
+    # a candidate equal to the query scores (float)INT_MAX pre-shaping
+    client.ft_sugadd("ac", "hello", 0.1)
+    scored = client.ft_sugget("ac", "hello", with_scores=True)
+    assert scored[0][0] == "hello" and scored[0][1] == float(2**31 - 1)
+    # fuzzy multiplies by exp(-2*dist): dist-1 candidates are discounted
+    client.ft_sugadd("ac", "belly", 100.0)
+    fz = dict(client.ft_sugget("ac", "hell", fuzzy=True,
+                               with_scores=True))
+    assert abs(fz["belly"] - 100.0 * math.exp(-2.0)
+               / math.sqrt(2.0)) < 1e-4
+    client.ft_sugdel("ac", "hello")
+    client.ft_sugdel("ac", "belly")
 
 
 def test_tagvals(client):
