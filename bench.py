@@ -43,6 +43,11 @@ AGG_BASELINE_QPS = 1_000.0
 # memtier conns; HNSW filtered search ~0.5-1.5 ms/query/core => 16-core
 # estimate ~4,000 QPS.  Documented estimate.
 FKNN_BASELINE_QPS = 4_000.0
+# FT.HYBRID RRF (SEARCH BM25 + VSIM KNN, WINDOW 20) on the same arxiv-
+# shaped corpus: reference hybrid-arxiv-titles workloads run two branches
+# (text ~0.3-1 ms + HNSW KNN ~0.3-1 ms) plus an RRF merge per query;
+# 16-core WORKERS=6 estimate ~2,000 QPS.  Documented estimate.
+HYBRID_BASELINE_QPS = 2_000.0
 
 N_DOCS = 1_000_000
 KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
@@ -212,6 +217,37 @@ def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
                     pending.result()
                 pending = h
             pending.result()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(iters * B / best, 1)
+    out["_ix"] = ix
+    return out
+
+
+def bench_hybrid(ix, B: int = 256, iters: int = 4):
+    """FT.HYBRID RRF/LINEAR batched serving over the arxiv-shaped corpus
+    (reference hybrid-arxiv-*.yml family): both branches of all B
+    queries ride one grouped search_many round."""
+    import redisearch_tpu as rs
+    from redisearch_tpu.aux.hybrid import run_hybrid_many
+
+    rng = np.random.default_rng(5)
+    words = ["algebra", "graph", "neural", "quantum", "protein",
+             "market", "vision", "speech", "logic", "random"]
+    qvecs = rng.normal(size=(512, 384)).astype(np.float32)
+    out = {}
+    for name, cmb in (("rrf", "RRF"), ("linear", "LINEAR")):
+        def mk(it):
+            return [rs.HybridQuery(
+                search=words[(it * B + i) % 10], vsim_field="emb",
+                vsim_vector=qvecs[(it * B + i) % 512], combine=cmb,
+                window=20, limit=10) for i in range(B)]
+        run_hybrid_many(ix, mk(0))    # warm
+        best = None
+        for r in range(2):
+            t0 = time.perf_counter()
+            for it in range(iters):
+                run_hybrid_many(ix, mk(it))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(iters * B / best, 1)

@@ -14,7 +14,7 @@ from .index.index import Hit, SearchIndex, SearchResult
 from .index.doctable import DocMeta, DocTable
 from .query.engine import QueryOptions
 from .agg.pipeline import ASC, DESC, AggregateRequest, AggregateResult
-from .aux.hybrid import HybridQuery
+from .aux.hybrid import HybridQuery, run_hybrid_many
 from .api import Client
 from .utils import errors
 
@@ -38,5 +38,6 @@ __all__ = [
     "VectorAlgo", "VectorMetric", "GeometryParams", "SearchIndex",
     "SearchResult", "Hit", "DocTable", "DocMeta", "QueryOptions",
     "AggregateRequest", "AggregateResult", "ASC", "DESC", "HybridQuery",
+    "run_hybrid_many",
     "Client", "errors",
 ]

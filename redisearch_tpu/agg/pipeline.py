@@ -215,35 +215,69 @@ def run_aggregate(index, req: AggregateRequest,
 
 
 def run_aggregate_many(index, reqs: list) -> list:
-    """Execute a batch of aggregations with overlapped device round
-    trips: every device-eligible GROUPBY is dispatched before any result
-    is collected (each collect costs a full link round trip on a remote
-    attach — the dashboard/multi-panel analog of batched search).
-    Non-eligible plans fall back to the sequential host pipeline."""
+    """Execute a batch of aggregations in few device dispatches: device-
+    eligible GROUPBYs with the same plan shape + transport-row structure
+    run as ONE lax.scan'd program per segment (the aggregate analog of
+    search's execute_batch — a B=64 dashboard batch that paid 64
+    sequential dispatch round trips now pays ~1), and every group's
+    output buffer is collected in a single device_get.  Non-eligible
+    plans fall back to the sequential host pipeline."""
     import jax
 
     index.commit()
-    handles: list = []
+    prepared = []
+    groups: dict = {}
     for req in reqs:
         opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
         cq = index.prepare(req.query, req.params, opts, req.dialect)
-        h = _device_group_submit(index, req, cq)
-        handles.append((req, h))
-    # ONE device_get over every submitted output buffer: per-handle
-    # collects would serialize a full link round trip each
-    refs = [flat for _, h in handles if h is not None
-            for _sc, _e, flat in h[5]]
-    fetched = iter(jax.device_get(refs) if refs else [])
+        plan = _plan_device_group(index, req, cq)
+        prepared.append((req, cq, plan))
+        if plan is None:
+            continue
+        (group, _tail, operands, want_minmax, _pre, _in_fields,
+         pre_sig) = plan
+        # batchable = equal plan shape AND equal per-segment row
+        # structure (gsig + layout fingerprint — same contract as
+        # engine.execute_batch grouping)
+        segsig = tuple((cq.bind_row(seg)[1][6], cq.bind_row(seg)[1][7])
+                       for seg in index.segments)
+        key = (tuple(group.by), tuple(operands), want_minmax, pre_sig,
+               segsig)
+        groups.setdefault(key, []).append(len(prepared) - 1)
+
+    handles: dict = {}          # query index -> batched handle
+    bufs: list = []             # unique device output buffers
+    buf_ids: dict = {}
+    for idxs in groups.values():
+        items = [prepared[i] for i in idxs]
+        hs = _device_group_submit_batch(index, items)
+        if hs is None:
+            continue
+        for i, h in zip(idxs, hs):
+            handles[i] = h
+            for _ki, _e, (entry, flat, _j) in h[5]:
+                if id(flat) not in buf_ids:
+                    buf_ids[id(flat)] = len(bufs)
+                    bufs.append(flat)
+    fetched = jax.device_get(bufs) if bufs else []
+    unpacked: dict = {}          # buffer id -> dict of [Bp, ...] arrays
     out = []
-    for req, h in handles:
+    for i, (req, cq, plan) in enumerate(prepared):
+        h = handles.get(i)
         if h is None:
             out.append(run_aggregate(index, req))
-        else:
-            group, tail, op_list, mm, _u, parts = h
-            parts = [(ki, e, np.asarray(next(fetched)))
-                     for ki, e, _ in parts]
-            out.append(_device_group_finish(
-                index, (group, tail, op_list, mm, _u, parts)))
+            continue
+        group, tail, op_list, mm, _u, parts = h
+        fparts = []
+        for ki, e, (entry, flat, j) in parts:
+            full = unpacked.get(id(flat))
+            if full is None:
+                full = entry._unpack_out(
+                    np.asarray(fetched[buf_ids[id(flat)]]))
+                unpacked[id(flat)] = full
+            fparts.append((ki, e, {k: v[j] for k, v in full.items()}))
+        out.append(_device_group_finish(
+            index, (group, tail, op_list, mm, _u, fparts)))
     return out
 
 
@@ -298,20 +332,18 @@ def _key_encoding(index, seg, keyname):
 _MAX_DEVICE_GROUPS = 65536
 
 
-def _device_group_submit(index, req: AggregateRequest, cq):
-    """Dispatch phase of the device GROUPBY: submits every segment's
-    fused program asynchronously and returns a handle (or None when the
-    plan isn't device-eligible).  run_aggregate_many submits a whole
-    batch of aggregations before collecting any — round trips overlap
-    the way batched search does.
+def _plan_device_group(index, req: AggregateRequest, cq):
+    """Segment-independent half of the device-GROUPBY eligibility:
+    validates the step shape and compiles the pre-expressions.  Returns
+    (group, tail, operands, want_minmax, compiled_pre, in_fields,
+    pre_sig) or None.
 
     Eligible plans: [numeric APPLY/FILTER]* -> GROUPBY(1..3 dict-
     encodable keys) with algebraic reducers -> [SORTBY/LIMIT]*.  APPLY/
     FILTER expressions compile into the program (agg/device_expr.py);
     reducer operands may be numeric fields or compiled APPLY aliases."""
-    from ..ops.groupby import DEVICE_REDUCERS, groupby_aggregate
+    from ..ops.groupby import DEVICE_REDUCERS
     from .device_expr import compile_device_expr
-    import jax.numpy as jnp
 
     if cq.knn is not None or not req.steps:
         return None
@@ -376,25 +408,211 @@ def _device_group_submit(index, req: AggregateRequest, cq):
         if op in num_fields and op not in in_fields:
             in_fields.append(op)
 
-    from ..query.engine import (_COMPILE_CACHE, _build_fn, _segment_args)
-
     pre_sig = ";".join(
         f"{k}:{getattr(s, 'alias', '')}:{s.expression}"
         for (k, _a, _f), s in zip(compiled_pre, pre))
+    return (group, tail, operands, want_minmax, compiled_pre,
+            in_fields, pre_sig)
+
+
+def _make_fused(cq, raw, G, sizes, in_fields, compiled_pre, operands,
+                want_minmax):
+    """The per-query fused device program: window eval -> compiled pre
+    steps -> key/operand gathers -> one-hot aggregation.  Shared by the
+    single-query executor and the batched (lax.scan) executor."""
+    import jax.numpy as jnp
+    from ..ops.groupby import groupby_aggregate
+    from ..query.engine import LAll
+
+    # match-all roots emit the iota window: every column is already
+    # doc-aligned, so the [n_pad] random gathers (key ids, per-op
+    # values/presence — ~7 ns/element on TPU, they dominated this
+    # path) collapse to the columns themselves
+    iota_root = (cq.tree[0] == "leaf"
+                 and isinstance(cq.tree[1], LAll))
+
+    def fused(seg_args_, dyn_args, _raw=raw, _G=G,
+              _sizes=tuple(sizes), _iota=iota_root,
+              _in_fields=tuple(in_fields),
+              _pre=tuple(compiled_pre),
+              _ops=tuple(operands)):
+        out = _raw(seg_args_, dyn_args)
+        docs, valid = out["docs"], out["valid"]
+        n_pad_ = seg_args_["gb_keys"].shape[1]
+        cd = (None if _iota
+              else jnp.minimum(docs, n_pad_ - 1))
+        cols = {}
+        for j, nm_ in enumerate(_in_fields):
+            v = seg_args_["gb_num_vals"][j]
+            p = seg_args_["gb_num_pres"][j]
+            cols[nm_] = (v, p) if _iota else (v[cd], p[cd])
+        for kind, alias, fn_ in _pre:
+            if kind == "apply":
+                cols[alias] = fn_(cols)
+            else:
+                fv, fp = fn_(cols)
+                valid = valid & fp & (fv != 0.0)
+        gid = jnp.zeros(docs.shape, jnp.int32)
+        for k_, sz_ in enumerate(_sizes):
+            idk = seg_args_["gb_keys"][k_]
+            if not _iota:
+                idk = idk[cd]
+            idk = jnp.where(idk < 0, sz_ - 1, idk)
+            gid = gid * sz_ + idk
+        # flat keys: one packed output buffer -> ONE d2h
+        res = {"count": out["count"]}
+        base = groupby_aggregate(
+            gid, valid, jnp.zeros(docs.shape, jnp.float32),
+            _G, want_minmax=False)
+        for stat, arr in base.items():
+            res[f"g.None.{stat}"] = arr
+        for j, op_ in enumerate(_ops):
+            vals, pres = cols[op_]
+            vals = jnp.broadcast_to(vals, docs.shape)
+            pres = jnp.broadcast_to(pres, docs.shape)
+            gr = groupby_aggregate(gid, valid & pres, vals, _G,
+                                   want_minmax=want_minmax)
+            for stat, arr in gr.items():
+                res[f"g.{j}.{stat}"] = arr
+        return res
+
+    return fused
+
+
+def _gb_seg_state(cq, seg) -> str:
+    """Segment-state part of the device-GROUPBY compile-cache key.
+    Must carry everything _build_fn's program STRUCTURE depends on —
+    notably deletions/TTL (a program compiled on a clean segment skips
+    the deleted-mask pass and would keep counting deleted docs after a
+    delete_document; engine executor sigs carry the same fields)."""
+    from ..query.engine import _tag_codes_ords
+    return (f"stride={seg.text.pos_stride}"
+            f"|tc={_tag_codes_ords(cq, seg)}"
+            f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
+            f"|u={seg.uniform_docscore}"
+            f"|ft={seg.text_fexp is not None}:{sorted(seg.field_fexp)}")
+
+
+def _seg_group_args(index, seg, cq, group, in_fields):
+    """Per-segment GROUPBY eligibility + device args: returns
+    (key_infos, sizes, G, seg_args) or None (unencodable key / too many
+    groups)."""
+    import jax.numpy as jnp
+    from ..query.engine import _segment_args
+
+    key_infos = []
+    for b in group.by:
+        enc = _key_encoding(index, seg, b)
+        if enc is None:
+            return None
+        key_infos.append(enc)
+    sizes = tuple(len(t) + 1 for _ids, t in key_infos)  # +1 missing
+    G = 1
+    for s_ in sizes:
+        G *= s_
+    if G > _MAX_DEVICE_GROUPS:
+        return None
+    num_vals = (jnp.stack([seg.numerics[o].values for o in in_fields])
+                if in_fields
+                else jnp.zeros((0, seg.n_pad), jnp.float32))
+    num_pres = (jnp.stack([seg.numerics[o].present
+                           for o in in_fields])
+                if in_fields else jnp.zeros((0, seg.n_pad), bool))
+    seg_args = dict(_segment_args(cq, seg))
+    seg_args["gb_keys"] = jnp.stack([ids for ids, _t in key_infos])
+    seg_args["gb_num_vals"] = num_vals
+    seg_args["gb_num_pres"] = num_pres
+    return key_infos, sizes, G, seg_args
+
+
+def _device_group_submit_batch(index, items):
+    """Batched dispatch of same-shape device GROUPBYs: every query in
+    `items` (equal plan shape + equal transport-row structure) runs as
+    one lax.scan'd program per segment — ONE dispatch amortizes the
+    per-program link/dispatch latency across the batch exactly like
+    search's execute_batch (a tunneled attach pays ~ms per dispatch;
+    B=64 sequential submits were the whole cost of the aggregate
+    serving path).  Returns one handle per query whose parts reference
+    the shared [B, ...] output (flat = (entry, device_buf, j)), or None
+    when a segment is ineligible."""
+    import numpy as _np
+    import jax
+    from ..query.engine import (_COMPILE_CACHE, _build_fn,
+                                _PackedExecutor, _device_unpack_rows,
+                                next_pow2)
+
+    req0, cq0, plan0 = items[0]
+    (group0, _tail0, operands, want_minmax, compiled_pre, in_fields,
+     pre_sig) = plan0
+    B = len(items)
+    Bp = int(next_pow2(B))
+    seg_parts = []
+    for seg in index.segments:
+        ga = _seg_group_args(index, seg, cq0, group0, in_fields)
+        if ga is None:
+            return None
+        key_infos, sizes, G, seg_args = ga
+        rows = [cq.bind_row(seg)[0] for _r, cq, _p in items]
+        rows += [rows[-1]] * (Bp - B)     # pad: executables per pow2
+        ent = cq0.bind_row(seg)[1]
+        _static, _patches, layout, total, buckets, P, _gsig, lfp = ent
+        sig = ("devgroupB|" + cq0.signature(
+            f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
+            f"|mm={want_minmax}|by={tuple(group0.by)}|pre={pre_sig}"
+            f"|B={Bp}|{_gb_seg_state(cq0, seg)}", buckets, P, 1)
+            + f"|rows[{lfp}]")
+        entry = _COMPILE_CACHE.get(sig)
+        if entry is None:
+            raw = _build_fn(cq0, seg, buckets, P, 1, has_extra=False,
+                            mode="window", jit=False)
+            fused1 = _make_fused(cq0, raw, G, sizes, in_fields,
+                                 compiled_pre, operands, want_minmax)
+
+            def fused_batch(seg_args_, dyn, _f=fused1, _layout=layout):
+                stacked = _device_unpack_rows(_layout, dyn["rows"])
+
+                def body(c, row_dyn):
+                    return c, _f(seg_args_, row_dyn)
+
+                _c, res = jax.lax.scan(body, None, stacked)
+                return res
+
+            entry = _PackedExecutor(
+                fused_batch, {"rows": _np.zeros((Bp, total), _np.int32)},
+                seg_args)
+            _COMPILE_CACHE[sig] = entry
+        flat = entry.submit(seg_args, {"rows": _np.stack(rows)})
+        seg_parts.append(((key_infos, sizes), entry, flat))
+    handles = []
+    for j, (req, cq, plan) in enumerate(items):
+        parts = [((ki, sz), entry, (entry, flat, j))
+                 for (ki, sz), entry, flat in seg_parts]
+        handles.append((plan[0], plan[1], operands, want_minmax, None,
+                        parts))
+    return handles
+
+
+def _device_group_submit(index, req: AggregateRequest, cq):
+    """Dispatch phase of the device GROUPBY: submits every segment's
+    fused program asynchronously and returns a handle (or None when the
+    plan isn't device-eligible).  run_aggregate_many batches same-shape
+    aggregations into scanned programs instead (one dispatch per group);
+    this single-query path serves run_aggregate/_try_device_group."""
+    import jax.numpy as jnp
+
+    plan = _plan_device_group(index, req, cq)
+    if plan is None:
+        return None
+    (group, tail, operands, want_minmax, compiled_pre, in_fields,
+     pre_sig) = plan
+
+    from ..query.engine import _COMPILE_CACHE, _build_fn
     parts = []
     for seg in index.segments:
-        key_infos = []
-        for b in group.by:
-            enc = _key_encoding(index, seg, b)
-            if enc is None:
-                return None
-            key_infos.append(enc)
-        sizes = tuple(len(t) + 1 for _ids, t in key_infos)  # +1 missing
-        G = 1
-        for s_ in sizes:
-            G *= s_
-        if G > _MAX_DEVICE_GROUPS:
+        ga = _seg_group_args(index, seg, cq, group, in_fields)
+        if ga is None:
             return None
+        key_infos, sizes, G, seg_args = ga
 
         # ONE fused jitted program per (query shape, segment, G, ops):
         # window eval -> compiled pre steps -> key/operand gathers ->
@@ -407,76 +625,14 @@ def _device_group_submit(index, req: AggregateRequest, cq):
         buckets = dyn.pop("_buckets")
         sig = ("devgroup|" + cq.signature(
             f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
-            f"|mm={want_minmax}|by={tuple(group.by)}|pre={pre_sig}",
-            buckets, P, 1))
-        num_vals = (jnp.stack([seg.numerics[o].values for o in in_fields])
-                    if in_fields
-                    else jnp.zeros((0, seg.n_pad), jnp.float32))
-        num_pres = (jnp.stack([seg.numerics[o].present
-                               for o in in_fields])
-                    if in_fields else jnp.zeros((0, seg.n_pad), bool))
-        seg_args = dict(_segment_args(cq, seg))
-        seg_args["gb_keys"] = jnp.stack([ids for ids, _t in key_infos])
-        seg_args["gb_num_vals"] = num_vals
-        seg_args["gb_num_pres"] = num_pres
+            f"|mm={want_minmax}|by={tuple(group.by)}|pre={pre_sig}"
+            f"|{_gb_seg_state(cq, seg)}", buckets, P, 1))
         entry = _COMPILE_CACHE.get(sig)
         if entry is None:
             raw = _build_fn(cq, seg, buckets, P, 1, has_extra=False,
                             mode="window", jit=False)
-            from ..query.engine import LAll
-            # match-all roots emit the iota window: every column is
-            # already doc-aligned, so the [n_pad] random gathers
-            # (key ids, per-op values/presence — ~7 ns/element on TPU,
-            # they dominated this path) collapse to the columns
-            # themselves
-            iota_root = (cq.tree[0] == "leaf"
-                         and isinstance(cq.tree[1], LAll))
-
-            def fused(seg_args_, dyn_args, _raw=raw, _G=G,
-                      _sizes=sizes, _iota=iota_root,
-                      _in_fields=tuple(in_fields),
-                      _pre=tuple(compiled_pre),
-                      _ops=tuple(operands)):
-                out = _raw(seg_args_, dyn_args)
-                docs, valid = out["docs"], out["valid"]
-                n_pad_ = seg_args_["gb_keys"].shape[1]
-                cd = (None if _iota
-                      else jnp.minimum(docs, n_pad_ - 1))
-                cols = {}
-                for j, nm_ in enumerate(_in_fields):
-                    v = seg_args_["gb_num_vals"][j]
-                    p = seg_args_["gb_num_pres"][j]
-                    cols[nm_] = (v, p) if _iota else (v[cd], p[cd])
-                for kind, alias, fn_ in _pre:
-                    if kind == "apply":
-                        cols[alias] = fn_(cols)
-                    else:
-                        fv, fp = fn_(cols)
-                        valid = valid & fp & (fv != 0.0)
-                gid = jnp.zeros(docs.shape, jnp.int32)
-                for k_, sz_ in enumerate(_sizes):
-                    idk = seg_args_["gb_keys"][k_]
-                    if not _iota:
-                        idk = idk[cd]
-                    idk = jnp.where(idk < 0, sz_ - 1, idk)
-                    gid = gid * sz_ + idk
-                # flat keys: one packed output buffer -> ONE d2h
-                res = {"count": out["count"]}
-                base = groupby_aggregate(
-                    gid, valid, jnp.zeros(docs.shape, jnp.float32),
-                    _G, want_minmax=False)
-                for stat, arr in base.items():
-                    res[f"g.None.{stat}"] = arr
-                for j, op_ in enumerate(_ops):
-                    vals, pres = cols[op_]
-                    vals = jnp.broadcast_to(vals, docs.shape)
-                    pres = jnp.broadcast_to(pres, docs.shape)
-                    gr = groupby_aggregate(gid, valid & pres, vals, _G,
-                                           want_minmax=want_minmax)
-                    for stat, arr in gr.items():
-                        res[f"g.{j}.{stat}"] = arr
-                return res
-
+            fused = _make_fused(cq, raw, G, sizes, in_fields,
+                                compiled_pre, operands, want_minmax)
             from ..query.engine import _PackedExecutor
             entry = _PackedExecutor(fused, dyn, seg_args)
             _COMPILE_CACHE[sig] = entry
@@ -492,8 +648,12 @@ def _device_group_finish(index, h) -> "AggregateResult":
     acc: dict[tuple, dict[str, dict[str, float]]] = {}
     total = 0
     for (key_infos, sizes), entry, flat in parts:
-        out = (entry._unpack_out(flat) if isinstance(flat, np.ndarray)
-               else entry.finish(flat))
+        if isinstance(flat, dict):          # pre-unpacked batched slice
+            out = flat
+        elif isinstance(flat, np.ndarray):
+            out = entry._unpack_out(flat)
+        else:
+            out = entry.finish(flat)
         total += int(out["count"])
 
         def _op_stats(tag):

@@ -50,25 +50,46 @@ class HybridQuery:
 def run_hybrid(index, hq: HybridQuery,
                tail: Optional[AggregateRequest] = None) -> list[dict]:
     """Execute both branches + fusion + optional tail pipeline."""
-    if not hq.vsim_field:
-        raise QuerySyntaxError("FT.HYBRID requires a VSIM field")
+    return run_hybrid_many(index, [hq], [tail])[0]
+
+
+def run_hybrid_many(index, hqs: list,
+                    tails: Optional[list] = None) -> list[list[dict]]:
+    """Batched FT.HYBRID: every query's SEARCH and VSIM branches ride
+    ONE search_many round (grouped device batches — same-structure
+    branches share a dispatch), then fusion + tails run on host.  The
+    serving analog of the reference's hybrid benchmark family
+    (tests/benchmarks/hybrid-*.yml): the parallel depleter drain
+    becomes two device batch lanes collected together."""
+    for hq in hqs:
+        if not hq.vsim_field:
+            raise QuerySyntaxError("FT.HYBRID requires a VSIM field")
     index.commit()
 
-    # both branches in one batched execution: per-branch dispatches are
-    # submitted together and collected in a single round (the
-    # reference's parallel depleter drain; here the device pipeline is
-    # the second lane and each collect costs a full link round trip)
-    vec = np.asarray(hq.vsim_vector, np.float32)
-    text_res, knn_res = index.search_many(
-        [hq.search,
-         f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]"],
-        params=[hq.search_params, {"__hybrid_vec": vec}],
-        k=hq.window,
-        opts_list=[QueryOptions(scorer=hq.search_scorer, k=hq.window),
-                   QueryOptions(k=hq.window)])
-    text_hits = text_res.hits
-    knn_hits = knn_res.hits
+    queries, params, opts = [], [], []
+    for hq in hqs:
+        vec = np.asarray(hq.vsim_vector, np.float32)
+        queries.append(hq.search)
+        params.append(hq.search_params)
+        opts.append(QueryOptions(scorer=hq.search_scorer, k=hq.window))
+        queries.append(
+            f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]")
+        params.append({"__hybrid_vec": vec})
+        opts.append(QueryOptions(k=hq.window))
+    k_max = max(hq.window for hq in hqs)
+    results = index.search_many(queries, params=params, k=k_max,
+                                opts_list=opts)
+    out = []
+    for i, hq in enumerate(hqs):
+        tail = tails[i] if tails else None
+        out.append(_fuse(index, hq,
+                         results[2 * i].hits[:hq.window],
+                         results[2 * i + 1].hits[:hq.window], tail))
+    return out
 
+
+def _fuse(index, hq: HybridQuery, text_hits, knn_hits,
+          tail: Optional[AggregateRequest] = None) -> list[dict]:
     fused: dict[str, dict] = {}
     if hq.combine.upper() == "RRF":
         for rank, h in enumerate(text_hits):

@@ -232,6 +232,32 @@ def test_hybrid_rrf(client):
     assert rows2[0]["__key"] == "d4"
 
 
+def test_hybrid_many_matches_single(client):
+    """run_hybrid_many must return exactly what per-query run_hybrid
+    does — batching is a serving optimization, not a semantics change."""
+    c = rs.Client()
+    c.ft_create("hm", [
+        rs.Field("txt", rs.FieldType.TEXT),
+        rs.Field("v", rs.FieldType.VECTOR,
+                 vector=rs.VectorParams(dim=4,
+                                        metric=rs.VectorMetric.L2))])
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 4)).astype(np.float32)
+    for i in range(12):
+        c.hset(f"m{i}", {"txt": f"shared tok{i % 3} extra{i}",
+                         "v": vecs[i]})
+    ix = c._index("hm")
+    hqs = [rs.HybridQuery(search="shared", vsim_field="v",
+                          vsim_vector=vecs[i], combine=cmb, limit=5,
+                          alpha=0.3, beta=0.7)
+           for i, cmb in [(1, "RRF"), (4, "LINEAR"), (9, "RRF")]]
+    batched = rs.run_hybrid_many(ix, hqs)
+    from redisearch_tpu.aux.hybrid import run_hybrid
+    singles = [run_hybrid(ix, hq) for hq in hqs]
+    assert batched == singles
+    assert batched[0][0]["__key"] == "m1"
+
+
 def test_checkpoint_roundtrip(tmp_path, client):
     client.save_index("books", str(tmp_path / "ckpt"))
     c2 = rs.Client()

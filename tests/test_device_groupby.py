@@ -206,3 +206,97 @@ def test_string_apply_falls_back(idx):
                          .apply("upper(@cat)", "u")
                          .group_by("@cat", ("COUNT", [], "n")))).rows
     _cmp_rows(dev, host, ["cat"])
+
+
+# ---------------------------------------------------------------------------
+# Round-3: batched aggregate serving (run_aggregate_many lax.scan path)
+# ---------------------------------------------------------------------------
+
+def test_run_aggregate_many_matches_single(idx):
+    """Batched same-shape GROUPBYs (one scanned program per segment)
+    must return exactly what sequential run_aggregate does."""
+    from redisearch_tpu.agg.pipeline import run_aggregate, \
+        run_aggregate_many
+
+    def mk(q):
+        return (AggregateRequest(q)
+                .group_by("@cat", ("COUNT", [], "n"),
+                          ("SUM", ["@x"], "sx"),
+                          ("MIN", ["@x"], "mn"),
+                          ("MAX", ["@x"], "mx"))
+                .sort_by(("@cat", DESC)))
+    reqs = [mk("even"), mk("odd"), mk("even"), mk("odd"), mk("even")]
+    batched = run_aggregate_many(idx, reqs)
+    singles = [run_aggregate(idx, mk(q))
+               for q in ("even", "odd", "even", "odd", "even")]
+    for b, s in zip(batched, singles):
+        assert b.total == s.total
+        assert len(b.rows) == len(s.rows)
+        for rb, rs_ in zip(b.rows, s.rows):
+            assert rb.keys() == rs_.keys()
+            for k in rb:
+                va, vb = rb[k], rs_[k]
+                if isinstance(va, float):
+                    assert abs(va - vb) < 1e-3 * max(1.0, abs(vb))
+                else:
+                    assert va == vb
+
+
+def test_run_aggregate_many_mixed_shapes(idx):
+    """A batch mixing device-eligible, differently-shaped, and host-only
+    plans must split into groups + fallbacks and stay correct."""
+    from redisearch_tpu.agg.pipeline import run_aggregate, \
+        run_aggregate_many
+
+    reqs = [
+        AggregateRequest("*").group_by("@cat", ("COUNT", [], "n")),
+        AggregateRequest("even").group_by(
+            "@cat", ("AVG", ["@x"], "a")).limit(0, 3),
+        AggregateRequest("*").group_by("@cat", ("TOLIST", ["@x"], "l")),
+        AggregateRequest("*").group_by("@cat", ("COUNT", [], "n")),
+    ]
+    batched = run_aggregate_many(idx, reqs)
+    singles = [run_aggregate(idx, r) for r in reqs]
+    for b, s in zip(batched, singles):
+        assert b.total == s.total
+        bk = sorted(map(str, ({str(k): (round(v, 3) if isinstance(
+            v, float) else str(sorted(v)) if isinstance(v, list) else v)
+            for k, v in r.items()} for r in b.rows)), key=str)
+        sk = sorted(map(str, ({str(k): (round(v, 3) if isinstance(
+            v, float) else str(sorted(v)) if isinstance(v, list) else v)
+            for k, v in r.items()} for r in s.rows)), key=str)
+        assert bk == sk
+
+
+def test_device_groupby_not_stale_after_delete():
+    """A device GROUPBY program compiled on a clean segment must NOT be
+    reused after delete_document marks docs deleted (regression: the
+    compile-cache key omitted deletion state and counted deleted docs)."""
+    from redisearch_tpu.agg.pipeline import run_aggregate, \
+        run_aggregate_many
+
+    ix = rs.SearchIndex(rs.Schema(name="dgs", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG, sortable=True),
+        rs.Field("x", rs.FieldType.NUMERIC, sortable=True)]))
+    for i in range(300):
+        ix.add_document(f"d{i}", {"t": "w", "cat": f"c{i % 5}",
+                                  "x": float(i)})
+    ix.commit()
+
+    def mk():
+        return AggregateRequest("*").group_by(
+            "@cat", ("COUNT", [], "n"), ("SUM", ["@x"], "s"))
+    # compile + run both the single and batched executors pre-delete
+    pre_b = run_aggregate_many(ix, [mk(), mk()])
+    pre_s = run_aggregate(ix, mk())
+    assert pre_s.total == pre_b[0].total == 300
+    ix.delete_document("d0")
+    ix.delete_document("d5")
+    ix.commit()
+    post_b = run_aggregate_many(ix, [mk(), mk()])
+    post_s = run_aggregate(ix, mk())
+    assert post_s.total == 298
+    assert post_b[0].total == 298 and post_b[1].total == 298
+    n_c0 = {r["cat"]: r["n"] for r in post_b[0].rows}["c0"]
+    assert n_c0 == 58.0    # 60 - the two deleted c0 docs
