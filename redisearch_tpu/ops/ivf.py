@@ -249,7 +249,8 @@ def _scan_tiles(tiles, tsq, tids, qf, k: int, metric: str,
     of the device probe and the host-tier slab scan.  tiles [P, L, d],
     tsq/tids [P, L]; qf is pre-normalized for COSINE."""
     dots = jnp.einsum("pld,d->pl", tiles.astype(jnp.float32), qf,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     if metric == "L2":
         d = tsq - 2.0 * dots + jnp.sum(qf * qf)
     elif metric == "IP":

@@ -46,11 +46,18 @@ def _scores(vecs: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
         if q.ndim == 1:
             return jnp.dot(vecs, qb, preferred_element_type=jnp.float32)
         return jnp.dot(qb, vecs.T, preferred_element_type=jnp.float32)
+    # f32 storage = exact distances (reference parity: VecSim computes
+    # full-precision f32).  DEFAULT matmul precision on TPU is one-pass
+    # bf16 on the MXU — ~0.4% relative error that flips near-tie ranks
+    # and differs between the matvec and batched-matmul lowerings.
+    # Low-precision speed is an explicit storage choice (bf16/int8).
     if q.ndim == 1:
         return jnp.dot(vecs.astype(jnp.float32), q.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.dot(q.astype(jnp.float32), vecs.astype(jnp.float32).T,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def distances_to(vecs: jnp.ndarray, sq_norms: jnp.ndarray, q: jnp.ndarray,

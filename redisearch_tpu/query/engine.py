@@ -3233,8 +3233,11 @@ def _mxu_dots(rows, q):
     if rows.dtype == jnp.bfloat16:
         return jnp.dot(rows, q.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
+    # full f32 for f32 storage (DEFAULT = one-pass bf16 on TPU, which
+    # diverges from ops/vector.py's exact distances — see _scores)
     return jnp.dot(rows.astype(jnp.float32), q.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _multi_doc_dist(vec_rows, sq_rows, doc_rows, cd, q, metric):
