@@ -332,9 +332,18 @@ def main():
         extra["knn_error"] = repr(e)[:120]
     try:
         fk = bench_filtered_knn()
+        fk_ix = fk.pop("_ix")
         extra["filtered_knn_qps"] = fk
         extra["filtered_knn_vs_baseline"] = {
             k: round(v / FKNN_BASELINE_QPS, 2) for k, v in fk.items()}
+        try:
+            hy = bench_hybrid(fk_ix)
+            extra["hybrid_qps"] = hy
+            extra["hybrid_vs_baseline"] = {
+                k: round(v / HYBRID_BASELINE_QPS, 2) for k, v in hy.items()}
+        except Exception as e:
+            extra["hybrid_error"] = repr(e)[:120]
+        del fk_ix
     except Exception as e:
         extra["filtered_knn_error"] = repr(e)[:120]
 

@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 65536
 BIG = jnp.float32(3.4e38)
 
+#: test hook — run the Pallas kernels under interpret mode on CPU
+#: (CI coverage of the Mosaic lowerings; see tests/test_pallas_interpret)
+_INTERPRET = False
+
 # Pallas tile sizes.  The sums kernel only holds [PC, 128+GH] one-hots
 # (bigger chunks amortize per-step overhead); the minmax kernel
 # materializes [PCM, 128] masks per group tile and needs a smaller chunk.
@@ -129,6 +133,7 @@ def _groupby_pallas(g: jnp.ndarray, vm: jnp.ndarray, n_groups: int,
         out_shape=jax.ShapeDtypeStruct((R, PG), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
     )(g.reshape(1, -1), vm.reshape(1, -1))
     cnt = sums[0:gh].reshape(-1)
     sm = sums[gh:2 * gh].reshape(-1)
@@ -148,6 +153,7 @@ def _groupby_pallas(g: jnp.ndarray, vm: jnp.ndarray, n_groups: int,
         out_shape=jax.ShapeDtypeStruct((8, G_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_INTERPRET,
     )(g.reshape(1, -1), vm.reshape(1, -1))
     return jnp.stack([cnt, sm, sq, mm[0], mm[1]])
 
@@ -166,7 +172,7 @@ def groupby_aggregate(gids: jnp.ndarray, valid: jnp.ndarray,
     """
     ok = valid & (gids >= 0) & (gids < n_groups)
     vm = jnp.where(ok, values, 0.0)
-    if jax.default_backend() != "cpu":
+    if _INTERPRET or jax.default_backend() != "cpu":
         g = jnp.where(ok, gids, -1)
         stats = _groupby_pallas(g, vm, n_groups, want_minmax)
         out = {"count": stats[0, :n_groups], "sum": stats[1, :n_groups],

@@ -1129,6 +1129,7 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
             jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
         ],
+        interpret=_INTERPRET,
     )(meta, fmeta[:, None, :], d2, f2, m2, dl2, pk2)
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
@@ -1159,7 +1160,14 @@ def iter_topk(scores, docs, k: int):
     return jnp.stack(vals, axis=1), sel
 
 
+#: test hook — when True the Pallas kernels run under interpret mode
+#: (CPU CI coverage of the Mosaic lowerings; see tests/test_pallas_interpret)
+_INTERPRET = False
+
+
 def _use_pallas() -> bool:
+    if _INTERPRET:
+        return True
     try:
         plat = jax.devices()[0].platform
     except Exception:
@@ -1284,6 +1292,7 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
             jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
         ],
+        interpret=_INTERPRET,
     )(meta_full, d2, f2, m2, dl2, *aux2)
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
