@@ -412,6 +412,13 @@ class SearchIndex:
             if len(self._prepared) >= 32768:
                 self._prepared.clear()
             self._prepared[key] = cq
+        # Serving fast path: a text query with no per-call vector
+        # payloads and identical options needs no view at all — nothing
+        # downstream mutates a CompiledQuery or its opts (the engine's
+        # _filter_only copies first), so the cached object is returned
+        # as-is.  Saves ~4 us/query of clone work on the hot loop.
+        if not vec_params and cq.knn is None and cq.opts == opts:
+            return cq
         # Return a per-call VIEW owning the mutable bits (opts, KNN node,
         # vector blobs) over the shared compiled structure + row/bind
         # caches.  Mutating the cached object in place would alias every

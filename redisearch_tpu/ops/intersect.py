@@ -76,31 +76,33 @@ def _flat_iota(rows):
             + jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1))
 
 
-def _extract_pass(sc, d_o, riota, fiw):
+def _extract_pass(sc, d_o):
     """One max-extraction from a [rows, BLK] masked score block.
 
-    Returns (mx, dv, sc'): the max score, its doc (ties by lowest flat
-    window index — identical to the XLA twins' extraction loop), and
-    the block with that element invalidated.  Full-block-to-scalar tree
-    reductions cost ~70 cycles each on the VPU; reducing over ROWS
-    first (vector->vector) keeps all but one scalar reduction on a
-    single [1, BLK] register — measured ~2.6x on the k=16 serving path
-    (13.5 -> ~8 us/q at the (8k, 8k) bucket, 3% fill).
+    Returns (mx, dv, sc'): the max score, its doc (ties by lowest doc
+    id), and the block with that element invalidated.  Posting windows
+    are doc-sorted, so lowest-doc tie-break is IDENTICAL to the XLA
+    twins' lowest-flat-window-index extraction — which lets the pass
+    run as only TWO full-block-to-scalar tree reductions (max score,
+    min doc among maxima) instead of three.  Those ~70-cycle serial
+    reductions dominate extraction (the vector work is a handful of
+    [8,128] ops), so dropping the flat-index reduction is a direct
+    ~1/3 cut of the per-query top-k cost at k=16.
+
+    Docs are unique within a window, so (is_mx & d_o == dv) names one
+    element.  Extraction invalidates BOTH the score (-> -inf) and the
+    doc (-> INT32_MAX): once the block is exhausted mx = -inf and is_mx
+    covers every lane, so dv must reduce to the INT32_MAX filler, not
+    to a previously-extracted real doc id.
     """
     INF32 = jnp.int32(2**31 - 1)
-    liota1 = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-    colmax = jnp.max(sc, axis=0, keepdims=True)            # [1, BLK]
-    mx = jnp.max(colmax)                                   # scalar
+    mx = jnp.max(sc)                                       # scalar
     is_mx = sc == mx
-    rowmin = jnp.min(jnp.where(is_mx, riota, INF32),
-                     axis=0, keepdims=True)                # [1, BLK]
-    flat = jnp.where(rowmin != INF32, rowmin * BLK + liota1, INF32)
-    sel = jnp.min(flat)                                    # scalar
-    dcol = jnp.min(jnp.where(is_mx & (riota == rowmin), d_o, INF32),
-                   axis=0, keepdims=True)                  # [1, BLK]
-    dv = jnp.min(jnp.where(flat == sel, dcol, INF32))      # scalar
-    sc = jnp.where(fiw == sel, NEG_INF, sc)
-    return mx, dv, sc
+    dv = jnp.min(jnp.where(is_mx, d_o, INF32))             # scalar
+    hit = is_mx & (d_o == dv)
+    sc = jnp.where(hit, NEG_INF, sc)
+    d_o = jnp.where(hit, INF32, d_o)
+    return mx, dv, sc, d_o
 
 
 def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
@@ -254,7 +256,8 @@ def _slot_srcs(T: int, groups) -> list:
 
 
 def _kernel(meta_ref, doc_ids, freqs, masks, dl,
-            *rest, T, Ws, groups, pivot_g, k, n_aux, dense=(), G=1):
+            *rest, T, Ws, groups, pivot_g, k, n_aux, dense=(), G=1,
+            raw=False):
     """G queries per grid step (see module docstring).
 
     Within a step, queries execute serially under a fori loop while the
@@ -274,8 +277,15 @@ def _kernel(meta_ref, doc_ids, freqs, masks, dl,
     compare instead of a posting-window membership pass.  Applied before
     the member passes so dead candidates narrow their doc ranges."""
     aux = rest[:n_aux]
-    out_docs, out_scores, out_counts = rest[n_aux:n_aux + 3]
-    scratch = rest[n_aux + 3:]
+    if raw:
+        # raw mode emits the masked (doc, score) pivot windows and no
+        # counts — top-k and counting happen in batched XLA outside
+        out_docs, out_scores = rest[n_aux:n_aux + 2]
+        out_counts = None
+        scratch = rest[n_aux + 2:]
+    else:
+        out_docs, out_scores, out_counts = rest[n_aux:n_aux + 3]
+        scratch = rest[n_aux + 3:]
     step = pl.program_id(0)
     srcs = _slot_srcs(T, groups)
     pivots = list(groups[pivot_g][1])
@@ -398,7 +408,7 @@ def _kernel(meta_ref, doc_ids, freqs, masks, dl,
             T=T, Ws=Ws, groups=groups, pivot_g=pivot_g, k=k,
             dense=dense, dense_off=dense_off, srcs=srcs, pivots=pivots,
             rows=rows, starts=starts, lens=lens, qmasks=qmasks,
-            tws=tws, avgdl=avgdl, rr=rr)
+            tws=tws, avgdl=avgdl, rr=rr, raw=raw)
 
     jax.lax.fori_loop(0, G, body, 0)
 
@@ -407,8 +417,15 @@ def _kernel_query(m, fval, refs, drefs, valid_ref, hit_ref, tfa_ref,
                   acc_h, acc_t, out_docs, out_scores, out_counts, g,
                   carry, *, T, Ws, groups, pivot_g, k, dense, dense_off,
                   srcs, pivots, rows, starts, lens, qmasks, tws, avgdl,
-                  rr):
-    """One query's phases + in-VMEM top-k (the per-g body)."""
+                  rr, raw=False):
+    """One query's phases + in-VMEM top-k (the per-g body).
+
+    raw=True skips the in-VMEM extraction entirely: each phase's masked
+    (doc, score) window rows stream straight to the output blocks and a
+    batched XLA iter_topk finishes outside the kernel.  The k serial
+    max-extractions are scalar-reduction-LATENCY bound (~0.35 us each);
+    for small pivot windows the [B, W] vector merge outside runs at
+    full VPU throughput instead (~0.3-0.7 us/query total)."""
 
     def run_phase(p, pj, others):
         """Candidates = slot p's window.  `others` entries are either
@@ -513,6 +530,21 @@ def _kernel_query(m, fval, refs, drefs, valid_ref, hit_ref, tfa_ref,
     # lowest flat window index, exactly like iter_topk.
     INF32 = jnp.int32(2**31 - 1)
     P_n = len(pivots)
+    if raw:
+        off = 0
+        for pi, p in enumerate(pivots):
+            others = [("slot", u, "dedup+fold") for u in pivots[:pi]]
+            others += [("slot", u, "fold") for u in pivots[pi + 1:]]
+            for gi, grp in enumerate(groups):
+                if gi == pivot_g:
+                    continue
+                others.append(("group", grp[0], grp[1],
+                               grp[2] if len(grp) > 2 else -1))
+            d_o, s_o = run_phase(p, pi, others)
+            out_docs[pl.ds(g, 1), pl.ds(off, rows[p])] = d_o[None]
+            out_scores[pl.ds(g, 1), pl.ds(off, rows[p])] = s_o[None]
+            off += rows[p]
+        return carry
     KR = max(-(-(P_n * k) // BLK), 1)
     oi = _flat_iota(KR)
     topd = jnp.full((KR, BLK), INF32)
@@ -528,13 +560,11 @@ def _kernel_query(m, fval, refs, drefs, valid_ref, hit_ref, tfa_ref,
             others.append(("group", grp[0], grp[1],
                            grp[2] if len(grp) > 2 else -1))
         d_o, s_o = run_phase(p, pi, others)
-        fiw = _flat_iota(rows[p])
-        riota = jax.lax.broadcasted_iota(jnp.int32, (rows[p], BLK), 0)
         cnts = jnp.where(ci == pi,
                          jnp.sum((d_o != INF32).astype(jnp.int32)), cnts)
         sc = s_o
         for i in range(k):
-            mx, dv, sc = _extract_pass(sc, d_o, riota, fiw)
+            mx, dv, sc, d_o = _extract_pass(sc, d_o)
             opos = oi == (pi * k + i)
             topd = jnp.where(opos, dv, topd)
             tops = jnp.where(opos, mx, tops)
@@ -944,11 +974,9 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
     cnts = jnp.where(ci == 0,
                      jnp.sum((d_o != INF).astype(jnp.int32)), cnts)
-    fiw = _flat_iota(rows_p)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (rows_p, BLK), 0)
     sc = s_o
     for i in range(k):
-        mx, dv, sc = _extract_pass(sc, d_o, riota, fiw)
+        mx, dv, sc, d_o = _extract_pass(sc, d_o)
         opos = oi == i
         topd = jnp.where(opos, dv, topd)
         tops = jnp.where(opos, mx, tops)
@@ -1177,10 +1205,11 @@ def _use_pallas() -> bool:
 
 @functools.partial(
     jax.jit, static_argnames=("T", "Ws", "groups", "pivot_g", "k",
-                              "dense"))
+                              "dense", "raw"))
 def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
                     *aux, T: int, Ws: tuple, groups: tuple,
-                    pivot_g: int = 0, k: int = 16, dense: tuple = ()):
+                    pivot_g: int = 0, k: int = 16, dense: tuple = (),
+                    raw: bool = False):
     """Run the term-query kernel over a batch.
 
     meta: int32 [B, 3T + sum(nv)] — per slot starts, lens, qmasks, then
@@ -1198,6 +1227,13 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     Returns (docs [B, >=P*k], scores, counts [B]): per phase the top-k
     (score desc, window position asc) with INT32_MAX / -inf filler —
     merge phases with iter_topk — plus the total match count.
+
+    raw=True (small pivot windows): the kernel emits the full masked
+    (doc, score) pivot windows ([B, sum(pivot rows) * 128]) and counts
+    come from an XLA reduction — callers merge with iter_topk exactly
+    as in the multi-phase case.  The CPU/XLA fallback ignores `raw`
+    (its extraction is already vectorized), so final merged top-k
+    results are identical either way.
     """
     if not _use_pallas():
         return _xla_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
@@ -1209,7 +1245,8 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     pivots = set(groups[pivot_g][1])
     pivots_l = list(groups[pivot_g][1])
     P_n = len(groups[pivot_g][1])
-    KR = max(-(-(P_n * k) // BLK), 1)
+    KR = (sum(rows[p] for p in pivots_l) if raw
+          else max(-(-(P_n * k) // BLK), 1))
     rows_scratch = max(rows[p] for p in pivots)
     # G queries per grid step with double-buffered window scratch: pick
     # the largest G dividing B whose 2x scratch stays within VMEM
@@ -1219,9 +1256,11 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     win_rows += len(dense) * sum(rows[p] for p in pivots_l)
     win_bytes = win_rows * BLK * 4
     G = 1
+    out_row_bytes = (2 * KR * BLK * 4) if raw else 0
     if 2 * win_bytes < 10 * 1024 * 1024:
-        for cand in (8, 4, 2):
-            if B % cand == 0:
+        for cand in (16, 8, 4, 2):
+            if B % cand == 0 and (2 * win_bytes + cand * out_row_bytes
+                                  < 10 * 1024 * 1024):
                 G = cand
                 break
     nbuf = 2 if G > 1 else 1
@@ -1267,33 +1306,44 @@ def intersect_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl,
     dl2 = posting_dl.reshape(n2, BLK)
     aux2 = tuple(a.reshape(a.shape[0] // BLK, BLK) for a in aux)
 
+    out_specs = [
+        pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
+        jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
+    ]
+    if not raw:
+        out_specs.append(pl.BlockSpec((G, 1, BLK),
+                                      lambda s, meta: (s, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (4 + len(aux)),
-        out_specs=[
-            pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, KR, BLK), lambda s, meta: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, BLK), lambda s, meta: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_kernel, T=T, Ws=Ws, groups=groups,
                              pivot_g=pivot_g, k=k, n_aux=len(aux),
-                             dense=dense, G=G)
-    docs, scores, counts = pl.pallas_call(
+                             dense=dense, G=G, raw=raw)
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(meta_full, d2, f2, m2, dl2, *aux2)
+    if raw:
+        docs, scores = outs
+        docs = docs.reshape(B, KR * BLK)
+        return (docs, scores.reshape(B, KR * BLK),
+                jnp.sum((docs != jnp.int32(2**31 - 1)).astype(jnp.int32),
+                        axis=1))
+    docs, scores, counts = outs
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
             jnp.sum(counts.reshape(B, BLK)[:, :P_n], axis=1))

@@ -28,7 +28,8 @@ def _fast_top_k(x, k):
     return fast_top_k(x, k)
 
 
-def _scores(vecs: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+def _scores(vecs: jnp.ndarray, q: jnp.ndarray,
+            approx: bool = False) -> jnp.ndarray:
     """<vecs, q> along d.  vecs [n, d], q [d] or [B, d].
 
     Uses the MXU's native low-precision paths when storage allows:
@@ -50,20 +51,24 @@ def _scores(vecs: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     # full-precision f32).  DEFAULT matmul precision on TPU is one-pass
     # bf16 on the MXU — ~0.4% relative error that flips near-tie ranks
     # and differs between the matvec and batched-matmul lowerings.
-    # Low-precision speed is an explicit storage choice (bf16/int8).
+    # Precision.HIGHEST is exact but ~4x slower at scan shapes, so the
+    # top-k paths below use it only to RESCORE a bf16 candidate set
+    # (`approx=True` here is that candidate pass).
+    prec = (jax.lax.Precision.DEFAULT if approx
+            else jax.lax.Precision.HIGHEST)
     if q.ndim == 1:
         return jnp.dot(vecs.astype(jnp.float32), q.astype(jnp.float32),
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
     return jnp.dot(q.astype(jnp.float32), vecs.astype(jnp.float32).T,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
 
 
 def distances_to(vecs: jnp.ndarray, sq_norms: jnp.ndarray, q: jnp.ndarray,
-                 metric: str) -> jnp.ndarray:
+                 metric: str, approx: bool = False) -> jnp.ndarray:
     """Distance of every row of `vecs` to query `q` ([n] or [B, n])."""
-    dots = _scores(vecs, q)
+    dots = _scores(vecs, q, approx=approx)
     if metric == "L2":
         qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
         if q.ndim == 1:
@@ -80,15 +85,54 @@ def distances_to(vecs: jnp.ndarray, sq_norms: jnp.ndarray, q: jnp.ndarray,
     raise ValueError(f"bad metric {metric}")
 
 
+def _rescore(vecs, sq_norms, q, idx, metric):
+    """Exact f32 distances at gathered candidate rows.
+
+    The bf16 candidate scan covers the whole matrix; this recomputes
+    only [B, C] (or [C]) distances at Precision.HIGHEST, so f32 storage
+    keeps VecSim's exact-distance semantics at bf16 scan speed."""
+    g = jnp.take(vecs, idx, axis=0).astype(jnp.float32)   # [..., C, d]
+    qf = q.astype(jnp.float32)
+    if q.ndim == 1:
+        dots = jnp.einsum("cd,d->c", g, qf,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        dots = jnp.einsum("bcd,bd->bc", g, qf,
+                          precision=jax.lax.Precision.HIGHEST)
+    if metric == "L2":
+        qsq = jnp.sum(qf ** 2, axis=-1)
+        return (jnp.take(sq_norms, idx, axis=0) - 2.0 * dots
+                + (qsq if q.ndim == 1 else qsq[:, None]))
+    if metric == "IP":
+        return 1.0 - dots
+    qn = jnp.maximum(jnp.sqrt(jnp.sum(qf ** 2, axis=-1)), 1e-30)
+    vn = jnp.sqrt(jnp.maximum(jnp.take(sq_norms, idx, axis=0), 1e-30))
+    return 1.0 - dots / (vn * (qn if q.ndim == 1 else qn[:, None]))
+
+
+def _cand_k(n: int, k: int) -> int:
+    """Candidate-set size for the two-phase f32 path."""
+    return min(n, max(4 * k, k + 16))
+
+
 def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
         q: jnp.ndarray, k: int, metric: str,
         mask: jnp.ndarray | None = None):
     """Exact top-k nearest: returns (dists [k], idx [k])."""
-    d = distances_to(vecs, sq_norms, q, metric)
     valid = present if mask is None else (present & mask)
+    two_phase = vecs.dtype == jnp.float32 and _cand_k(
+        vecs.shape[0], k) < vecs.shape[0]
+    d = distances_to(vecs, sq_norms, q, metric, approx=two_phase)
     dm = jnp.where(valid, d, BIG)
-    vals, idx = _fast_top_k(-dm, k)
-    return -vals, idx
+    if not two_phase:
+        vals, idx = _fast_top_k(-dm, k)
+        return -vals, idx
+    C = _cand_k(vecs.shape[0], k)
+    avals, aidx = _fast_top_k(-dm, C)
+    dr = jnp.where(-avals >= BIG * 0.5, BIG,
+                   _rescore(vecs, sq_norms, q, aidx, metric))
+    vals, sel = jax.lax.top_k(-dr, k)
+    return -vals, jnp.take(aidx, sel, axis=0)
 
 
 def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
@@ -98,12 +142,23 @@ def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
 
     One [B, d] x [d, N] MXU matmul — the throughput path for benchmarks and
     the serving layer (amortizes HBM reads of the vector matrix over B).
-    """
-    d = distances_to(vecs, sq_norms, Q, metric)        # [B, n]
+    f32 storage scans at bf16 (one-pass MXU) and rescores a C-candidate
+    set per query at f32, keeping exact distance semantics ~4x faster
+    than a Precision.HIGHEST scan."""
     valid = present if mask is None else (present & mask)
+    two_phase = vecs.dtype == jnp.float32 and _cand_k(
+        vecs.shape[0], k) < vecs.shape[0]
+    d = distances_to(vecs, sq_norms, Q, metric, approx=two_phase)
     dm = jnp.where(valid[None, :], d, BIG)
-    vals, idx = _fast_top_k(-dm, k)
-    return -vals, idx
+    if not two_phase:
+        vals, idx = _fast_top_k(-dm, k)
+        return -vals, idx
+    C = _cand_k(vecs.shape[0], k)
+    avals, aidx = _fast_top_k(-dm, C)                  # [B, C]
+    dr = jnp.where(-avals >= BIG * 0.5, BIG,
+                   _rescore(vecs, sq_norms, Q, aidx, metric))
+    vals, sel = jax.lax.top_k(-dr, k)
+    return -vals, jnp.take_along_axis(aidx, sel, axis=1)
 
 
 def knn_scan_batches(vecs: jnp.ndarray, sq_norms: jnp.ndarray,

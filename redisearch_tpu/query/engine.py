@@ -1488,31 +1488,86 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
     # bind every query as a packed transport row (memoized per segment:
-    # one row memcpy + clock/vector patches per query), then group by
-    # group_sig — tree structure + window buckets.  Structurally different
-    # queries cannot share an executable; mixed *bucket* shapes are kept
-    # apart so one huge query never inflates everyone's windows.
+    # one template memcpy + clock/vector patches per query), then group
+    # by group_sig — tree structure + window buckets.  Structurally
+    # different queries cannot share an executable; mixed *bucket*
+    # shapes are kept apart so one huge query never inflates everyone's
+    # windows.
     groups: dict[tuple, list[int]] = {}
-    rows = []
     ents = []
     for i, cq in enumerate(cqs):
-        row, ent = cq.bind_row(seg)
-        rows.append(row)
+        ent = cq._row_cache.get(seg.uid)
+        if ent is None:
+            _, ent = cq.bind_row(seg)
         ents.append(ent)
         groups.setdefault(ent[6], []).append(i)
-    parts = []
+    subs = []
     for idxs in groups.values():
         # pad each group to a power of two (replaying the last row) so
         # arbitrary group sizes reuse a handful of executables
         g = idxs + [idxs[-1]] * (int(next_pow2(len(idxs))) - len(idxs))
-        gr = np.stack([rows[i] for i in g])
+        patches = ents[idxs[0]][1]
+        if all(p[0] == "now" for p in patches):
+            # text serving: the only per-call field is the clock —
+            # stack the cached templates and patch the column in one
+            # vector op instead of per-query bind_row calls
+            gr = np.stack([ents[i][0] for i in g])
+            for _key, o, _n, _shape, _dt in patches:
+                gr[:, o] = np.fromiter(
+                    (cqs[i].opts.now for i in g), np.int32, len(g))
+        else:
+            # per-call vector payloads: row-wise patching
+            gr = np.stack([cqs[i].bind_row(seg)[0] for i in g])
         entry = _rows_executor(cqs[idxs[0]], ents[idxs[0]], seg, len(g), k)
         QUERY_PATH_STATS[entry.path] = (
             QUERY_PATH_STATS.get(entry.path, 0) + len(idxs))
-        flat = entry.submit(_segment_args(cqs[idxs[0]], seg), {"rows": gr})
-        parts.append((g, entry, flat))
+        subs.append((g, entry, _segment_args(cqs[idxs[0]], seg),
+                     entry._pack({"rows": gr})))
+    if len(subs) > 1 and all(e._warm for _, e, _, _ in subs):
+        # fuse every group into ONE XLA program: a mixed-bucket batch
+        # otherwise pays one dispatch+collect link round trip PER GROUP
+        # (measured ~20 ms each on the tunneled attach — it dominated
+        # the serving profile at B=4096 with ~5 bucket groups)
+        flats = _combined_submit(tuple(e for _, e, _, _ in subs),
+                                 tuple(sa for _, _, sa, _ in subs),
+                                 tuple(b for _, _, _, b in subs))
+        parts = [(g, e, fl)
+                 for (g, e, _, _), fl in zip(subs, flats)]
+    else:
+        parts = [(g, e, e.submit_buf(sa, buf))
+                 for g, e, sa, buf in subs]
     handle = _BatchHandle(parts, len(cqs), cqs=cqs, seg=seg, k=k)
     return handle if async_ else handle.result()
+
+
+#: combined-dispatch executables keyed by the identity of the fused
+#: entries (values pin the entries so ids cannot be recycled)
+_COMBINED_CACHE: dict[tuple, list] = {}
+
+
+def _combined_submit(entries, seg_args_list, bufs):
+    """One jitted program running every group's packed executor —
+    collapses N dispatch+collect round trips into one."""
+    key = tuple(id(e) for e in entries)
+    rec = _COMBINED_CACHE.get(key)
+    if rec is None:
+        fns = tuple(e.fn for e in entries)
+
+        def multi(sas, bs):
+            return tuple(f(sa, b) for f, sa, b in zip(fns, sas, bs))
+
+        if len(_COMBINED_CACHE) > 256:
+            _COMBINED_CACHE.clear()
+        rec = [jax.jit(multi), False, entries]
+        _COMBINED_CACHE[key] = rec
+    if rec[1]:
+        return rec[0](seg_args_list, bufs)
+    t0 = _time.perf_counter()
+    out = rec[0](seg_args_list, bufs)
+    global _COMPILE_SECONDS
+    _COMPILE_SECONDS += _time.perf_counter() - t0
+    rec[1] = True
+    return out
 
 
 def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
@@ -1812,6 +1867,14 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    for (_o, _nv, lidx) in _dmeta],
                 axis=1).astype(jnp.float32)
             aux_arrs = tuple(seg_args_[kk] for kk in _aux)
+            # raw mode for small pivot windows: the kernel skips its
+            # scalar-latency-bound in-VMEM extraction and emits the
+            # masked (doc, score) windows; the batched iter_topk below
+            # finishes at full VPU throughput.  Gated on the total raw
+            # lanes so the [B, W] merge and HBM round trip stay cheap.
+            pvt = _groups[_pg][1]
+            raw_rows = sum(_Ws[s] // 128 + IK.R_EXTRA for s in pvt)
+            _raw = raw_rows * 128 <= 10_240 and IK._use_pallas()
             # the scalar-prefetch meta lives in SMEM (1 MB, padded to
             # 128 lanes): chunk big batches into <=1024-query kernel
             # calls INSIDE this one program — one dispatch/collect pays
@@ -1826,22 +1889,27 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     seg_args_["field_masks"], seg_args_["posting_dl"],
                     *aux_arrs,
                     T=len(_descs), Ws=_Ws, groups=_groups, pivot_g=_pg,
-                    k=_k, dense=_dense)
+                    k=_k, dense=_dense, raw=_raw)
                 dd.append(docs)
                 ss.append(scores)
                 cc.append(count)
             docs = dd[0] if len(dd) == 1 else jnp.concatenate(dd)
             scores = ss[0] if len(ss) == 1 else jnp.concatenate(ss)
             count = cc[0] if len(cc) == 1 else jnp.concatenate(cc)
-            if _Pn == 1:
+            if _Pn == 1 and not _raw:
                 # single-phase output is already the exact top-k (score
                 # desc, window position asc) — no merge needed
                 return {"idx": docs[:, :_k], "scores": scores[:, :_k],
                         "count": count}
-            # kernel emits per-phase top-k ([B, P*k] lanes) + counts;
-            # merging the tiny phase lists replaces the [B, W] iter_topk
+            # kernel emits per-phase top-k ([B, P*k] lanes) + counts
+            # (or raw windows); merging replaces the [B, W] iter_topk
             vals, sel = IK.iter_topk(scores, docs, _k)
             idx = jnp.take_along_axis(docs, sel, axis=1)
+            # exhausted lanes: consumers trim by the -inf score, but
+            # pin the doc filler to INT32_MAX so raw and extracted
+            # outputs are bit-identical
+            idx = jnp.where(vals > jnp.float32(-3e38), idx,
+                            jnp.int32(2**31 - 1))
             return {"idx": idx, "scores": vals, "count": count}
 
         proto = {"rows": np.zeros((B, total), np.int32)}
@@ -2227,7 +2295,10 @@ class _PackedExecutor:
         booked into the module compile clock so callers can exclude it
         from query deadlines (the reference's timeout clocks execution,
         not one-time executable builds)."""
-        buf = self._pack(dyn)
+        return self.submit_buf(seg_args, self._pack(dyn))
+
+    def submit_buf(self, seg_args: dict, buf: np.ndarray):
+        """submit() over an already-packed transport buffer."""
         if self._warm:
             return self.fn(seg_args, buf)
         t0 = _time.perf_counter()

@@ -182,6 +182,35 @@ def test_intersect_kernel_interpret_dense_tag(interpret_mode):
                      dense=((IK.REQ, 0, 2),))
 
 
+@pytest.mark.parametrize("Ws,groups", [
+    ((1024, 2048), ((IK.REQ, (0,)), (IK.REQ, (1,)))),
+    ((1024, 1024), ((IK.REQ, (0, 1)),)),
+], ids=["and2", "or2"])
+def test_intersect_kernel_interpret_raw(interpret_mode, Ws, groups):
+    """raw=True emits masked (doc, score) windows; merged top-k must
+    equal the XLA twin's extracted top-k."""
+    rng = np.random.default_rng(41)
+    args = _make_windows(rng, 8, Ws)
+    k = 16
+    kd, ks, kc = IK.intersect_batch(
+        *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=k,
+        raw=True)
+    vals, sel = IK.iter_topk(ks, kd, k)
+    kdocs = np.array(jnp.take_along_axis(kd, sel, axis=1))
+    kvals = np.asarray(vals)
+    kdocs[kvals <= -3e38] = 2**31 - 1   # exhausted-lane filler
+    xd, xs, xc = IK._xla_impl(
+        *args, T=len(Ws), Ws=Ws, groups=groups, pivot_g=0, k=k)
+    xvals, xsel = IK.iter_topk(np.asarray(xs), np.asarray(xd), k)
+    xdocs = np.array(jnp.take_along_axis(
+        jnp.asarray(xd), xsel, axis=1))
+    xdocs[np.asarray(xvals) <= -3e38] = 2**31 - 1
+    np.testing.assert_array_equal(kdocs, xdocs)
+    np.testing.assert_allclose(kvals, np.asarray(xvals),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(kc), np.asarray(xc))
+
+
 def _make_phrase(rng, B, Ws, PWs, stride=64):
     """Phrase inputs: per-slot posting windows + sorted poskey windows
     (doc * stride + position), with genuine in-order matches seeded."""
