@@ -162,9 +162,10 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
         hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, mt_max)
 
         rsel = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
-        acc_h[:] = jnp.zeros((R, BLK), jnp.int32)
         if want_tf:
             acc_t[:] = jnp.zeros((R, BLK), jnp.float32)
+        else:
+            acc_h[:] = jnp.zeros((R, BLK), jnp.int32)
 
         def member_tile(mtile, _i):
             mrow = pl.multiple_of(mtile * R, R)
@@ -185,6 +186,11 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
             mrow_lo = jnp.min(mdm, axis=1, keepdims=True)      # [8, 1]
             mrow_hi = jnp.max(jnp.where(mv, md, jnp.int32(-1)),
                               axis=1, keepdims=True)
+            # want_tf (text members): term frequencies are >= 1 by
+            # construction (a posting exists only for tf >= 1; invalid
+            # lanes are zeroed), so hit == (tf accumulation > 0) and the
+            # pair body runs ONE lane reduction (the tf sum) instead of
+            # two — hit_ref derives from tfa_ref after the tile loop.
             if rows_m <= 2 * rows_p:
                 # comparable densities: ~1 member row overlaps each
                 # pivot row — per-PAIR predication skips most of the
@@ -198,15 +204,16 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                                  & (s_mlo[mi] <= s_rmax[pi]))
                         def _pair(pi=pi, mi=mi, pd_i=pd_i):
                             eq = pd_i[:, None] == mdm[mi][None, :]
-                            acc_h[pi:pi + 1, :] = jnp.maximum(
-                                acc_h[pi:pi + 1, :],
-                                jnp.any(eq, axis=1
-                                        ).astype(jnp.int32)[None, :])
                             if want_tf:
                                 acc_t[pi:pi + 1, :] = \
                                     acc_t[pi:pi + 1, :] + jnp.sum(
                                         jnp.where(eq, mtfm[mi][None, :],
                                                   0.0), axis=1)[None, :]
+                            else:
+                                acc_h[pi:pi + 1, :] = jnp.maximum(
+                                    acc_h[pi:pi + 1, :],
+                                    jnp.any(eq, axis=1
+                                            ).astype(jnp.int32)[None, :])
             else:
                 # member much denser than pivot: most pairs in a visited
                 # tile DO overlap — per-pair predication/RMW only adds
@@ -223,22 +230,27 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                         ti_ = jnp.zeros((BLK,), jnp.float32)
                         for mi in range(R):
                             eq = pd_i[:, None] == mdm[mi][None, :]
-                            hi_ = hi_ | jnp.any(eq, axis=1)
                             if want_tf:
                                 ti_ = ti_ + jnp.sum(jnp.where(
                                     eq, mtfm[mi][None, :], 0.0), axis=1)
-                        acc_h[pi:pi + 1, :] = jnp.maximum(
-                            acc_h[pi:pi + 1, :],
-                            hi_.astype(jnp.int32)[None, :])
+                            else:
+                                hi_ = hi_ | jnp.any(eq, axis=1)
                         if want_tf:
                             acc_t[pi:pi + 1, :] = acc_t[pi:pi + 1, :] \
                                 + ti_[None, :]
+                        else:
+                            acc_h[pi:pi + 1, :] = jnp.maximum(
+                                acc_h[pi:pi + 1, :],
+                                hi_.astype(jnp.int32)[None, :])
             return _i
 
         jax.lax.fori_loop(lo_t, hi_t, member_tile, 0)
-        hit_ref[pl.ds(prow, R), :] = acc_h[:]
         if want_tf:
+            hit_ref[pl.ds(prow, R), :] = (acc_t[:] > 0.0
+                                          ).astype(jnp.int32)
             tfa_ref[pl.ds(prow, R), :] = acc_t[:]
+        else:
+            hit_ref[pl.ds(prow, R), :] = acc_h[:]
         return _c
 
     jax.lax.fori_loop(0, jnp.minimum(p_end, n_pt), pivot_tile, 0)
