@@ -81,13 +81,17 @@ class AggregateRequest:
 
     def __init__(self, query: str = "*", params: Optional[dict] = None,
                  dialect: int = 2, verbatim: bool = False,
-                 scorer: str = "BM25STD", add_scores: bool = False):
+                 scorer: str = "BM25STD", add_scores: bool = False,
+                 now: Optional[int] = None):
         self.query = query
         self.params = params
         self.dialect = dialect
         self.verbatim = verbatim
         self.scorer = scorer
         self.add_scores = add_scores
+        # TTL-clock override (epoch seconds); None = wall clock.  The
+        # reference's analog is the FT.DEBUG TTL clock control.
+        self.now = now
         self.steps: list[Any] = []
         self._cursor_count = 0
         self.with_cursor = False
@@ -163,7 +167,10 @@ def run_aggregate(index, req: AggregateRequest,
     import time as _t
 
     index.commit()
-    opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+    opts = (QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+            if req.now is None else
+            QueryOptions(scorer=req.scorer, verbatim=req.verbatim,
+                         now=req.now))
     # prepared-query cache: repeated aggregations (cursor reads, dashboards)
     # skip parse+lower and reuse the per-segment bind memo
     cq = index.prepare(req.query, req.params, opts, req.dialect)
@@ -228,7 +235,10 @@ def run_aggregate_many(index, reqs: list) -> list:
     prepared = []
     groups: dict = {}
     for req in reqs:
-        opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+        opts = (QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+            if req.now is None else
+            QueryOptions(scorer=req.scorer, verbatim=req.verbatim,
+                         now=req.now))
         cq = index.prepare(req.query, req.params, opts, req.dialect)
         plan = _plan_device_group(index, req, cq)
         prepared.append((req, cq, plan))
@@ -239,8 +249,11 @@ def run_aggregate_many(index, reqs: list) -> list:
         # batchable = equal plan shape AND equal per-segment row
         # structure (gsig + layout fingerprint — same contract as
         # engine.execute_batch grouping)
-        segsig = tuple((cq.bind_row(seg)[1][6], cq.bind_row(seg)[1][7])
-                       for seg in index.segments)
+        segsig = []
+        for seg in index.segments:
+            ent = cq.bind_row(seg)[1]
+            segsig.append((ent[6], ent[7]))
+        segsig = tuple(segsig)
         key = (tuple(group.by), tuple(operands), want_minmax, pre_sig,
                segsig)
         groups.setdefault(key, []).append(len(prepared) - 1)
@@ -496,30 +509,45 @@ def _gb_seg_state(cq, seg) -> str:
 def _seg_group_args(index, seg, cq, group, in_fields):
     """Per-segment GROUPBY eligibility + device args: returns
     (key_infos, sizes, G, seg_args) or None (unencodable key / too many
-    groups)."""
+    groups).  The stacked device columns are cached per (segment,
+    by-keys, in_fields) — segments are immutable after seal, and
+    restacking them per dispatch both re-executes device work and breaks
+    executor-arg identity."""
     import jax.numpy as jnp
     from ..query.engine import _segment_args
 
-    key_infos = []
-    for b in group.by:
-        enc = _key_encoding(index, seg, b)
-        if enc is None:
+    cache = getattr(seg, "_gbcols_cache", None)
+    if cache is None:
+        cache = seg._gbcols_cache = {}
+    ckey = (tuple(group.by), tuple(in_fields))
+    ent = cache.get(ckey)
+    if ent is None:
+        key_infos = []
+        for b in group.by:
+            enc = _key_encoding(index, seg, b)
+            if enc is None:
+                return None
+            key_infos.append(enc)
+        sizes = tuple(len(t) + 1 for _ids, t in key_infos)  # +1 missing
+        G = 1
+        for s_ in sizes:
+            G *= s_
+        if G > _MAX_DEVICE_GROUPS:
             return None
-        key_infos.append(enc)
-    sizes = tuple(len(t) + 1 for _ids, t in key_infos)  # +1 missing
-    G = 1
-    for s_ in sizes:
-        G *= s_
-    if G > _MAX_DEVICE_GROUPS:
-        return None
-    num_vals = (jnp.stack([seg.numerics[o].values for o in in_fields])
-                if in_fields
-                else jnp.zeros((0, seg.n_pad), jnp.float32))
-    num_pres = (jnp.stack([seg.numerics[o].present
-                           for o in in_fields])
-                if in_fields else jnp.zeros((0, seg.n_pad), bool))
+        num_vals = (jnp.stack([seg.numerics[o].values for o in in_fields])
+                    if in_fields
+                    else jnp.zeros((0, seg.n_pad), jnp.float32))
+        num_pres = (jnp.stack([seg.numerics[o].present
+                               for o in in_fields])
+                    if in_fields else jnp.zeros((0, seg.n_pad), bool))
+        gb_keys = jnp.stack([ids for ids, _t in key_infos])
+        ent = (key_infos, sizes, G, gb_keys, num_vals, num_pres)
+        if len(cache) > 32:
+            cache.clear()
+        cache[ckey] = ent
+    key_infos, sizes, G, gb_keys, num_vals, num_pres = ent
     seg_args = dict(_segment_args(cq, seg))
-    seg_args["gb_keys"] = jnp.stack([ids for ids, _t in key_infos])
+    seg_args["gb_keys"] = gb_keys
     seg_args["gb_num_vals"] = num_vals
     seg_args["gb_num_pres"] = num_pres
     return key_infos, sizes, G, seg_args
@@ -643,10 +671,14 @@ def _device_group_submit(index, req: AggregateRequest, cq):
 
 def _device_group_finish(index, h) -> "AggregateResult":
     """Collect phase: drain every segment's packed output, merge the
-    per-group accumulators, build rows, run the SORT/LIMIT tail."""
+    per-group [G] stat arrays with numpy scatter-reductions, run the
+    SORT/LIMIT tail over arrays (np.lexsort), and decode group keys only
+    for the rows that survive the tail.  The previous per-group Python
+    loop (~1k dict updates per query) capped batched aggregate serving
+    at ~175 QPS; everything here is O(G) numpy + O(limit) Python."""
     group, tail, op_list, want_minmax, _unused, parts = h
-    acc: dict[tuple, dict[str, dict[str, float]]] = {}
     total = 0
+    outs = []
     for (key_infos, sizes), entry, flat in parts:
         if isinstance(flat, dict):          # pre-unpacked batched slice
             out = flat
@@ -655,71 +687,172 @@ def _device_group_finish(index, h) -> "AggregateResult":
         else:
             out = entry.finish(flat)
         total += int(out["count"])
+        outs.append((key_infos, sizes, out))
 
-        def _op_stats(tag):
-            return {stat: out[f"g.{tag}.{stat}"]
-                    for stat in ("count", "sum", "sumsq", "min", "max")
-                    if f"g.{tag}.{stat}" in out}
+    stat_names = ("count", "sum", "sumsq") + (
+        ("min", "max") if want_minmax else ())
+    ops: list = [None] + list(op_list)
 
-        per_op = {None: _op_stats("None")}
-        for j, o in enumerate(op_list):
-            per_op[o] = _op_stats(str(j))
-        counts0 = np.asarray(per_op[None]["count"])
+    def _seg_stats(out):
+        st = {}
+        for j, op in enumerate(ops):
+            tag = "None" if op is None else str(j - 1)
+            st[op] = {s: np.asarray(out[f"g.{tag}.{s}"], np.float64)
+                      for s in stat_names if f"g.{tag}.{s}" in out}
+        return st
 
-        def _decode(g: int) -> tuple:
-            vals = []
-            for (ids_, table), sz in zip(reversed(key_infos),
-                                         reversed(sizes)):
-                g, r = divmod(g, sz)
-                vals.append(table[r] if r < len(table) else E.NULL)
-            return tuple(reversed(vals))
+    if len(outs) == 1:
+        key_infos0, _sizes0, out0 = outs[0]
+        tables = [list(t) for _ids, t in key_infos0]
+        stats = _seg_stats(out0)
+    else:
+        # cross-segment merge: per-key global tables = union of the
+        # per-segment dictionaries; remap each segment's composite group
+        # ids into the global id space, then scatter-reduce its arrays.
+        K = len(outs[0][1])
+        tables = [np.unique(np.concatenate(
+            [np.asarray(ki[d][1]) for ki, _s, _o in outs])).tolist()
+            for d in range(K)]
+        gsizes = [len(t) + 1 for t in tables]
+        G = int(np.prod(gsizes))
+        stats = {op: {} for op in ops}
+        for op in ops:
+            for s in stat_names:
+                if op is None and s in ("min", "max"):
+                    continue       # base COUNT op carries no min/max
+                stats[op][s] = (np.full(G, 3.4e38) if s == "min" else
+                                np.full(G, -3.4e38) if s == "max" else
+                                np.zeros(G))
+        for key_infos, sizes, out in outs:
+            sst = _seg_stats(out)
+            nz = np.nonzero(sst[None]["count"] > 0)[0]
+            if nz.size == 0:
+                continue
+            g = nz.copy()
+            dims = []
+            for d in range(K - 1, -1, -1):
+                g, r = np.divmod(g, sizes[d])
+                loc = list(key_infos[d][1])
+                if loc:
+                    remap = np.searchsorted(np.asarray(tables[d]),
+                                            np.asarray(loc))
+                    gr = np.where(r < len(loc),
+                                  remap[np.minimum(r, len(loc) - 1)],
+                                  len(tables[d]))
+                else:
+                    gr = np.full(nz.shape, len(tables[d]), np.int64)
+                dims.append(gr)
+            dims.reverse()
+            ggid = np.zeros(nz.shape, np.int64)
+            for d in range(K):
+                ggid = ggid * gsizes[d] + dims[d]
+            for op in ops:
+                for s, arr in sst[op].items():
+                    if s not in stats[op]:
+                        continue
+                    v = arr[nz]
+                    if s == "min":
+                        np.minimum.at(stats[op][s], ggid, v)
+                    elif s == "max":
+                        np.maximum.at(stats[op][s], ggid, v)
+                    else:
+                        np.add.at(stats[op][s], ggid, v)
 
-        for g in np.nonzero(counts0 > 0)[0]:
-            val = _decode(int(g))
-            slot = acc.setdefault(val, {})
-            for op in [None] + op_list:
-                stats = slot.setdefault(str(op), {
-                    "count": 0.0, "sum": 0.0, "sumsq": 0.0,
-                    "min": 3.4e38, "max": -3.4e38})
-                dev = per_op[op]
-                stats["count"] += float(dev["count"][g])
-                stats["sum"] += float(dev["sum"][g])
-                stats["sumsq"] += float(dev["sumsq"][g])
-                if want_minmax and "min" in dev:  # base COUNT op has none
-                    stats["min"] = min(stats["min"], float(dev["min"][g]))
-                    stats["max"] = max(stats["max"], float(dev["max"][g]))
+    gsizes = [len(t) + 1 for t in tables]
+    base_cnt = stats[None]["count"]
+    present = base_cnt > 0
 
-    rows = []
-    for val, slot in acc.items():
-        row = {b: v for b, v in zip(group.by, val)}
+    # reducer output columns over the full [G] group space
+    red_cols: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    red_order: list[str] = []
+    with np.errstate(divide="ignore", invalid="ignore"):
         for name, args, alias in group.reducers:
             nm = name.upper()
             alias = alias or make_reducer(name, list(args)).default_alias()
-            op = "None" if nm == "COUNT" else str(args[0].lstrip("@"))
-            st = slot.get(op) or next(iter(slot.values()))
+            op = None if nm == "COUNT" else str(args[0].lstrip("@"))
+            st = stats.get(op) or stats[None]
             c = st["count"]
             if nm == "COUNT":
-                row[alias] = c
+                vals, nulls = c, ~present
             elif nm == "SUM":
-                row[alias] = st["sum"]
+                vals, nulls = st["sum"], ~present
             elif nm == "AVG":
-                row[alias] = st["sum"] / c if c else E.NULL
+                vals = np.where(c > 0, st["sum"] / np.maximum(c, 1.0), 0.0)
+                nulls = c == 0
             elif nm == "MIN":
-                row[alias] = st["min"] if c else E.NULL
+                vals, nulls = st.get("min", c), c == 0
             elif nm == "MAX":
-                row[alias] = st["max"] if c else E.NULL
-            elif nm == "STDDEV":
-                if c < 2:
-                    row[alias] = 0.0 if c else E.NULL
-                else:
-                    var = (st["sumsq"] - st["sum"] ** 2 / c) / (c - 1)
-                    row[alias] = max(var, 0.0) ** 0.5
-        rows.append(row)
+                vals, nulls = st.get("max", c), c == 0
+            else:  # STDDEV
+                var = ((st["sumsq"] - st["sum"] ** 2 / np.maximum(c, 1.0))
+                       / np.maximum(c - 1.0, 1.0))
+                vals = np.where(c >= 2, np.sqrt(np.maximum(var, 0.0)), 0.0)
+                nulls = c == 0
+            red_cols[alias] = (vals, nulls)
+            if alias not in red_order:
+                red_order.append(alias)
+
+    def key_col(d: int, idxs: np.ndarray):
+        """Decoded group-key column d at `idxs` as an object array
+        (None = missing, matching E.NULL)."""
+        div = 1
+        for dd in range(d + 1, len(gsizes)):
+            div *= gsizes[dd]
+        r = (idxs // div) % gsizes[d]
+        tarr = np.array(list(tables[d]) + [None], dtype=object)
+        return tarr[r], r == len(tables[d])
+
+    def key_rank(d: int):
+        """Per-local-id sort rank for key column d (tables aren't
+        necessarily sorted; rank via argsort once per column)."""
+        tbl = tables[d]
+        rank = np.zeros(len(tbl) + 1, np.float64)
+        if tbl:
+            order = np.argsort(np.asarray(tbl), kind="stable")
+            rank[order] = np.arange(len(tbl), dtype=np.float64)
+        return rank
+
+    sel = np.nonzero(present)[0]
+    by_names = list(group.by)
     for step in tail:
-        if isinstance(step, SortStep):
-            rows = _sort(rows, step)
-        elif isinstance(step, LimitStep):
-            rows = rows[step.offset:step.offset + step.num]
+        if isinstance(step, LimitStep):
+            sel = sel[step.offset:step.offset + step.num]
+            continue
+        # SortStep: np.lexsort uses the LAST column as primary — emit
+        # (value, null-tier) pairs from the least-significant key up.
+        # NULLs rank last regardless of direction (reference:
+        # value/src/comparison.rs cmp_fields), hence the un-negated tier.
+        lex = []
+        for prop, asc in reversed(step.keys):
+            if prop in red_cols:
+                vals, nulls = red_cols[prop]
+                v, nl = vals[sel].astype(np.float64), nulls[sel]
+            elif prop in by_names:
+                d = by_names.index(prop)
+                div = 1
+                for dd in range(d + 1, len(gsizes)):
+                    div *= gsizes[dd]
+                r = (sel // div) % gsizes[d]
+                v, nl = key_rank(d)[r], r == len(tables[d])
+            else:   # unknown property: NULL everywhere, stable order
+                v = np.zeros(sel.shape, np.float64)
+                nl = np.ones(sel.shape, bool)
+            lex.append(np.where(nl, 0.0, v if asc else -v))
+            lex.append(nl)
+        if lex:
+            sel = sel[np.lexsort(lex)]
+        if step.max:
+            sel = sel[:step.max]
+
+    key_vals = [key_col(d, sel)[0] for d in range(len(by_names))]
+    red_sel = [(alias, red_cols[alias][0][sel], red_cols[alias][1][sel])
+               for alias in red_order]
+    rows = []
+    for i in range(len(sel)):
+        row = {b: key_vals[d][i] for d, b in enumerate(by_names)}
+        for alias, va, nu in red_sel:
+            row[alias] = E.NULL if nu[i] else float(va[i])
+        rows.append(row)
     return AggregateResult(total=total, rows=rows)
 
 
@@ -744,7 +877,10 @@ def run_aggregate_streaming(index, req: AggregateRequest):
     construction and the host steps pull chunk by chunk — a LIMIT that
     fills early never touches the remaining rows."""
     index.commit()
-    opts = QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+    opts = (QueryOptions(scorer=req.scorer, verbatim=req.verbatim)
+            if req.now is None else
+            QueryOptions(scorer=req.scorer, verbatim=req.verbatim,
+                         now=req.now))
     cq = index.prepare(req.query, req.params, opts, req.dialect)
 
     fast = _try_device_group(index, req, cq)
