@@ -492,6 +492,60 @@ def _make_fused(cq, raw, G, sizes, in_fields, compiled_pre, operands,
     return fused
 
 
+def _make_fused_cols(cq, raw, sizes, in_fields, compiled_pre, operands):
+    """Window half of the batched device program: per query, emit the
+    pre-masked gid slots + op value columns over the query's candidate
+    window.  The lax.scan over queries stacks these into [B, S, Wc] /
+    [B, n_ops, Wc]; ONE groupby_aggregate_batch kernel then aggregates
+    the whole batch (grid step per query) instead of paying the ~150 us
+    per-call Pallas floor per query inside the scan."""
+    import jax.numpy as jnp
+
+    def fused(seg_args_, dyn_args, _raw=raw,
+              _sizes=tuple(sizes),
+              _in_fields=tuple(in_fields),
+              _pre=tuple(compiled_pre),
+              _ops=tuple(operands)):
+        out = _raw(seg_args_, dyn_args)
+        docs, valid = out["docs"], out["valid"]
+        n_pad_ = seg_args_["gb_keys"].shape[1]
+        cd = jnp.minimum(docs, n_pad_ - 1)
+        cols = {}
+        for j, nm_ in enumerate(_in_fields):
+            cols[nm_] = (seg_args_["gb_num_vals"][j][cd],
+                         seg_args_["gb_num_pres"][j][cd])
+        for kind, alias, fn_ in _pre:
+            if kind == "apply":
+                cols[alias] = fn_(cols)
+            else:
+                fv, fp = fn_(cols)
+                valid = valid & fp & (fv != 0.0)
+        gid = jnp.zeros(docs.shape, jnp.int32)
+        for k_, sz_ in enumerate(_sizes):
+            idk = seg_args_["gb_keys"][k_][cd]
+            idk = jnp.where(idk < 0, sz_ - 1, idk)
+            gid = gid * sz_ + idk
+        slots = [jnp.where(valid, gid, -1)]
+        vlist = []
+        for op_ in _ops:
+            v, p = cols[op_]
+            v = jnp.broadcast_to(v, docs.shape)
+            p = jnp.broadcast_to(p, docs.shape)
+            slots.append(jnp.where(valid & p, gid, -1))
+            vlist.append(v)
+        return {"count": out["count"],
+                "gslots": jnp.stack(slots),
+                "vals": (jnp.stack(vlist) if vlist
+                         else jnp.zeros((0,) + docs.shape, jnp.float32))}
+
+    return fused
+
+
+#: cap on B x S x Wc elements staged for the batched groupby kernel
+#: (HBM scratch for the scan outputs; 64M int32 = 256 MB)
+_MAX_BATCH_STAGE = 64_000_000
+
+
 def _gb_seg_state(cq, seg) -> str:
     """Segment-state part of the device-GROUPBY compile-cache key.
     Must carry everything _build_fn's program STRUCTURE depends on —
@@ -572,6 +626,8 @@ def _device_group_submit_batch(index, items):
     req0, cq0, plan0 = items[0]
     (group0, _tail0, operands, want_minmax, compiled_pre, in_fields,
      pre_sig) = plan0
+    want_sumsq = any(n.upper() == "STDDEV"
+                     for n, _a, _al in group0.reducers)
     B = len(items)
     Bp = int(next_pow2(B))
     seg_parts = []
@@ -584,26 +640,62 @@ def _device_group_submit_batch(index, items):
         rows += [rows[-1]] * (Bp - B)     # pad: executables per pow2
         ent = cq0.bind_row(seg)[1]
         _static, _patches, layout, total, buckets, P, _gsig, lfp = ent
-        sig = ("devgroupB|" + cq0.signature(
+        sig = ("devgroupB2|" + cq0.signature(
             f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
-            f"|mm={want_minmax}|by={tuple(group0.by)}|pre={pre_sig}"
+            f"|mm={want_minmax}|ws={want_sumsq}|by={tuple(group0.by)}"
+            f"|pre={pre_sig}"
             f"|B={Bp}|{_gb_seg_state(cq0, seg)}", buckets, P, 1)
             + f"|rows[{lfp}]")
         entry = _COMPILE_CACHE.get(sig)
         if entry is None:
+            from ..ops.groupby import groupby_aggregate_batch
+            from ..query.engine import _device_unpack
             raw = _build_fn(cq0, seg, buckets, P, 1, has_extra=False,
                             mode="window", jit=False)
-            fused1 = _make_fused(cq0, raw, G, sizes, in_fields,
-                                 compiled_pre, operands, want_minmax)
+            # window width (static): decides whether the whole batch can
+            # stage its (gid, value) windows for the ONE-dispatch batched
+            # groupby kernel, or must fall back to the per-query scan of
+            # fused aggregations (match-all roots at 1M rows would stage
+            # B x S x n_pad — too much HBM scratch; MIN/MAX reducers only
+            # have the per-query kernel today)
+            fused_cols = _make_fused_cols(cq0, raw, sizes, in_fields,
+                                          compiled_pre, operands)
+            dyn_proto = _device_unpack(layout,
+                                       _np.zeros(total, _np.int32))
+            shp = jax.eval_shape(lambda sa, d: fused_cols(sa, d),
+                                 seg_args, dyn_proto)
+            Wc = shp["gslots"].shape[1]
+            S = shp["gslots"].shape[0]
+            use_batch_kernel = (
+                not want_minmax
+                and Bp * Wc * (S + max(S - 1, 1)) <= _MAX_BATCH_STAGE)
+            if use_batch_kernel:
+                def fused_batch(seg_args_, dyn, _fc=fused_cols,
+                                _layout=layout, _G=G, _ws=want_sumsq):
+                    stacked = _device_unpack_rows(_layout, dyn["rows"])
 
-            def fused_batch(seg_args_, dyn, _f=fused1, _layout=layout):
-                stacked = _device_unpack_rows(_layout, dyn["rows"])
+                    def body(c, row_dyn):
+                        return c, _fc(seg_args_, row_dyn)
 
-                def body(c, row_dyn):
-                    return c, _f(seg_args_, row_dyn)
+                    _c, res = jax.lax.scan(body, None, stacked)
+                    gs = res.pop("gslots")
+                    vs = res.pop("vals")
+                    res.update(groupby_aggregate_batch(
+                        gs, vs, _G, want_sumsq=_ws))
+                    return res
+            else:
+                fused1 = _make_fused(cq0, raw, G, sizes, in_fields,
+                                     compiled_pre, operands, want_minmax)
 
-                _c, res = jax.lax.scan(body, None, stacked)
-                return res
+                def fused_batch(seg_args_, dyn, _f=fused1,
+                                _layout=layout):
+                    stacked = _device_unpack_rows(_layout, dyn["rows"])
+
+                    def body(c, row_dyn):
+                        return c, _f(seg_args_, row_dyn)
+
+                    _c, res = jax.lax.scan(body, None, stacked)
+                    return res
 
             entry = _PackedExecutor(
                 fused_batch, {"rows": _np.zeros((Bp, total), _np.int32)},

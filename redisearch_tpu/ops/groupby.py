@@ -158,6 +158,129 @@ def _groupby_pallas(g: jnp.ndarray, vm: jnp.ndarray, n_groups: int,
     return jnp.stack([cnt, sm, sq, mm[0], mm[1]])
 
 
+def _sums_batch_kernel(gh, n_ops, want_sumsq, g_ref, v_ref, out_ref):
+    """Batched multi-column variant of _sums_kernel: grid (B, chunks),
+    one query per leading grid index.  g_ref block (1, S, pc) carries
+    PRE-MASKED gids per slot (slot 0 = base valid mask, slot 1+j =
+    op j's valid&present mask; -1 = skip row); v_ref (1, n_ops, pc) the
+    op values.  out_ref (1, R, 128): rows [0:gh) base count, then per op
+    gh count + gh sum (+ gh sumsq).  One kernel call aggregates the
+    whole batch — the per-call floor (~150 us inside a lax.scan, from
+    launch+DMA per query) was the entire cost of batched aggregate
+    serving; as grid steps the same work costs ~1-3 us/query."""
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    pc = g_ref.shape[2]
+    hi_lane = jax.lax.broadcasted_iota(jnp.int32, (gh, pc), 0)
+    lo_lane = jax.lax.broadcasted_iota(jnp.int32, (pc, PG), 1)
+    dims = (((1,), (0,)), ((), ()))
+
+    for s in range(n_ops + 1):
+        g = g_ref[0, s, :]
+        hi = jax.lax.div(g, PG)                    # -1 -> hi=-1: no match
+        lo = jax.lax.rem(g, PG)
+        hi_oh = (hi[None, :] == hi_lane).astype(jnp.bfloat16)
+        lo_oh = (lo[:, None] == lo_lane).astype(jnp.bfloat16)
+
+        def dot16(lhs, _lo=lo_oh):
+            return jax.lax.dot_general(
+                lhs, _lo, dims, preferred_element_type=jnp.float32)
+
+        row = 0 if s == 0 else gh + (s - 1) * gh * (2 + int(want_sumsq))
+        out_ref[0, row:row + gh, :] += dot16(hi_oh)        # count
+        if s > 0:
+            v = v_ref[0, s - 1, :]
+            v1 = v.astype(jnp.bfloat16)
+            v2 = (v - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[0, row + gh:row + 2 * gh, :] += (
+                dot16(hi_oh * v1[None, :]) + dot16(hi_oh * v2[None, :]))
+            if want_sumsq:
+                vv = v * v
+                w1 = vv.astype(jnp.bfloat16)
+                w2 = (vv - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+                out_ref[0, row + 2 * gh:row + 3 * gh, :] += (
+                    dot16(hi_oh * w1[None, :]) + dot16(hi_oh * w2[None, :]))
+
+
+@partial(jax.jit, static_argnames=("n_groups", "want_sumsq"))
+def groupby_aggregate_batch(gslots: jnp.ndarray, vals: jnp.ndarray,
+                            n_groups: int, want_sumsq: bool = True):
+    """Whole-batch GROUPBY: B queries' (pre-masked gid slots, values) ->
+    per-query per-group stats in ONE Pallas dispatch.
+
+    gslots: int32 [B, 1 + n_ops, n] — slot 0 masked by the query's base
+        validity, slot 1+j by op j's validity&presence (-1 = skip)
+    vals: float32 [B, n_ops, n] op values
+    Returns {"g.None.count": [B, G], "g.{j}.count"/"g.{j}.sum"
+    (/"g.{j}.sumsq"): [B, G]} matching the scalar path's key naming.
+    """
+    B, S, n = gslots.shape
+    n_ops = S - 1
+    pc = int(max(512, min(PC, n)))
+    n_pad = ((n + pc - 1) // pc) * pc
+    if n_pad != n:
+        gslots = jnp.pad(gslots, ((0, 0), (0, 0), (0, n_pad - n)),
+                         constant_values=-1)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, n_pad - n)))
+    G_pad = ((n_groups + PG - 1) // PG) * PG
+    gh = G_pad // PG
+    rows = gh * (1 + n_ops * (2 + int(want_sumsq)))
+    R = ((rows + 7) // 8) * 8
+    if vals.shape[1] == 0:           # pallas needs a non-empty operand
+        vals = jnp.zeros((B, 1, n_pad), jnp.float32)
+    if _INTERPRET or jax.default_backend() != "cpu":
+        out = pl.pallas_call(
+            partial(_sums_batch_kernel, gh, n_ops, want_sumsq),
+            grid=(B, n_pad // pc),
+            in_specs=[
+                pl.BlockSpec((1, S, pc), lambda b, ci: (b, 0, ci)),
+                pl.BlockSpec((1, max(n_ops, 1), pc),
+                             lambda b, ci: (b, 0, ci)),
+            ],
+            out_specs=pl.BlockSpec((1, R, PG), lambda b, ci: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, R, PG), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=_INTERPRET,
+        )(gslots, vals)
+    else:
+        # CPU fallback: XLA segment sums per (query, slot)
+        parts = []
+        for s in range(S):
+            g = jnp.where(gslots[:, s] >= 0, gslots[:, s], G_pad)
+            oh_cnt = jax.vmap(lambda gi: jax.ops.segment_sum(
+                (gi < G_pad).astype(jnp.float32), gi,
+                num_segments=G_pad + 1)[:G_pad])(g)
+            parts.append(oh_cnt.reshape(B, gh, PG))
+            if s > 0:
+                v = jnp.where(gslots[:, s] >= 0, vals[:, s - 1], 0.0)
+                sm = jax.vmap(lambda gi, vi: jax.ops.segment_sum(
+                    vi, gi, num_segments=G_pad + 1)[:G_pad])(g, v)
+                parts.append(sm.reshape(B, gh, PG))
+                if want_sumsq:
+                    sq = jax.vmap(lambda gi, vi: jax.ops.segment_sum(
+                        vi * vi, gi, num_segments=G_pad + 1)[:G_pad])(g, v)
+                    parts.append(sq.reshape(B, gh, PG))
+        out = jnp.concatenate(parts, axis=1)
+        R = out.shape[1]
+    res = {"g.None.count": out[:, 0:gh].reshape(B, -1)[:, :n_groups]}
+    per_op = 2 + int(want_sumsq)
+    for j in range(n_ops):
+        row = gh + j * gh * per_op
+        res[f"g.{j}.count"] = out[:, row:row + gh].reshape(
+            B, -1)[:, :n_groups]
+        res[f"g.{j}.sum"] = out[:, row + gh:row + 2 * gh].reshape(
+            B, -1)[:, :n_groups]
+        if want_sumsq:
+            res[f"g.{j}.sumsq"] = out[:, row + 2 * gh:row + 3 * gh
+                                      ].reshape(B, -1)[:, :n_groups]
+    return res
+
+
 @partial(jax.jit, static_argnames=("n_groups", "want_minmax"))
 def groupby_aggregate(gids: jnp.ndarray, valid: jnp.ndarray,
                       values: jnp.ndarray, n_groups: int,

@@ -269,6 +269,47 @@ def test_phrase_kernel_interpret(interpret_mode, slop):
     assert int(np.asarray(kc).sum()) > 0, "no phrase matches generated"
 
 
+@pytest.mark.parametrize("n_ops,want_sumsq", [(0, False), (1, False),
+                                              (2, True)],
+                         ids=["count-only", "one-op", "two-op-sumsq"])
+def test_groupby_batch_kernel_interpret(interpret_mode, n_ops,
+                                        want_sumsq):
+    """The whole-batch GROUPBY kernel (one grid step per query) must
+    match a per-query numpy oracle for every (slot, stat) column."""
+    rng = np.random.default_rng(47)
+    B, n, G = 6, 8_000, 300
+    S = 1 + n_ops
+    gslots = rng.integers(-1, G, size=(B, S, n)).astype(np.int32)
+    # sprinkle extra -1 masking so per-slot masks genuinely differ
+    gslots[rng.random((B, S, n)) < 0.3] = -1
+    vals = rng.normal(5.0, 2.0, (B, max(n_ops, 0), n)).astype(np.float32)
+    got = {k: np.asarray(v) for k, v in GB.groupby_aggregate_batch(
+        jnp.asarray(gslots), jnp.asarray(vals), G,
+        want_sumsq=want_sumsq).items()}
+    for b in range(B):
+        g0 = gslots[b, 0]
+        ok0 = g0 >= 0
+        exp = np.bincount(g0[ok0], minlength=G)[:G].astype(np.float32)
+        np.testing.assert_allclose(got["g.None.count"][b], exp,
+                                   rtol=1e-6)
+        for j in range(n_ops):
+            gj = gslots[b, 1 + j]
+            okj = gj >= 0
+            v = vals[b, j]
+            np.testing.assert_allclose(
+                got[f"g.{j}.count"][b],
+                np.bincount(gj[okj], minlength=G)[:G], rtol=1e-6)
+            np.testing.assert_allclose(
+                got[f"g.{j}.sum"][b],
+                np.bincount(gj[okj], weights=v[okj], minlength=G)[:G],
+                rtol=1e-4, atol=1e-2)
+            if want_sumsq:
+                np.testing.assert_allclose(
+                    got[f"g.{j}.sumsq"][b],
+                    np.bincount(gj[okj], weights=(v * v)[okj],
+                                minlength=G)[:G], rtol=1e-4, atol=0.5)
+
+
 @pytest.mark.parametrize("want_minmax", [True, False],
                          ids=["minmax", "sums"])
 def test_groupby_kernel_interpret(interpret_mode, want_minmax):
