@@ -546,6 +546,133 @@ def _make_fused_cols(cq, raw, sizes, in_fields, compiled_pre, operands):
 _MAX_BATCH_STAGE = 64_000_000
 
 
+def _seg_posting_cols(index, seg, cq, group, in_fields, sizes):
+    """Posting-ALIGNED device columns for the kernel-raw GROUPBY path:
+    the composite group id, and each input numeric field's (value,
+    present), all gathered once to align with seg.text's posting arrays
+    (reshaped [rows, 128] to match the kernel's whole-row DMA view).
+    The intersection kernel's raw windows are pivot-posting-row-aligned,
+    so per query these columns SLICE (contiguous DMA) instead of
+    gathering [W] random doc ids — the gathers were ~40% of the fused
+    window program.  Cached per (by-keys, in_fields): segments are
+    immutable after seal.  ~4 bytes/posting/column of HBM."""
+    import jax.numpy as jnp
+
+    cache = getattr(seg, "_gbpcols_cache", None)
+    if cache is None:
+        cache = seg._gbpcols_cache = {}
+    ckey = (tuple(group.by), tuple(in_fields))
+    ent = cache.get(ckey)
+    if ent is not None:
+        return ent
+    ga = _seg_group_args(index, seg, cq, group, in_fields)
+    key_infos, _sizes, _G, seg_args = ga
+    n_pad = seg.n_pad
+    cd = jnp.minimum(seg.text.doc_ids, n_pad - 1)
+    gid = jnp.zeros((n_pad,), jnp.int32)
+    for k_, sz_ in enumerate(sizes):
+        idk = seg_args["gb_keys"][k_]
+        idk = jnp.where(idk < 0, sz_ - 1, idk)
+        gid = gid * sz_ + idk
+    n2 = seg.text.doc_ids.shape[0] // 128
+    cols = {"pgb_gid": gid[cd].reshape(n2, 128)}
+    for j, nm in enumerate(in_fields):
+        cols[f"pgb_v{j}"] = seg_args["gb_num_vals"][j][cd].reshape(
+            n2, 128)
+        cols[f"pgb_p{j}"] = seg_args["gb_num_pres"][j][cd].reshape(
+            n2, 128)
+    if len(cache) > 4:
+        cache.clear()
+    cache[ckey] = cols
+    return cols
+
+
+def _make_kernel_groupby(kplan, layout, sizes, in_fields, compiled_pre,
+                         operands, G, want_sumsq):
+    """Fused batched GROUPBY over the Pallas intersection mega-kernel:
+    raw-mode masked pivot windows (one grid step per query — replaces
+    the per-query XLA window set algebra, which measured ~400 us/query
+    at 2k-wide windows vs the kernel's ~3-10 us) + contiguous slices of
+    posting-aligned (gid, value, present) columns + ONE batched one-hot
+    aggregation kernel.  Returns the fused fn and the raw lane width."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops import intersect as IK
+    from ..ops.groupby import groupby_aggregate_batch
+    from ..query.engine import (_device_unpack_rows,
+                                _kernel_batched_inputs)
+
+    (slot_descs, Ws, kgroups, pivot_g, aux_keys, kdense, dmeta) = kplan
+    pivots = list(kgroups[pivot_g][1])
+    rowsk = [Ws[t] // IK.BLK + IK.R_EXTRA for t in range(len(slot_descs))]
+    W_raw = sum(rowsk[p] for p in pivots) * IK.BLK
+    INF = jnp.int32(2**31 - 1)
+
+    def fused(seg_args_, dyn, _descs=slot_descs, _Ws=Ws,
+              _groups=kgroups, _pg=pivot_g, _aux=aux_keys,
+              _dense=kdense, _dmeta=dmeta,
+              _in_fields=tuple(in_fields), _pre=tuple(compiled_pre),
+              _ops=tuple(operands)):
+        stacked = _device_unpack_rows(layout, dyn["rows"])
+        meta, fmeta, aux_arrs = _kernel_batched_inputs(
+            stacked, seg_args_, _descs, _aux, _dmeta)
+        docs, _scores, count = IK.intersect_batch(
+            meta, fmeta, seg_args_["doc_ids"], seg_args_["freqs"],
+            seg_args_["field_masks"], seg_args_["posting_dl"],
+            *aux_arrs, T=len(_descs), Ws=_Ws, groups=_groups,
+            pivot_g=_pg, k=16, dense=_dense, raw=True)   # [B, W_raw]
+        # contiguous per-query slices of the posting-aligned columns at
+        # the pivot slots' window rows (same offsets the kernel DMA'd)
+        srows = jnp.stack(
+            [stacked["tstarts"][:, _descs[p][1]] // IK.BLK
+             for p in pivots], axis=1).astype(jnp.int32)   # [B, P_n]
+        names = (["pgb_gid"]
+                 + [x for j in range(len(_in_fields))
+                    for x in (f"pgb_v{j}", f"pgb_p{j}")])
+
+        def body(c, st):
+            out = {}
+            for nm in names:
+                arr = seg_args_[nm]
+                parts = [jax.lax.dynamic_slice(
+                    arr, (st[i], 0), (rowsk[p], IK.BLK))
+                    for i, p in enumerate(pivots)]
+                out[nm] = (parts[0] if len(parts) == 1
+                           else jnp.concatenate(parts)).reshape(-1)
+            return c, out
+
+        _c, lane = jax.lax.scan(body, None, srows)   # each [B, W_raw]
+        valid = docs != INF
+        cols = {}
+        for j, nm in enumerate(_in_fields):
+            cols[nm] = (lane[f"pgb_v{j}"], lane[f"pgb_p{j}"])
+        for kind, alias, fn_ in _pre:
+            if kind == "apply":
+                cols[alias] = fn_(cols)
+            else:
+                fv, fp = fn_(cols)
+                valid = valid & fp & (fv != 0.0)
+        gid = lane["pgb_gid"]
+        slots = [jnp.where(valid, gid, -1)]
+        vlist = []
+        for op_ in _ops:
+            v, p = cols[op_]
+            v = jnp.broadcast_to(v, docs.shape)
+            p = jnp.broadcast_to(p, docs.shape)
+            slots.append(jnp.where(valid & p, gid, -1))
+            vlist.append(v)
+        gs = jnp.stack(slots, axis=1)
+        vs = (jnp.stack(vlist, axis=1) if vlist
+              else jnp.zeros((docs.shape[0], 0) + docs.shape[1:],
+                             jnp.float32))
+        res = {"count": count}
+        res.update(groupby_aggregate_batch(gs, vs, G,
+                                           want_sumsq=want_sumsq))
+        return res
+
+    return fused, W_raw
+
+
 def _gb_seg_state(cq, seg) -> str:
     """Segment-state part of the device-GROUPBY compile-cache key.
     Must carry everything _build_fn's program STRUCTURE depends on —
@@ -640,13 +767,43 @@ def _device_group_submit_batch(index, items):
         rows += [rows[-1]] * (Bp - B)     # pad: executables per pow2
         ent = cq0.bind_row(seg)[1]
         _static, _patches, layout, total, buckets, P, _gsig, lfp = ent
+        # kernel-raw fast path eligibility (see _make_kernel_groupby).
+        # _use_pallas gates it off plain-CPU runs: the XLA twin of the
+        # intersection kernel has no raw mode (interpret-mode CI covers
+        # the kernel lowering instead).
+        from ..ops import intersect as IK
+        from ..query.engine import _kernel_plan
+        kplan = (None if want_minmax or not IK._use_pallas()
+                 else _kernel_plan(cq0, seg, buckets, 16))
+        if kplan is not None:
+            pivots_k = list(kplan[2][kplan[3]][1])
+            if not all(kplan[0][p][0] == "t" for p in pivots_k):
+                kplan = None
+            else:
+                Wr = sum(kplan[1][p] // IK.BLK + IK.R_EXTRA
+                         for p in pivots_k) * IK.BLK
+                n_ops = len(operands)
+                if Bp * Wr * (2 + 3 * n_ops
+                              + 2 * len(in_fields)) > _MAX_BATCH_STAGE:
+                    kplan = None
         sig = ("devgroupB2|" + cq0.signature(
             f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
             f"|mm={want_minmax}|ws={want_sumsq}|by={tuple(group0.by)}"
-            f"|pre={pre_sig}"
+            f"|pre={pre_sig}|kp={kplan is not None}"
             f"|B={Bp}|{_gb_seg_state(cq0, seg)}", buckets, P, 1)
             + f"|rows[{lfp}]")
+        if kplan is not None:
+            seg_args.update(_seg_posting_cols(index, seg, cq0, group0,
+                                              in_fields, sizes))
         entry = _COMPILE_CACHE.get(sig)
+        if entry is None and kplan is not None:
+            fused_k, _Wr = _make_kernel_groupby(
+                kplan, layout, sizes, in_fields, compiled_pre,
+                operands, G, want_sumsq)
+            entry = _PackedExecutor(
+                fused_k, {"rows": _np.zeros((Bp, total), _np.int32)},
+                seg_args)
+            _COMPILE_CACHE[sig] = entry
         if entry is None:
             from ..ops.groupby import groupby_aggregate_batch
             from ..query.engine import _device_unpack

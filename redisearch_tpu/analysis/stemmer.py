@@ -148,10 +148,16 @@ class Stemmer:
                 self._fn = porter_stem
             else:
                 self._fn = _light_stemmer(_LIGHT_SUFFIXES.get(lang, ()))
-        elif lang in _LIGHT_SUFFIXES:
-            self._fn = _light_stemmer(_LIGHT_SUFFIXES[lang])
         else:
-            self._fn = lambda w: w
+            from .snowball_ext import SNOWBALL_EXT
+            ext = SNOWBALL_EXT.get(lang)
+            if ext is not None:
+                import functools
+                self._fn = functools.lru_cache(maxsize=262144)(ext)
+            elif lang in _LIGHT_SUFFIXES:
+                self._fn = _light_stemmer(_LIGHT_SUFFIXES[lang])
+            else:
+                self._fn = lambda w: w
 
     def stem(self, token: str) -> Optional[str]:
         """Return the stem, or None if stemming changes nothing."""

@@ -51,6 +51,7 @@ from .segment import (
     make_numeric_column,
     make_vector_column,
     next_pow2,
+    posting_pad,
     round_up,
     tail_pad,
 )
@@ -257,7 +258,13 @@ class SegmentBuilder:
         n_tok = 0
         max_pos = 0
         fbit = 1 << field.field_id
-        w = field.weight
+        # Stored freqs are field-WEIGHT-scaled, and the intersection
+        # kernel derives membership from (tf sum > 0) (_member_pass's
+        # want_tf fast path).  Clamp non-positive weights to a tiny
+        # epsilon so a WEIGHT 0 field still registers hits (and NOT
+        # exclusions) while contributing ~0 BM25 score — matching the
+        # XLA twin's membership-based hit.
+        w = field.weight if field.weight > 0 else 1e-6
         for tok in tk.tokenize(text):
             n_tok += 1
             if tok.is_stopword or field.noindex:
@@ -465,12 +472,17 @@ class SegmentBuilder:
         dev = (lambda a: np.ascontiguousarray(a)) if cold else jnp.asarray
         text = TextPostings(
             term_offsets=dev(term_offsets.astype(np.int32)),
-            doc_ids=dev(tail_pad(doc_ids, cap)),
-            freqs=dev(tail_pad(freqs, cap)),
-            field_masks=dev(tail_pad(field_masks, cap)),
-            doclens=dev(tail_pad(posting_dl, cap)),
+            doc_ids=dev(tail_pad(doc_ids,
+                                 posting_pad(len(doc_ids), cap))),
+            freqs=dev(tail_pad(freqs, posting_pad(len(freqs), cap))),
+            field_masks=dev(tail_pad(field_masks,
+                                     posting_pad(len(field_masks), cap))),
+            doclens=dev(tail_pad(posting_dl,
+                                 posting_pad(len(posting_dl), cap))),
             pos_offsets=dev(pos_offsets.astype(np.int32)),
-            poskeys=dev(tail_pad(poskeys, POS_SLICE_PAD,
+            poskeys=dev(tail_pad(poskeys,
+                                 posting_pad(len(poskeys),
+                                             POS_SLICE_PAD),
                                  2**31 - 1)),
             pos_stride=pos_stride,
             nnz=nnz,
@@ -504,7 +516,7 @@ class SegmentBuilder:
                 ids={v: i for i, v in enumerate(values)},
                 values=values,
                 offsets=dev(t_off.astype(np.int32)),
-                doc_ids=dev(tail_pad(t_ids, cap)),
+                doc_ids=dev(tail_pad(t_ids, posting_pad(len(t_ids), cap))),
                 nnz=t_nnz,
                 max_postings=t_max,
                 offsets_np=t_off.astype(np.int32),

@@ -22,6 +22,7 @@ from ..utils.jsonpath import get_field_value
 from .builder import MAX_POS_STRIDE, SegmentBuilder
 from .doctable import DocMeta
 from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
+                      posting_pad,
                       Segment, StrColumn, TagPostings, TermDict, build_tag_codes,
                       TextPostings, VectorColumn, make_numeric_column,
                       make_vector_column,
@@ -189,12 +190,14 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
     posting_dl = dl[di]  # per-posting doc length
     text = TextPostings(
         term_offsets=jnp.asarray(term_offsets),
-        doc_ids=jnp.asarray(tail_pad(di, cap)),
-        freqs=jnp.asarray(tail_pad(fr, cap)),
-        field_masks=jnp.asarray(tail_pad(ms, cap)),
-        doclens=jnp.asarray(tail_pad(posting_dl, cap)),
+        doc_ids=jnp.asarray(tail_pad(di, posting_pad(len(di), cap))),
+        freqs=jnp.asarray(tail_pad(fr, posting_pad(len(fr), cap))),
+        field_masks=jnp.asarray(tail_pad(ms, posting_pad(len(ms), cap))),
+        doclens=jnp.asarray(tail_pad(posting_dl,
+                                     posting_pad(len(posting_dl), cap))),
         pos_offsets=jnp.asarray(po.astype(np.int32)),
-        poskeys=jnp.asarray(tail_pad(pk, POS_SLICE_PAD, 2**31 - 1)),
+        poskeys=jnp.asarray(tail_pad(
+            pk, posting_pad(len(pk), POS_SLICE_PAD), 2**31 - 1)),
         pos_stride=pos_stride, nnz=int(nnz),
         max_postings=int(max_postings), term_offsets_np=term_offsets,
         pos_offsets_np=pos_offsets.astype(np.int64))
@@ -230,7 +233,8 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         tags[attr] = TagPostings(
             ids={v: i for i, v in enumerate(values)}, values=values,
             offsets=jnp.asarray(t_off.astype(np.int32)),
-            doc_ids=jnp.asarray(tail_pad(t_ids, cap)), nnz=int(t_nnz),
+            doc_ids=jnp.asarray(tail_pad(t_ids, posting_pad(len(t_ids), cap))),
+            nnz=int(t_nnz),
             max_postings=int(t_max), offsets_np=t_off.astype(np.int32),
             codes=build_tag_codes(stage, values, n_pad))
 

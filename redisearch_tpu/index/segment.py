@@ -66,6 +66,24 @@ def tail_pad(arr: np.ndarray, extra: int, fill=0) -> np.ndarray:
     return out
 
 
+# The Pallas kernels (ops/intersect.py) DMA whole 128-lane ROWS: a
+# window starting at `start` reads rows [start//128, start//128 +
+# W//128 + R_EXTRA).  Beyond the XLA SLICE guarantee (start + W <= len)
+# that reaches up to (R_EXTRA + 1) * 128 elements further — without
+# this extra pad a window near the array tail makes the row copy clamp
+# (dynamic-slice semantics), silently SHIFTING the window data against
+# the kernel's start%128 offset and dropping/corrupting matches.
+KERNEL_ROW_PAD = 9 * LANE
+
+
+def posting_pad(n: int, cap: int) -> int:
+    """Tail-pad size for kernel-readable posting arrays: the SLICE
+    guarantee (`cap` >= any window bucket) plus the kernel row-DMA
+    overhang, rounded so the padded length is whole 128-lane rows."""
+    extra = cap + KERNEL_ROW_PAD
+    return extra + (-(n + extra)) % LANE
+
+
 def mask_words(n_text_fields: int) -> int:
     """int32 words per field mask (reference t_fieldMask is 128-bit:
     up to 4 words; single-word masks keep the flat fast path)."""

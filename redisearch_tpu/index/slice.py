@@ -18,8 +18,8 @@ import numpy as np
 
 from .segment import (LANE, POS_SLICE_PAD, GeoColumn, NumericColumn,
                       Segment, StrColumn, TagPostings, TermDict,
-                      TextPostings, VectorColumn, next_pow2, round_up,
-                      tail_pad)
+                      TextPostings, VectorColumn, next_pow2, posting_pad,
+                      round_up, tail_pad)
 
 
 def _ranges_concat(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -121,12 +121,14 @@ def slice_segment(seg: Segment, sel: np.ndarray,
     dev = (lambda a: np.ascontiguousarray(a)) if seg.cold else jnp.asarray
     text = TextPostings(
         term_offsets=dev(new_to.astype(np.int32)),
-        doc_ids=dev(tail_pad(di, cap)),
-        freqs=dev(tail_pad(fr, cap)),
-        field_masks=dev(tail_pad(ms, cap)),
-        doclens=dev(tail_pad(posting_dl, cap)),
+        doc_ids=dev(tail_pad(di, posting_pad(len(di), cap))),
+        freqs=dev(tail_pad(fr, posting_pad(len(fr), cap))),
+        field_masks=dev(tail_pad(ms, posting_pad(len(ms), cap))),
+        doclens=dev(tail_pad(posting_dl,
+                             posting_pad(len(posting_dl), cap))),
         pos_offsets=dev(po_pad.astype(np.int32)),
-        poskeys=dev(tail_pad(pkp, POS_SLICE_PAD, 2**31 - 1)),
+        poskeys=dev(tail_pad(
+            pkp, posting_pad(len(pkp), POS_SLICE_PAD), 2**31 - 1)),
         pos_stride=stride, nnz=nnz_new,
         max_postings=int(new_counts.max()) if n_terms else 0,
         term_offsets_np=new_to.astype(np.int32),
@@ -162,7 +164,8 @@ def slice_segment(seg: Segment, sel: np.ndarray,
         tags[attr] = TagPostings(
             ids=tp.ids, values=tp.values,
             offsets=dev(t_new_off.astype(np.int32)),
-            doc_ids=dev(tail_pad(t_ids, cap)), nnz=t_nnz,
+            doc_ids=dev(tail_pad(t_ids, posting_pad(len(t_ids), cap))),
+            nnz=t_nnz,
             max_postings=int(t_counts.max()) if n_vals else 0,
             offsets_np=t_new_off.astype(np.int32),
             codes=new_codes)

@@ -1805,6 +1805,40 @@ def _kernel_plan_phrase(cq0: CompiledQuery, seg: Segment, bk: dict,
             max(int(leaf.slop), 0))
 
 
+def _kernel_batched_inputs(stacked, seg_args_, descs, aux_keys, dmeta):
+    """Scalar-prefetch inputs for the intersection mega-kernel from the
+    stacked transport rows: per-slot (starts, lens, qmasks) int32 meta
+    and (tweights, avgdl, dense consts) f32 meta, plus the aux window
+    arrays.  Shared by the search executor and the device-GROUPBY
+    aggregate executor (agg/pipeline.py)."""
+    cs, cl, cm, cw = [], [], [], []
+    for d in descs:
+        if d[0] == "t":
+            s = d[1]
+            cs.append(stacked["tstarts"][:, s])
+            cl.append(stacked["tlens"][:, s])
+            cm.append(stacked["tmasks"][:, s])
+            cw.append(stacked["tweight"][:, s])
+        else:               # ("g", tag_ord, value_j, leaf_idx)
+            _g, ordn, j, lidx = d
+            cs.append(stacked[f"tag{ordn}_starts"][:, j])
+            cl.append(stacked[f"tag{ordn}_lens"][:, j])
+            cm.append(jnp.zeros_like(cs[-1]))
+            cw.append(stacked["leaf_const"][:, lidx])
+    meta = jnp.stack(cs + cl + cm, axis=1).astype(jnp.int32)
+    qcols = [stacked[f"tag{o}_qcodes"][:, :nv].astype(jnp.int32)
+             for (o, nv, _lidx) in dmeta]
+    if qcols:
+        meta = jnp.concatenate([meta] + qcols, axis=1)
+    fmeta = jnp.stack(
+        cw + [stacked["avgdl"].reshape(-1)]
+        + [stacked["leaf_const"][:, lidx]
+           for (_o, _nv, lidx) in dmeta],
+        axis=1).astype(jnp.float32)
+    aux_arrs = tuple(seg_args_[kk] for kk in aux_keys)
+    return meta, fmeta, aux_arrs
+
+
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    k: int) -> "_PackedExecutor":
     """Compile-cached batched executor over stacked transport rows.
@@ -1842,31 +1876,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     _groups=kgroups, _pg=pivot_g, _aux=aux_keys,
                     _k=k_pad, _dense=kdense, _dmeta=dmeta, _Pn=P_n):
             stacked = _device_unpack_rows(layout, dyn["rows"])
-            cs, cl, cm, cw = [], [], [], []
-            for d in _descs:
-                if d[0] == "t":
-                    s = d[1]
-                    cs.append(stacked["tstarts"][:, s])
-                    cl.append(stacked["tlens"][:, s])
-                    cm.append(stacked["tmasks"][:, s])
-                    cw.append(stacked["tweight"][:, s])
-                else:               # ("g", tag_ord, value_j, leaf_idx)
-                    _g, ordn, j, lidx = d
-                    cs.append(stacked[f"tag{ordn}_starts"][:, j])
-                    cl.append(stacked[f"tag{ordn}_lens"][:, j])
-                    cm.append(jnp.zeros_like(cs[-1]))
-                    cw.append(stacked["leaf_const"][:, lidx])
-            meta = jnp.stack(cs + cl + cm, axis=1).astype(jnp.int32)
-            qcols = [stacked[f"tag{o}_qcodes"][:, :nv].astype(jnp.int32)
-                     for (o, nv, _lidx) in _dmeta]
-            if qcols:
-                meta = jnp.concatenate([meta] + qcols, axis=1)
-            fmeta = jnp.stack(
-                cw + [stacked["avgdl"].reshape(-1)]
-                + [stacked["leaf_const"][:, lidx]
-                   for (_o, _nv, lidx) in _dmeta],
-                axis=1).astype(jnp.float32)
-            aux_arrs = tuple(seg_args_[kk] for kk in _aux)
+            meta, fmeta, aux_arrs = _kernel_batched_inputs(
+                stacked, seg_args_, _descs, _aux, _dmeta)
             # raw mode for small pivot windows: the kernel skips its
             # scalar-latency-bound in-VMEM extraction and emits the
             # masked (doc, score) windows; the batched iter_topk below

@@ -300,3 +300,62 @@ def test_device_groupby_not_stale_after_delete():
     assert post_b[0].total == 298 and post_b[1].total == 298
     n_c0 = {r["cat"]: r["n"] for r in post_b[0].rows}["c0"]
     assert n_c0 == 58.0    # 60 - the two deleted c0 docs
+
+
+def test_kernel_groupby_interpret_matches_host():
+    """The kernel-raw GROUPBY path (Pallas intersection raw windows +
+    posting-aligned column slices + batched one-hot aggregation) must
+    match the host pipeline exactly.  Forced via interpret mode — on
+    plain CPU the path is gated off (_use_pallas) and the lax.scan
+    window path runs instead."""
+    import jax
+    from redisearch_tpu.ops import groupby as GB
+    from redisearch_tpu.ops import intersect as IK
+    from redisearch_tpu.agg.pipeline import (run_aggregate,
+                                             run_aggregate_many)
+
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    ix = rs.SearchIndex(rs.Schema(name="kgb", fields=[
+        rs.Field("t", rs.FieldType.TEXT),
+        rs.Field("cat", rs.FieldType.TAG, sortable=True),
+        rs.Field("x", rs.FieldType.NUMERIC, sortable=True)]))
+    for i in range(900):
+        ix.add_document(f"d{i}", {
+            "t": " ".join(rng.choice(words, 3)),
+            "cat": f"c{i % 7}",
+            "x": float(rng.normal(50, 20))})
+    ix.commit()
+
+    def mk(q):
+        return (AggregateRequest(q)
+                .group_by("@cat", ("COUNT", [], "n"),
+                          ("SUM", ["@x"], "sx"), ("AVG", ["@x"], "ax"),
+                          ("STDDEV", ["@x"], "dx"))
+                .sort_by(("@cat", DESC)))
+
+    queries = ["alpha beta", "beta gamma", "alpha -beta", "alpha beta",
+               "gamma delta", "alpha ~eps"]
+    singles = [run_aggregate(ix, mk(q)) for q in queries]
+
+    IK._INTERPRET = True
+    GB._INTERPRET = True
+    jax.clear_caches()
+    try:
+        batched = run_aggregate_many(ix, [mk(q) for q in queries])
+    finally:
+        IK._INTERPRET = False
+        GB._INTERPRET = False
+        jax.clear_caches()
+    for q, b, s in zip(queries, batched, singles):
+        assert b.total == s.total, (q, b.total, s.total)
+        assert len(b.rows) == len(s.rows), q
+        for rb, rs_ in zip(b.rows, s.rows):
+            assert rb.keys() == rs_.keys()
+            for k in rb:
+                va, vb = rb[k], rs_[k]
+                if isinstance(va, float):
+                    assert abs(va - vb) <= 2e-3 * max(1.0, abs(vb)), (
+                        q, k, va, vb)
+                else:
+                    assert va == vb, (q, k, va, vb)

@@ -353,3 +353,88 @@ def test_dense_tag_multivalue_field_falls_back():
     assert got.count == want.count
     assert list(got.local_idx)[:got.count] == \
         list(want.local_idx)[:want.count]
+
+
+def test_weight_zero_field_still_matches():
+    """A posting in a WEIGHT 0 TEXT field carries ~0 weighted tf; the
+    Pallas member pass derives hits from (tf sum > 0), so the builder
+    clamps non-positive weights to an epsilon (builder._add_text).
+    Docs matching a term ONLY via the weight-0 field must still satisfy
+    REQ slots and trigger NOT exclusions on the kernel path (forced via
+    interpret mode), identically to the scan path."""
+    from redisearch_tpu.ops import intersect as IK
+    import jax
+
+    ix = rs.SearchIndex(rs.Schema(name="w0", fields=[
+        rs.Field("a", rs.FieldType.TEXT, weight=0.0),
+        rs.Field("b", rs.FieldType.TEXT)]))
+    # d0..d39: "alpha" only in the weight-0 field a; beta in b.
+    # d40..d79: both terms in b (normal weight).
+    # d80..d119: beta only (control: must NOT match "alpha beta").
+    for i in range(40):
+        ix.add_document(f"z{i}", {"a": "alpha", "b": "beta filler"})
+    for i in range(40, 80):
+        ix.add_document(f"z{i}", {"b": "alpha beta filler"})
+    for i in range(80, 120):
+        ix.add_document(f"z{i}", {"b": "beta filler"})
+    ix.commit()
+    seg = ix.segments[0]
+
+    IK._INTERPRET = True
+    jax.clear_caches()
+    try:
+        for q, want_count in [("alpha beta", 80), ("beta -alpha", 40),
+                              ("alpha", 80)]:
+            cqs = [ix.prepare(q, None, QueryOptions(k=120, verbatim=True),
+                              2) for _ in range(2)]
+            got = execute_batch(cqs, seg, 120)
+            for cq, g in zip(cqs, got):
+                want = execute(cq, seg, 120)
+                assert g.count == want.count == want_count, (
+                    q, g.count, want.count, want_count)
+                gd = sorted(int(d) for d, s in zip(g.local_idx, g.scores)
+                            if s > -3.3e38)
+                wd = sorted(int(d) for d, s in
+                            zip(want.local_idx, want.scores)
+                            if s > -3.3e38)
+                assert gd == wd, q
+    finally:
+        IK._INTERPRET = False
+        jax.clear_caches()
+
+
+def test_kernel_tail_window_no_dma_overrun():
+    """Windows near the END of the posting arrays: the kernel DMAs
+    whole 128-lane rows (W//128 + R_EXTRA of them), which used to
+    overrun the XLA SLICE pad — the clamped copy silently SHIFTED the
+    member window and dropped matches (fixed by segment.posting_pad).
+    Dense small corpus puts the last term's window within R_EXTRA rows
+    of the array tail."""
+    import jax
+    from redisearch_tpu.ops import intersect as IK
+
+    rng = np.random.default_rng(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    ix = rs.SearchIndex(rs.Schema(name="tw", fields=[
+        rs.Field("t", rs.FieldType.TEXT)]))
+    for i in range(900):
+        ix.add_document(f"d{i}", {"t": " ".join(rng.choice(words, 3))})
+    ix.commit()
+    seg = ix.segments[0]
+    IK._INTERPRET = True
+    jax.clear_caches()
+    try:
+        # every ordered word pair: member windows land at every offset
+        for a in words:
+            for b in words:
+                if a == b:
+                    continue
+                cqs = [ix.prepare(f"{a} {b}", None,
+                                  QueryOptions(k=16, verbatim=True), 2)
+                       for _ in range(2)]
+                got = execute_batch(cqs, seg, 16)
+                want = execute(cqs[0], seg, 16)
+                assert got[0].count == want.count, (a, b)
+    finally:
+        IK._INTERPRET = False
+        jax.clear_caches()
