@@ -161,6 +161,33 @@ def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
     return -vals, jnp.take_along_axis(aidx, sel, axis=1)
 
 
+def knn_batch_masked(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
+                     valid2d: jnp.ndarray, Q: jnp.ndarray, k: int,
+                     metric: str):
+    """Batched filtered KNN: per-query validity mask [B, N] fused as an
+    epilogue on the shared distance matmul (the reference's filtered
+    "hybrid" query, src/iterators/hybrid_reader.c:16-59 — here there is
+    no BATCHES/ADHOC_BF switch because the scan is one MXU matmul either
+    way; the filter costs one select).
+
+    Q [B, d], valid2d bool[B, N] -> (dists [B, k], idx [B, k]).  Same
+    precision contract as knn_batch: f32 storage scans at bf16 and
+    rescores the candidate set at f32."""
+    two_phase = vecs.dtype == jnp.float32 and _cand_k(
+        vecs.shape[0], k) < vecs.shape[0]
+    d = distances_to(vecs, sq_norms, Q, metric, approx=two_phase)
+    dm = jnp.where(valid2d, d, BIG)
+    if not two_phase:
+        vals, idx = _fast_top_k(-dm, k)
+        return -vals, idx
+    C = _cand_k(vecs.shape[0], k)
+    avals, aidx = _fast_top_k(-dm, C)                  # [B, C]
+    dr = jnp.where(-avals >= BIG * 0.5, BIG,
+                   _rescore(vecs, sq_norms, Q, aidx, metric))
+    vals, sel = jax.lax.top_k(-dr, k)
+    return -vals, jnp.take_along_axis(aidx, sel, axis=1)
+
+
 def knn_scan_batches(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
                      present: jnp.ndarray, Qc: jnp.ndarray, k: int,
                      metric: str, mask: jnp.ndarray | None = None):

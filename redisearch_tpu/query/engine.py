@@ -1839,6 +1839,181 @@ def _kernel_batched_inputs(stacked, seg_args_, descs, aux_keys, dmeta):
     return meta, fmeta, aux_arrs
 
 
+def _knn_dense_plan(cq0: CompiledQuery, seg: Segment, bk: dict):
+    """Eligibility for the fully-batched dense-filter KNN path: a KNN
+    query whose filter tree evaluates as doc-aligned column compares
+    ([B, N] elementwise — no posting windows, no per-query scan).  The
+    prefilter then fuses as a mask epilogue on the one [B, d] x [d, N]
+    distance matmul (ops/vector.knn_batch_masked), which is the same
+    program shape as the pure-KNN batch path that sustains ~170k QPS —
+    the reference's ADHOC_BF/BATCHES switch (hybrid_reader.c:16-59)
+    collapses into one fused scan.
+
+    Covered leaves: single-valued TAG with a dense code column,
+    single-valued NUMERIC, MISSING, ALL — alone or under AND, including
+    NOT/OPT wrapping.  Returns a tuple of ("tagc"|"num"|"missing"|"all",
+    params, leaf_idx, flag) specs or None; flag is "req"/"not"/"opt".
+    """
+    import os
+    if os.environ.get("RS_TPU_NO_DENSE_KNN"):
+        return None
+    if cq0.knn is None or cq0.opts.sort_field is not None:
+        return None
+    sig = _knn_ivf_sig(cq0, seg)
+    if sig.endswith("multi") or ":ivf:" in sig:
+        return None
+    if cq0.host_nodes:
+        return None
+    if (cq0.opts.scorer in _SLOP_SCORERS
+            and _slop_root_children(cq0.tree) is not None):
+        return None
+    code_ords = set(_tag_codes_ords(cq0, seg))
+
+    def leaf_spec(t, flag):
+        if t[0] != "leaf":
+            return None
+        leaf, idx = t[1], t[2]
+        if isinstance(leaf, LTag):
+            if leaf.ord not in code_ords:
+                return None
+            e = bk.get(idx)
+            if not e or e[0] > 4:   # bounded [B, N] compare passes
+                return None
+            return ("tagc", (leaf.ord, leaf.n_slots, leaf.field), idx,
+                    flag)
+        if isinstance(leaf, LNumeric):
+            e = bk.get(idx)
+            if not e or e[1]:       # multi-valued numerics stay windowed
+                return None
+            return ("num", (leaf.ord, leaf.lo_excl, leaf.hi_excl,
+                            leaf.field), idx, flag)
+        if isinstance(leaf, LMissing):
+            return ("missing", (leaf.field,), idx, flag)
+        if isinstance(leaf, LAll):
+            return ("all", (), idx, flag)
+        return None
+
+    tree = cq0.tree
+    kids = tree[1] if tree[0] == "and" else (tree,)
+    if tree[0] not in ("leaf", "and"):
+        return None
+    specs = []
+    for kid in kids:
+        if kid[0] == "leaf":
+            s = leaf_spec(kid, "req")
+        elif kid[0] in ("not", "opt"):
+            s = leaf_spec(kid[1], "not" if kid[0] == "not" else "opt")
+        else:
+            s = None
+        if s is None:
+            return None
+        specs.append(s)
+    if not any(s[3] == "req" for s in specs):
+        return None
+    return tuple(specs)
+
+
+def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
+                    layout, k_pad: int):
+    """Batched executor fn for a dense-filter KNN plan (see
+    _knn_dense_plan): bitmap epilogue on the shared distance matmul."""
+    opts = cq0.opts
+    scorer = opts.scorer
+    field = cq0.schema.field(cq0.knn.field)
+    metric = field.vector.metric.value
+    has_ttl = seg.has_ttl
+    dirty = seg.n_deleted > 0
+    knn_has_fexp = field.attribute in seg.field_fexp
+    uniform_ds = seg.uniform_docscore
+    fexp_attrs = frozenset(seg.field_fexp)
+    k_eff = min(k_pad, seg.n_pad)
+    tanh_factor = opts.tanh_factor
+
+    def batched(seg_args_, dyn):
+        stacked = _device_unpack_rows(layout, dyn["rows"])
+        now = stacked["now"].reshape(-1)                    # [B]
+        N = seg_args_["alive"].shape[0]
+        ok = seg_args_["knn_present"]
+        if dirty:
+            ok = ok & seg_args_["alive"]
+        valid = jnp.broadcast_to(ok[None, :], (now.shape[0], N))
+        if has_ttl:
+            exp = seg_args_["expire_at"]
+            valid = valid & ((exp[None, :] == 0)
+                             | (exp[None, :] > now[:, None]))
+        if knn_has_fexp:
+            fe = seg_args_["knn_fexp"]
+            valid = valid & ~((fe[None, :] > 0)
+                              & (fe[None, :] <= now[:, None]))
+
+        def fexp_ok(kind, ordn):
+            fe = seg_args_[f"{kind}{ordn}_fexp"]
+            return ~((fe[None, :] > 0) & (fe[None, :] <= now[:, None]))
+
+        const_req = jnp.zeros(now.shape, jnp.float32)       # [B]
+        opt_hits = []
+        for kind, prm, lidx, flag in dplan:
+            if kind == "tagc":
+                ordn, ns, fattr = prm
+                codes = seg_args_[f"tag{ordn}_codes"]       # [N]
+                qc = stacked[f"tag{ordn}_qcodes"]           # [B, ns]
+                hit = codes[None, :] == qc[:, 0:1]
+                for j in range(1, ns):
+                    hit = hit | (codes[None, :] == qc[:, j:j + 1])
+                if fattr in fexp_attrs:
+                    hit = hit & fexp_ok("tag", ordn)
+            elif kind == "num":
+                ordn, lo_x, hi_x, fattr = prm
+                v = seg_args_[f"num{ordn}_v"][None, :]
+                p = seg_args_[f"num{ordn}_p"][None, :]
+                lo = stacked["num_lo"][:, ordn:ordn + 1]
+                hi = stacked["num_hi"][:, ordn:ordn + 1]
+                ge = v > lo if lo_x else v >= lo
+                le = v < hi if hi_x else v <= hi
+                hit = p & ge & le
+                if fattr in fexp_attrs:
+                    hit = hit & fexp_ok("num", ordn)
+            elif kind == "missing":
+                (fattr,) = prm
+                hit = ~seg_args_[f"has_{fattr}"][None, :]
+                if f"has_{fattr}_fexp" in seg_args_:
+                    fe = seg_args_[f"has_{fattr}_fexp"]
+                    hit = hit | ((fe[None, :] > 0)
+                                 & (fe[None, :] <= now[:, None]))
+            else:                                           # "all"
+                nd = stacked["n_docs"].reshape(-1)
+                hit = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, N), 1) < nd[:, None])
+            const = stacked["leaf_const"][:, lidx]          # [B]
+            if flag == "req":
+                valid = valid & hit
+                const_req = const_req + const
+            elif flag == "not":
+                valid = valid & ~hit
+            else:                                           # opt
+                opt_hits.append((hit, const))
+        dists, idx = V.knn_batch_masked(
+            seg_args_["knn_vecs"], seg_args_["knn_sq"], valid,
+            stacked["knn_blob"], k_eff, metric)
+        yielded = dists < 3.3e38
+        score = jnp.broadcast_to(const_req[:, None], idx.shape)
+        for hit, const in opt_hits:
+            h = jnp.take_along_axis(hit, idx, axis=1)
+            score = score + jnp.where(h, const[:, None], 0.0)
+        if scorer == "DOCSCORE":
+            score = seg_args_["docscore"][idx]
+        elif not uniform_ds and scorer != "DISMAX":
+            score = score * seg_args_["docscore"][idx]
+        if scorer == "BM25STD.TANH":
+            score = jnp.tanh(score / tanh_factor)
+        score = jnp.where(yielded, score, 0.0)
+        count = jnp.sum(yielded.astype(jnp.int32), axis=1)
+        return {"idx": idx, "scores": score, "knn": dists,
+                "count": count}
+
+    return batched
+
+
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    k: int) -> "_PackedExecutor":
     """Compile-cached batched executor over stacked transport rows.
@@ -1976,10 +2151,92 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         _COMPILE_CACHE[sig] = entry
         return entry
 
+    dplan = _knn_dense_plan(cq0, seg, bk)
+    if dplan is not None:
+        batched = _make_dense_knn(cq0, seg, dplan, layout, k_pad)
+        proto = {"rows": np.zeros((B, total), np.int32)}
+        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry.path = "knn-dense"
+        _COMPILE_CACHE[sig] = entry
+        return entry
+
     knn_row = bool(
         cq0.knn is not None
         and not _knn_ivf_sig(cq0, seg).endswith("multi")
         and ":ivf:" not in _knn_ivf_sig(cq0, seg))
+    hoist = _knn_hoist_info(cq0, seg, bk, k_pad) if knn_row else None
+    if hoist is not None:
+        # windowed filtered KNN, batched: hoist everything [N]-wide out
+        # of the per-query scan — ONE [B, d] x [d, N] distance matmul
+        # (bf16 candidate pass for f32 storage) and ONE batched masked
+        # top-M replace B per-query ~400 us masked approx_top_k calls;
+        # the scan body only member-checks its M candidates against the
+        # filter windows.  f32 exactness: the final k winners are
+        # rescored at Precision.HIGHEST outside the scan (same two-phase
+        # contract as ops/vector.knn_batch).
+        knn_metric = cq0.schema.field(cq0.knn.field).vector.metric.value
+        M, _Wc = hoist
+        two_phase = seg.vectors[
+            cq0.schema.field(cq0.knn.field).attribute].vecs.dtype == \
+            jnp.float32
+        C = min(max(4 * k_pad, k_pad + 16), M) if two_phase else k_pad
+        raw = _build_fn(cq0, seg, bk, P2, C, has_extra=False,
+                        jit=False, knn_row=False, host_fallback=True,
+                        knn_topm=True, knn_underfill_k=k_pad)
+        has_ttl = seg.has_ttl
+        dirty = seg.n_deleted > 0
+        knn_has_fexp = cq0.schema.field(
+            cq0.knn.field).attribute in seg.field_fexp
+
+        def batched(seg_args_, dyn, _M=M, _C=C, _k=k_pad,
+                    _tp=two_phase):
+            stacked = _device_unpack_rows(layout, dyn["rows"])
+            now = stacked["now"].reshape(-1)
+            D = V.distances_to(seg_args_["knn_vecs"],
+                               seg_args_["knn_sq"], stacked["knn_blob"],
+                               knn_metric, approx=_tp)   # [B, N]
+            ok = seg_args_["knn_present"]
+            if dirty:
+                ok = ok & seg_args_["alive"]
+            okd = jnp.broadcast_to(ok[None, :], D.shape)
+            if has_ttl:
+                exp = seg_args_["expire_at"]
+                okd = okd & ((exp[None, :] == 0)
+                             | (exp[None, :] > now[:, None]))
+            if knn_has_fexp:
+                fe = seg_args_["knn_fexp"]
+                okd = okd & ~((fe[None, :] > 0)
+                              & (fe[None, :] <= now[:, None]))
+            dmd = jnp.where(okd, D, 3.4e38)
+            negd, ids = T.fast_top_k(-dmd, _M)           # [B, M]
+
+            def body(_, args):
+                dyn_i, nd_i, id_i = args
+                return None, raw(seg_args_, dict(dyn_i, knn_negd=nd_i,
+                                                 knn_ids=id_i))
+            _, outs = jax.lax.scan(body, None, (stacked, negd, ids))
+            if not _tp and _C == _k:
+                return outs
+            # exact f32 rescore of the candidate set + final top-k
+            cidx = outs["idx"]                           # [B, C]
+            dr = V._rescore(seg_args_["knn_vecs"], seg_args_["knn_sq"],
+                            stacked["knn_blob"], cidx, knn_metric)
+            dr = jnp.where(outs["knn"] >= 3.3e38, 3.4e38, dr)
+            vals, sel = jax.lax.top_k(-dr, _k)
+            knn_k = -vals
+            outs["idx"] = jnp.take_along_axis(cidx, sel, axis=1)
+            outs["scores"] = jnp.take_along_axis(outs["scores"], sel,
+                                                 axis=1)
+            outs["knn"] = knn_k
+            outs["count"] = jnp.sum((knn_k < 3.3e38).astype(jnp.int32),
+                                    axis=1)
+            return outs
+
+        proto = {"rows": np.zeros((B, total), np.int32)}
+        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry.path = "knn-batches"
+        _COMPILE_CACHE[sig] = entry
+        return entry
     raw = _build_fn(cq0, seg, bk, P2, k_pad, has_extra=False,
                     jit=False, knn_row=knn_row, host_fallback=True)
     # batch-axis execution shape: lax.scan, NOT vmap.  Measured on TPU
@@ -2365,10 +2622,89 @@ def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
     return base + f"ivf:{nprobe}:{col.ivf.nlist}:{col.ivf.list_pad}"
 
 
+def _can_gen(t) -> bool:
+    """Static: can this subtree evaluate as a candidate *window*
+    (generator), or only as a membership predicate (not/opt)?"""
+    tag = t[0]
+    if tag == "leaf":
+        return isinstance(t[1], (LTerms, LPhrase, LTag, LNumeric,
+                                 LAll, LNone))
+    if tag == "and":
+        return any(_can_gen(c) for c in t[1])
+    if tag in ("or", "dismax"):
+        return all(_can_gen(c) for c in t[1])
+    return False  # not/opt are predicates
+
+
+def _gen_bucket(t, buckets: dict, n_pad: int) -> int:
+    """Static width of a subtree's generator output window."""
+    tag = t[0]
+    if tag == "leaf":
+        leaf, idx = t[1], t[2]
+        bk = buckets[idx]
+        if isinstance(leaf, LTerms):
+            return bk[0] * bk[1]
+        if isinstance(leaf, LPhrase):
+            if len(bk) > 4 and bk[6] > 1:
+                return n_pad   # chunked dense accumulator
+            return bk[1]           # position window bound
+        if isinstance(leaf, LTag):
+            return bk[0] * bk[1]
+        if isinstance(leaf, LNumeric):
+            return bk[0]
+        if isinstance(leaf, LAll):
+            return n_pad
+        return 1                   # LNone
+    if tag == "and":
+        return min(_gen_bucket(c, buckets, n_pad)
+                   for c in t[1] if _can_gen(c))
+    if tag in ("or", "dismax"):
+        return next_pow2(sum(_gen_bucket(c, buckets, n_pad)
+                             for c in t[1]))
+    return n_pad
+
+
+def _knn_batch_M(k_eff: int, n_pad: int, Wc: int) -> int:
+    """Candidate-set size for the BATCHES filtered-KNN branch: the pow-4
+    bucket Wc can overstate the true window by 4x, so Wc/4 is the
+    selectivity lower bound; M targets >= ~2k expected survivors even at
+    worst-case bucket inflation (underfilled queries re-run exactly)."""
+    return int(min(
+        next_pow2(max(8 * k_eff * n_pad // max(Wc, 1), 4 * k_eff, 512)),
+        8192, n_pad))
+
+
+def _knn_hoist_info(cq: CompiledQuery, seg: Segment, buckets: dict,
+                    k: int):
+    """Static mirror of _build_fn's BATCHES-branch decision: returns
+    (M, Wc) when a batched executor can hoist the per-query [N]-wide
+    masked top-M out of the scan (the single biggest per-query cost of
+    windowed filtered KNN — ~400 us/query at 500k docs), else None."""
+    if cq.knn is None:
+        return None
+    sig = _knn_ivf_sig(cq, seg)
+    if sig.endswith("multi") or ":ivf:" in sig:
+        return None
+    policy = cq.knn.hybrid_policy
+    if policy == "ADHOC_BF":
+        return None
+    tree = cq.tree
+    window_root = _can_gen(tree) and not (
+        tree[0] == "leaf" and isinstance(tree[1], LAll))
+    if not window_root:
+        return None
+    Wc = _gen_bucket(tree, buckets, seg.n_pad)
+    if policy != "BATCHES" and Wc < 32768:
+        return None
+    k_eff = min(k, Wc)
+    return _knn_batch_M(k_eff, seg.n_pad, Wc), Wc
+
+
 def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
               P: int, k: int, has_extra: bool, mode: str = "topk",
               jit: bool = True, knn_row: bool = False,
-              host_fallback: bool = False):
+              host_fallback: bool = False, knn_topm: bool = False,
+              knn_underfill_k: int = 0):
     """Build + jit the window-evaluator executor for one query structure.
 
     See ops/window.py for the evaluation model: every subtree evaluates as
@@ -2414,39 +2750,10 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
 
     # ---- static analysis: which subtrees can generate, and how wide
     def can_gen(t) -> bool:
-        tag = t[0]
-        if tag == "leaf":
-            return isinstance(t[1], (LTerms, LPhrase, LTag, LNumeric,
-                                     LAll, LNone))
-        if tag == "and":
-            return any(can_gen(c) for c in t[1])
-        if tag in ("or", "dismax"):
-            return all(can_gen(c) for c in t[1])
-        return False  # not/opt are predicates
+        return _can_gen(t)
 
     def gen_bucket(t) -> int:
-        tag = t[0]
-        if tag == "leaf":
-            leaf, idx = t[1], t[2]
-            bk = buckets[idx]
-            if isinstance(leaf, LTerms):
-                return bk[0] * bk[1]
-            if isinstance(leaf, LPhrase):
-                if len(bk) > 4 and bk[6] > 1:
-                    return n_pad_static   # chunked dense accumulator
-                return bk[1]           # position window bound
-            if isinstance(leaf, LTag):
-                return bk[0] * bk[1]
-            if isinstance(leaf, LNumeric):
-                return bk[0]
-            if isinstance(leaf, LAll):
-                return n_pad_static
-            return 1                   # LNone
-        if tag == "and":
-            return min(gen_bucket(c) for c in t[1] if can_gen(c))
-        if tag in ("or", "dismax"):
-            return next_pow2(sum(gen_bucket(c) for c in t[1]))
-        return n_pad_static
+        return _gen_bucket(t, buckets, n_pad_static)
 
     def run(seg, dyn):
         n_pad = seg["alive"].shape[0]
@@ -3052,25 +3359,23 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                 # batched execution hoisted the [B, N] matmul; a single
                 # query pays one [N, dim] x [dim] MXU matvec — far
                 # cheaper than the per-candidate gathers either way
-                d_dense = (dyn["knn_row"] if knn_row else
-                           V.distances_to(seg["knn_vecs"],
-                                          seg["knn_sq"], q, knn_metric))
-                okd = knn_ok() & seg["alive"]
-                if seg_ttl:
-                    expd = seg["expire_at"]
-                    okd = okd & ((expd == 0) | (expd > dyn["now"]))
-                dmd = jnp.where(okd, d_dense, 3.4e38)
-                # the pow-4 bucket Wc can overstate the true window by
-                # 4x, so use Wc/4 as the selectivity lower bound: with
-                # M = 8k/sel_lower the expected survivor count is >= 2k
-                # even at worst-case bucket inflation (underfilled
-                # queries re-run exactly on the host, so a thin margin
-                # costs an occasional refire, never correctness)
-                M = int(min(
-                    next_pow2(max(8 * k_eff * n_pad // max(Wc, 1),
-                                  4 * k_eff, 512)),
-                    8192, n_pad))
-                negd, ids = T.fast_top_k(-dmd, M)
+                if knn_topm:
+                    # batched executor hoisted the [B, N] masked top-M
+                    # out of the scan (one batched approx_max_k instead
+                    # of B per-query ones — see _rows_executor)
+                    negd, ids = dyn["knn_negd"], dyn["knn_ids"]
+                else:
+                    d_dense = (dyn["knn_row"] if knn_row else
+                               V.distances_to(seg["knn_vecs"],
+                                              seg["knn_sq"], q,
+                                              knn_metric))
+                    okd = knn_ok() & seg["alive"]
+                    if seg_ttl:
+                        expd = seg["expire_at"]
+                        okd = okd & ((expd == 0) | (expd > dyn["now"]))
+                    dmd = jnp.where(okd, d_dense, 3.4e38)
+                    M = _knn_batch_M(k_eff, n_pad, Wc)
+                    negd, ids = T.fast_top_k(-dmd, M)
                 m_ids, s_ids = eval_pred(tree)(ids, normcol[ids])
                 ok_ids = m_ids
                 if has_extra:
@@ -3105,8 +3410,12 @@ def _build_fn(cq: CompiledQuery, seg_proto: Segment, buckets: dict,
                     # flagged and re-run host-side through execute()
                     # (_BatchHandle.result) — rare at sane selectivity.
                     idx_o, knn_o, sc_o = _batched(None)
+                    # when the executor widened k to a rescore candidate
+                    # set (knn_topm two-phase), underfill still compares
+                    # against the caller's true k, not the widened one
+                    k_need = knn_underfill_k or k_eff
                     out["underfill"] = jnp.where(
-                        (found >= k_eff) | exhausted,
+                        (found >= k_need) | exhausted,
                         jnp.int32(0), jnp.int32(1))
                 else:
                     idx_o, knn_o, sc_o = jax.lax.cond(
