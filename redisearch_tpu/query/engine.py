@@ -926,6 +926,7 @@ def execute(cq: CompiledQuery, seg: Segment, k: int,
                         has_extra="extra_mask" in dyn, mode=mode,
                         jit=False)
         entry = _PackedExecutor(raw, dyn, seg_args)
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
     out = entry(seg_args, dyn)
     if mode == "window":
@@ -1117,6 +1118,7 @@ def _execute_cold(cq: CompiledQuery, seg: Segment, k: int,
                         has_extra="extra_mask" in dyn, mode=mode,
                         jit=False)
         entry = _PackedExecutor(raw, dyn, seg_args)
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
     out = entry(seg_args, dyn)
     if mode == "window":
@@ -1289,6 +1291,7 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
                     "count": jnp.sum(valid.astype(jnp.int32))}
 
         entry = _PackedExecutor(run, dyn, seg_args)
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
     flat = entry.submit(seg_args, dyn)
     handle = _PureKnnHandle(entry, flat, None, B_real)
@@ -1500,7 +1503,11 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
         if ent is None:
             _, ent = cq.bind_row(seg)
         ents.append(ent)
-        groups.setdefault(ent[6], []).append(i)
+        # group key includes the layout fingerprint (ent[7]): the
+        # group-wide template stacking below patches FIXED offsets from
+        # the first query's layout, which is only safe when every row in
+        # the group shares that packed layout
+        groups.setdefault((ent[6], ent[7]), []).append(i)
     subs = []
     for idxs in groups.values():
         # pad each group to a power of two (replaying the last row) so
@@ -1540,34 +1547,54 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
     return handle if async_ else handle.result()
 
 
-#: combined-dispatch executables keyed by the identity of the fused
-#: entries (values pin the entries so ids cannot be recycled)
+#: combined-dispatch executables keyed by the fused entries' stable
+#: compile signatures, order-normalized (the groups are sorted by sig
+#: before fusing, so every ordering of the same group set shares ONE
+#: executable).  LRU: hits re-insert; overflow evicts the oldest entry
+#: instead of clearing the whole cache.
 _COMBINED_CACHE: dict[tuple, list] = {}
+_COMBINED_CACHE_MAX = 256
 
 
 def _combined_submit(entries, seg_args_list, bufs):
     """One jitted program running every group's packed executor —
-    collapses N dispatch+collect round trips into one."""
-    key = tuple(id(e) for e in entries)
-    rec = _COMBINED_CACHE.get(key)
+    collapses N dispatch+collect round trips into one.  Inputs may
+    arrive in any group order; they are sorted by compile signature so
+    permutations of the same group set reuse one executable, and the
+    outputs are returned in the CALLER's order."""
+    order = sorted(range(len(entries)), key=lambda i: entries[i].sig)
+    entries_s = tuple(entries[i] for i in order)
+    sas_s = tuple(seg_args_list[i] for i in order)
+    bufs_s = tuple(bufs[i] for i in order)
+    key = tuple(e.sig for e in entries_s)
+    rec = _COMBINED_CACHE.pop(key, None)
+    if rec is not None and any(r is not e
+                               for r, e in zip(rec[2], entries_s)):
+        # a _COMPILE_CACHE clear rebuilt some entry under the same sig:
+        # the cached multi-program closes over stale fns — rebuild
+        rec = None
     if rec is None:
-        fns = tuple(e.fn for e in entries)
+        fns = tuple(e.fn for e in entries_s)
 
         def multi(sas, bs):
             return tuple(f(sa, b) for f, sa, b in zip(fns, sas, bs))
 
-        if len(_COMBINED_CACHE) > 256:
-            _COMBINED_CACHE.clear()
-        rec = [jax.jit(multi), False, entries]
-        _COMBINED_CACHE[key] = rec
-    if rec[1]:
-        return rec[0](seg_args_list, bufs)
-    t0 = _time.perf_counter()
-    out = rec[0](seg_args_list, bufs)
-    global _COMPILE_SECONDS
-    _COMPILE_SECONDS += _time.perf_counter() - t0
-    rec[1] = True
-    return out
+        while len(_COMBINED_CACHE) >= _COMBINED_CACHE_MAX:
+            _COMBINED_CACHE.pop(next(iter(_COMBINED_CACHE)))
+        rec = [jax.jit(multi), False, entries_s]
+    _COMBINED_CACHE[key] = rec       # (re-)insert = LRU move-to-end
+    if not rec[1]:
+        t0 = _time.perf_counter()
+        out_s = rec[0](sas_s, bufs_s)
+        global _COMPILE_SECONDS
+        _COMPILE_SECONDS += _time.perf_counter() - t0
+        rec[1] = True
+    else:
+        out_s = rec[0](sas_s, bufs_s)
+    inv = [0] * len(order)
+    for pos, i in enumerate(order):
+        inv[i] = pos
+    return [out_s[inv[i]] for i in range(len(entries))]
 
 
 def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
@@ -2101,6 +2128,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
         entry.path = "kernel"
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
         return entry
 
@@ -2148,6 +2176,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
         entry.path = "phrase-kernel"
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
         return entry
 
@@ -2157,6 +2186,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
         entry.path = "knn-dense"
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
         return entry
 
@@ -2235,6 +2265,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         proto = {"rows": np.zeros((B, total), np.int32)}
         entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
         entry.path = "knn-batches"
+        entry.sig = sig
         _COMPILE_CACHE[sig] = entry
         return entry
     raw = _build_fn(cq0, seg, bk, P2, k_pad, has_extra=False,
@@ -2270,6 +2301,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
     proto = {"rows": np.zeros((B, total), np.int32)}
     entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+    entry.sig = sig
     _COMPILE_CACHE[sig] = entry
     return entry
 
@@ -2502,10 +2534,11 @@ class _PackedExecutor:
     transfer) and still trims dispatch overhead on local attach."""
 
     __slots__ = ("fn", "in_layout", "in_total", "out_layout", "out_total",
-                 "out_keys", "_warm", "path")
+                 "out_keys", "_warm", "path", "sig")
 
     def __init__(self, raw_fn, dyn_proto: dict, seg_args: dict):
         self.path = "scan"      # which executor family built this entry
+        self.sig = None         # stable compile signature (set by caller)
         # input layout from the prototype dyn (same sig => same shapes)
         self.in_layout, self.in_total = _layout_of(dyn_proto)
         in_layout = self.in_layout
