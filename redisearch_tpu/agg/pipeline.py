@@ -254,8 +254,13 @@ def run_aggregate_many(index, reqs: list) -> list:
             ent = cq.bind_row(seg)[1]
             segsig.append((ent[6], ent[7]))
         segsig = tuple(segsig)
+        # reducer + device-tail signature: the fused program bakes the
+        # reducer column set (incl. sumsq for STDDEV) and, when the
+        # SORT/LIMIT tail runs in-graph, the head size / sort column
+        rsig = tuple((n.upper(), tuple(a), al)
+                     for n, a, al in group.reducers)
         key = (tuple(group.by), tuple(operands), want_minmax, pre_sig,
-               segsig)
+               segsig, rsig, _plan_device_tail(group, _tail))
         groups.setdefault(key, []).append(len(prepared) - 1)
 
     handles: dict = {}          # query index -> batched handle
@@ -280,7 +285,7 @@ def run_aggregate_many(index, reqs: list) -> list:
         if h is None:
             out.append(run_aggregate(index, req))
             continue
-        group, tail, op_list, mm, _u, parts = h
+        group, tail, op_list, mm, rspec, parts = h
         fparts = []
         for ki, e, (entry, flat, j) in parts:
             full = unpacked.get(id(flat))
@@ -289,8 +294,10 @@ def run_aggregate_many(index, reqs: list) -> list:
                     np.asarray(fetched[buf_ids[id(flat)]]))
                 unpacked[id(flat)] = full
             fparts.append((ki, e, {k: v[j] for k, v in full.items()}))
-        out.append(_device_group_finish(
-            index, (group, tail, op_list, mm, _u, fparts)))
+        fin = (_device_tail_finish if rspec is not None
+               else _device_group_finish)
+        out.append(fin(index, (group, tail, op_list, mm, rspec,
+                               fparts)))
     return out
 
 
@@ -673,6 +680,179 @@ def _make_kernel_groupby(kplan, layout, sizes, in_fields, compiled_pre,
     return fused, W_raw
 
 
+#: device-tail head size cap: SORT/LIMIT tails needing more rows than
+#: this transfer the full [G] stat arrays instead (cursor-style reads)
+_TAIL_CAP = 256
+
+
+def _plan_device_tail(group, tail):
+    """Decide whether the SORTBY/LIMIT tail can run in-graph so only the
+    surviving rows cross the link.  The full [B, G] stat arrays are
+    ~4-16 KB/query at dashboard G — on a ~20 MB/s attach that transfer
+    alone capped batched aggregation near 1k QPS; the compact head is
+    ~0.3 KB/query.
+
+    Eligible tails: an optional single-key SORTBY over a reducer alias,
+    followed by LIMITs, with a bounded head (max/offset+num <= cap).
+    Returns (K_needed, sort_alias | None, ascending) or None.  The
+    host replays the LIMIT arithmetic over the sorted head (reference
+    semantics: ARRANGE steps apply in plan order,
+    src/aggregate/aggregate_plan.h:28-38)."""
+    if not tail:
+        return None              # unbounded output: need every group
+    steps = list(tail)
+    sort = None
+    if isinstance(steps[0], SortStep):
+        sort = steps[0]
+        if len(sort.keys) != 1:
+            return None          # multi-key lexsort stays host-side
+        steps = steps[1:]
+    if not all(isinstance(s, LimitStep) for s in steps):
+        return None              # LIMIT-then-SORT picks by id order
+    need = []
+    if sort is not None and sort.max:
+        need.append(int(sort.max))
+    need.extend(int(s.offset + s.num) for s in steps)
+    if not need:
+        return None
+    K = min(need)
+    if K <= 0 or K > _TAIL_CAP:
+        return None
+    sort_alias, asc = None, True
+    if sort is not None:
+        prop, asc = sort.keys[0]
+        aliases = {al or make_reducer(nm, list(args)).default_alias()
+                   for nm, args, al in group.reducers}
+        if prop not in aliases:
+            return None          # group-key / unknown sorts stay host
+        sort_alias = prop
+    return (K, sort_alias, asc)
+
+
+def _device_red_specs(group, operands):
+    """Reducer output columns in row order: [(alias, NAME, op_index)],
+    op_index = position in `operands` (None for COUNT).  Mirrors the
+    host column builder in _device_group_finish."""
+    specs = []
+    for name, args, alias in group.reducers:
+        nm = name.upper()
+        alias = alias or make_reducer(name, list(args)).default_alias()
+        opj = (None if nm == "COUNT"
+               else operands.index(str(args[0]).lstrip("@")))
+        specs.append((alias, nm, opj))
+    return specs
+
+
+def _make_device_tail(G, dtail, red_specs):
+    """In-graph SORT/LIMIT head: [B, G] stats -> top-K rows.  Returns a
+    fn mapping the fused stat dict to the compact output dict:
+    {"count": [B], "t.sel": [B, K] group ids, "t.ok": [B, K] live flags,
+    "t.{i}.val"/"t.{i}.null": [B, K] per reducer row i}.
+
+    Ordering contract matches the host finish exactly: absent groups
+    (count 0) drop, NULL reducer values rank last regardless of
+    direction, ties keep ascending group id (lax.top_k is stable by
+    index, np.lexsort is stable)."""
+    import jax
+    import jax.numpy as jnp
+
+    K, sort_alias, asc = dtail
+    Ke = int(min(K, G))
+
+    def tailfn(res):
+        base_cnt = res["g.None.count"]              # [B, G]
+        present = base_cnt > 0
+
+        cols = {}
+        for alias, nm, opj in red_specs:
+            if alias in cols:
+                continue
+            tag = "None" if opj is None else str(opj)
+            c = res[f"g.{tag}.count"]
+            if nm == "COUNT":
+                vals, nulls = base_cnt, ~present
+            elif nm == "SUM":
+                vals, nulls = res[f"g.{tag}.sum"], ~present
+            elif nm == "AVG":
+                vals = jnp.where(c > 0,
+                                 res[f"g.{tag}.sum"] / jnp.maximum(c, 1.0),
+                                 0.0)
+                nulls = c == 0
+            elif nm == "MIN":
+                vals, nulls = res.get(f"g.{tag}.min", c), c == 0
+            elif nm == "MAX":
+                vals, nulls = res.get(f"g.{tag}.max", c), c == 0
+            else:  # STDDEV
+                var = ((res[f"g.{tag}.sumsq"]
+                        - res[f"g.{tag}.sum"] ** 2 / jnp.maximum(c, 1.0))
+                       / jnp.maximum(c - 1.0, 1.0))
+                vals = jnp.where(c >= 2.0,
+                                 jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+                nulls = c == 0
+            cols[alias] = (vals, nulls)
+
+        if sort_alias is None:
+            # LIMIT only: first present groups in ascending id order
+            score = -jnp.broadcast_to(
+                jnp.arange(G, dtype=jnp.float32), base_cnt.shape)
+        else:
+            v, nl = cols[sort_alias]
+            score = jnp.where(nl, jnp.float32(-1e37),
+                              v if not asc else -v)
+        score = jnp.where(present, score, jnp.float32(-3.4e38))
+        _sv, sel = jax.lax.top_k(score, Ke)         # [B, Ke]
+        out = {"count": res["count"], "t.sel": sel,
+               "t.ok": jnp.take_along_axis(present, sel, axis=1)}
+        for i, (alias, _nm, _opj) in enumerate(red_specs):
+            v, nl = cols[alias]
+            out[f"t.{i}.val"] = jnp.take_along_axis(v, sel, axis=1)
+            out[f"t.{i}.null"] = jnp.take_along_axis(nl, sel, axis=1)
+        return out
+
+    return tailfn
+
+
+def _device_tail_finish(index, h) -> "AggregateResult":
+    """Materialize an AggregateResult from the compact device-tail
+    output: decode the K surviving group ids' key values, replay the
+    LIMIT arithmetic over the already-sorted head."""
+    group, tail, _op_list, _mm, red_specs, parts = h
+    (key_infos, _sizes), entry, flat = parts[0]
+    out = (flat if isinstance(flat, dict)
+           else entry._unpack_out(flat) if isinstance(flat, np.ndarray)
+           else entry.finish(flat))
+    total = int(out["count"])
+    tables = [list(t) for _ids, t in key_infos]
+    gsizes = [len(t) + 1 for t in tables]
+    ok = np.asarray(out["t.ok"], bool)
+    n_ok = int(ok.sum())                        # ok rows form a prefix
+    sel = np.asarray(out["t.sel"], np.int64)[:n_ok]
+
+    key_vals = []
+    for d in range(len(gsizes)):
+        div = 1
+        for dd in range(d + 1, len(gsizes)):
+            div *= gsizes[dd]
+        r = (sel // div) % gsizes[d]
+        tarr = np.array(tables[d] + [None], dtype=object)
+        key_vals.append(tarr[r])
+    by_names = list(group.by)
+    rows = []
+    for i in range(len(sel)):
+        row = {b: key_vals[d][i] for d, b in enumerate(by_names)}
+        for j, (alias, _nm, _opj) in enumerate(red_specs):
+            row[alias] = (E.NULL if out[f"t.{j}.null"][i]
+                          else float(out[f"t.{j}.val"][i]))
+        rows.append(row)
+    for step in tail:
+        if isinstance(step, SortStep):
+            if step.max:
+                rows = rows[:step.max]
+        else:
+            rows = rows[step.offset:step.offset + step.num]
+    return AggregateResult(total=total, rows=rows)
+
+
 def _gb_seg_state(cq, seg) -> str:
     """Segment-state part of the device-GROUPBY compile-cache key.
     Must carry everything _build_fn's program STRUCTURE depends on —
@@ -755,6 +935,12 @@ def _device_group_submit_batch(index, items):
      pre_sig) = plan0
     want_sumsq = any(n.upper() == "STDDEV"
                      for n, _a, _al in group0.reducers)
+    # in-graph SORT/LIMIT head: only the surviving rows cross the link
+    # (single-segment only — the tail must see the cross-segment merge)
+    dtail = (_plan_device_tail(group0, _tail0)
+             if len(index.segments) == 1 else None)
+    red_specs = (_device_red_specs(group0, list(operands))
+                 if dtail is not None else None)
     B = len(items)
     Bp = int(next_pow2(B))
     seg_parts = []
@@ -786,10 +972,13 @@ def _device_group_submit_batch(index, items):
                 if Bp * Wr * (2 + 3 * n_ops
                               + 2 * len(in_fields)) > _MAX_BATCH_STAGE:
                     kplan = None
+        tailfn = (None if dtail is None
+                  else _make_device_tail(G, dtail, red_specs))
         sig = ("devgroupB2|" + cq0.signature(
             f"n={seg.n_pad}|G={G}|sz={sizes}|ops={operands}"
             f"|mm={want_minmax}|ws={want_sumsq}|by={tuple(group0.by)}"
             f"|pre={pre_sig}|kp={kplan is not None}"
+            f"|dt={dtail}|rs={red_specs}"
             f"|B={Bp}|{_gb_seg_state(cq0, seg)}", buckets, P, 1)
             + f"|rows[{lfp}]")
         if kplan is not None:
@@ -800,6 +989,11 @@ def _device_group_submit_batch(index, items):
             fused_k, _Wr = _make_kernel_groupby(
                 kplan, layout, sizes, in_fields, compiled_pre,
                 operands, G, want_sumsq)
+            if tailfn is not None:
+                fused_raw_k = fused_k
+
+                def fused_k(sa, dyn, _f=fused_raw_k, _t=tailfn):
+                    return _t(_f(sa, dyn))
             entry = _PackedExecutor(
                 fused_k, {"rows": _np.zeros((Bp, total), _np.int32)},
                 seg_args)
@@ -828,7 +1022,8 @@ def _device_group_submit_batch(index, items):
                 and Bp * Wc * (S + max(S - 1, 1)) <= _MAX_BATCH_STAGE)
             if use_batch_kernel:
                 def fused_batch(seg_args_, dyn, _fc=fused_cols,
-                                _layout=layout, _G=G, _ws=want_sumsq):
+                                _layout=layout, _G=G, _ws=want_sumsq,
+                                _t=tailfn):
                     stacked = _device_unpack_rows(_layout, dyn["rows"])
 
                     def body(c, row_dyn):
@@ -839,20 +1034,20 @@ def _device_group_submit_batch(index, items):
                     vs = res.pop("vals")
                     res.update(groupby_aggregate_batch(
                         gs, vs, _G, want_sumsq=_ws))
-                    return res
+                    return res if _t is None else _t(res)
             else:
                 fused1 = _make_fused(cq0, raw, G, sizes, in_fields,
                                      compiled_pre, operands, want_minmax)
 
                 def fused_batch(seg_args_, dyn, _f=fused1,
-                                _layout=layout):
+                                _layout=layout, _t=tailfn):
                     stacked = _device_unpack_rows(_layout, dyn["rows"])
 
                     def body(c, row_dyn):
                         return c, _f(seg_args_, row_dyn)
 
                     _c, res = jax.lax.scan(body, None, stacked)
-                    return res
+                    return res if _t is None else _t(res)
 
             entry = _PackedExecutor(
                 fused_batch, {"rows": _np.zeros((Bp, total), _np.int32)},
@@ -864,7 +1059,8 @@ def _device_group_submit_batch(index, items):
     for j, (req, cq, plan) in enumerate(items):
         parts = [((ki, sz), entry, (entry, flat, j))
                  for (ki, sz), entry, flat in seg_parts]
-        handles.append((plan[0], plan[1], operands, want_minmax, None,
+        handles.append((plan[0], plan[1], operands, want_minmax,
+                        red_specs if dtail is not None else None,
                         parts))
     return handles
 

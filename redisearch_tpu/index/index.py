@@ -434,7 +434,11 @@ class SearchIndex:
         view.opts = vo
         view.vec_blobs = list(cq.vec_blobs)
         if cq.knn is not None:
-            view.knn = copy.copy(cq.knn)
+            # same hand-rolled clone as above: copy.copy's __reduce_ex__
+            # path costs ~9 us/object on the KNN serving hot loop
+            kn = cq.knn.__class__.__new__(cq.knn.__class__)
+            kn.__dict__.update(cq.knn.__dict__)
+            view.knn = kn
         if vec_params:
             from ..query.engine import decode_blob
             from ..query.parser import _coerce_vector

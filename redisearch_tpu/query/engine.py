@@ -1145,6 +1145,15 @@ class _BatchHandle:
         self._cqs = cqs          # for host-side exact refires
         self._seg = seg
         self._k = k
+        # Kick off the d2h transfer NOW (it queues behind the async
+        # compute): by result() time the host copy is done or in
+        # flight, so a pipelined serving loop overlaps the transfer of
+        # batch i with the host prepare of batch i+1 AND the device
+        # compute of batch i+1 — on a ~30 ms-RTT attach this is the
+        # difference between transfer-bound and compute-bound serving.
+        for _, entry, flat in parts:
+            if entry is not None and hasattr(flat, "copy_to_host_async"):
+                flat.copy_to_host_async()
 
     def _flat_parts(self):
         """Flatten nested sub-batch handles into (idxs, entry, flat).
@@ -1227,6 +1236,8 @@ class _PureKnnHandle:
     def __init__(self, entry, flat, gidx, B):
         self._entry = entry
         self._flat = flat
+        if hasattr(flat, "copy_to_host_async"):
+            flat.copy_to_host_async()   # overlap d2h with next batch
         self._gidx = gidx
         self._B = B
 
@@ -1279,14 +1290,14 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
             if has_fexp:
                 fe = sa["fexp"]
                 valid = valid & ~((fe > 0) & (fe <= dy["now"]))
-            d = V.distances_to(sa["vecs"], sa["sq"], dy["blobs"],
-                               metric)                     # [B, N]
-            dm = jnp.where(valid[None, :], d, 3.4e38)
-            # approx_max_k (recall 0.99) like every other KNN path:
-            # exact lax.top_k on a [B, n_pad] row lowers to per-row
-            # sorts (~0.4 ms/query at 524k docs — the batch bottleneck)
-            vals, idx = T.fast_top_k(-dm, k_eff)
-            return {"idx": idx, "knn": -vals,
+            # knn_batch = bf16 candidate scan + narrow f32 rescore for
+            # f32 storage (exact distances at ~1/4 the HIGHEST-scan
+            # cost) and approx_max_k top-k (recall 0.99) — exact
+            # lax.top_k on a [B, n_pad] row lowers to per-row sorts
+            # (~0.4 ms/query at 524k docs — the batch bottleneck).
+            dists, idx = V.knn_batch(sa["vecs"], sa["sq"], valid,
+                                     dy["blobs"], k_eff, metric)
+            return {"idx": idx, "knn": dists,
                     "scores": jnp.zeros((B, k_eff), jnp.float32),
                     "count": jnp.sum(valid.astype(jnp.int32))}
 
