@@ -543,16 +543,8 @@ def stem_irish(word: str) -> str:
     return w
 
 
-SNOWBALL_EXT = {
-    "tagalog": stem_tagalog,
-    "indonesian": stem_indonesian,
-    # reference backs malay with the indonesian stemmer
-    # (src/language.c RSLanguage_GetStemmer: MALAY -> indonesian)
-    "malay": stem_indonesian,
-    "hindi": stem_hindi,
-    "nepali": stem_nepali,
-    "irish": stem_irish,
-}
+# (SNOWBALL_EXT is assembled at the bottom of the module, after every
+# stemmer is defined.)
 
 
 # ---------------------------------------------------------------------------
@@ -610,9 +602,9 @@ def _tr_strip(w: str, forms, need_harmony=True) -> tuple[str, bool]:
 
 
 def _tr_forms(pattern: str):
-    """Expand U -> ı/i/u/ü, A -> a/e, D -> d/t, C -> c/ç."""
+    """Expand U -> ı/i/u/ü, I -> ı/i, A -> a/e, D -> d/t, C -> c/ç."""
     outs = [""]
-    table = {"U": "ıiuü", "A": "ae", "D": "dt", "C": "cç"}
+    table = {"U": "ıiuü", "I": "ıi", "A": "ae", "D": "dt", "C": "cç"}
     for ch in pattern:
         opts = table.get(ch, ch)
         outs = [o + c for o in outs for c in opts]
@@ -965,3 +957,524 @@ def stem_greek(word: str) -> str:  # noqa: C901
     if s and len(w) - len(s) >= 2:
         w = w[: -len(s)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Catalan (Snowball catalan.sbl, Israel Olalla): R1/R2 regions; steps =
+# attached pronouns -> standard suffixes -> verb suffixes -> residual,
+# then de-accenting (the algorithm's own cleaning step).
+# ---------------------------------------------------------------------------
+
+_CA_VOWELS = set("aeiouàáèéíïòóúü")
+_CA_CLEAN = str.maketrans("àáèéíïòóúüç", "aaeeiioouuc")
+
+
+def _r_after_vc(w: str, start: int = 0) -> int:
+    """Snowball R-region: position after the first vowel-consonant pair
+    at/after `start` (len(w) if none)."""
+    i = start
+    n = len(w)
+    while i < n and w[i] not in _CA_VOWELS:
+        i += 1
+    while i < n and w[i] in _CA_VOWELS:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+def stem_catalan(word: str) -> str:
+    w = word
+    r1 = _r_after_vc(w)
+    r2 = _r_after_vc(w, r1)
+
+    def in_r1(suf):
+        return len(w) - len(suf) >= r1
+
+    def in_r2(suf):
+        return len(w) - len(suf) >= r2
+
+    def ends(sufs):
+        for s in sorted(sufs, key=len, reverse=True):
+            if w.endswith(s):
+                return s
+        return None
+
+    # step 0: attached pronouns (R1)
+    s = ends(("'hi", "'ho", "'l", "'ls", "'m", "'n", "'ns", "'s", "'t",
+              "-ho", "-hi", "-la", "-les", "-li", "-lo", "-los", "-me",
+              "-ne", "-nos", "-se", "-sela", "-seles", "-selo", "-selos",
+              "-te", "-vos", "hi", "ho", "la", "les", "li", "lo", "los",
+              "me", "ne", "nos", "se", "sela", "seles", "selo", "selos",
+              "te", "vos", "us", "'ns"))
+    if s and in_r1(s):
+        w = w[: -len(s)]
+        r1 = min(r1, len(w))
+        r2 = min(r2, len(w))
+
+    # step 1: standard suffixes
+    changed = False
+    for sufs, region, repl in (
+        (("ativitats", "ativitat", "abilitats", "abilitat", "ivitats",
+          "ivitat", "itats", "itat"), 2, ""),
+        (("aciones", "acions", "adores", "adors", "adora", "ador",
+          "ació", "ancies", "ancia", "ància", "àncies"), 2, ""),
+        (("atòries", "atòria", "atoris", "atori"), 2, ""),
+        (("ologies", "ologia", "logies", "logia"), 2, "log"),
+        (("iques", "ique", "ics", "ica", "ic"), 2, "ic"),
+        (("ament", "ments", "ment"), 1, ""),
+        (("ables", "able", "ibles", "ible"), 2, ""),
+        (("ismes", "isme", "istes", "ista", "ismos", "ismo"), 2, ""),
+        (("osos", "oses", "osa", "ós", "os"), 2, ""),
+        (("icitats", "icitat"), 2, "ic"),
+        (("ives", "iva", "ius", "iu"), 2, ""),
+        (("eres", "eria", "eries", "er"), 2, ""),
+        (("esques", "esca", "escs", "esc"), 2, ""),
+        (("íssims", "íssima", "íssimes", "íssim", "issims", "issima",
+          "issimes", "issim"), 1, ""),
+        (("dats", "dat"), 2, ""),
+    ):
+        s = ends(sufs)
+        if s and (in_r2(s) if region == 2 else in_r1(s)):
+            w = w[: -len(s)] + repl
+            changed = True
+            break
+
+    # step 2: verb suffixes (R1) — run only when step 1 removed nothing
+    if not changed:
+        s = ends((
+            "aríem", "aríeu", "assis", "àssim", "àssiu", "essis",
+            "èssim", "èssiu", "issis", "íssim", "íssiu", "iríem",
+            "iríeu", "ara", "ares", "aren", "aria", "aries", "arien",
+            "ant", "ada", "ades", "ats", "at", "ava", "aves", "aven",
+            "avem", "àvem", "àveu", "és", "essin", "essen", "ésseu",
+            "éssem", "iguem", "igueu", "eixen", "eixes", "eixi",
+            "eixin", "eixis", "eix", "esc", "isc", "ís", "issen",
+            "issin", "iran", "iràs", "iré", "irà", "irem", "ireu",
+            "iria", "iries", "irien", "aré", "aràs", "arà", "arem",
+            "areu", "aran", "íem", "íeu", "em", "eu", "en", "es",
+            "er", "ir", "ar", "ia", "ies", "ien", "i", "ïm", "ïu",
+        ))
+        if s and in_r1(s):
+            w = w[: -len(s)]
+
+    # step 3: residual suffix
+    s = ends(("os", "eu", "iu", "is", "ir", "s", "a", "o", "à", "í",
+              "ó", "e", "è", "é"))
+    if s and in_r1(s):
+        w = w[: -len(s)]
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
+# Basque (Snowball basque.sbl, Olatz Arregi et al.): RV/R1/R2 regions;
+# steps aditzak (verbal) and izenak (nominal) iterate while a suffix
+# matches, then adjetiboak runs once.
+# ---------------------------------------------------------------------------
+
+_EU_VOWELS = set("aeiou")
+
+
+def _eu_regions(w: str):
+    n = len(w)
+    # RV: Snowball romance RV definition
+    if n >= 2 and w[1] not in _EU_VOWELS and w[1].isalpha():
+        i = 2
+        while i < n and w[i] not in _EU_VOWELS:
+            i += 1
+        rv = min(i + 1, n)
+    elif n >= 2 and w[0] in _EU_VOWELS and w[1] in _EU_VOWELS:
+        i = 2
+        while i < n and w[i] in _EU_VOWELS:
+            i += 1
+        rv = min(i + 1, n)
+    else:
+        rv = min(3, n)
+    i = 0
+    while i < n and w[i] not in _EU_VOWELS:
+        i += 1
+    while i < n and w[i] in _EU_VOWELS:
+        i += 1
+    r1 = min(i + 1, n) if i < n else n
+    i = r1
+    while i < n and w[i] not in _EU_VOWELS:
+        i += 1
+    while i < n and w[i] in _EU_VOWELS:
+        i += 1
+    r2 = min(i + 1, n) if i < n else n
+    return rv, r1, r2
+
+
+# (suffix, required region: 0=RV, 1=R1, 2=R2) — principal classes of
+# the published tables, longest-match within each step
+_EU_ADITZAK = [
+    ("tzailea", 2), ("tzaile", 2), ("tzaileak", 2), ("tzaka", 2),
+    ("tzeko", 0), ("tzera", 0), ("tzea", 0), ("tzeak", 0), ("tzen", 0),
+    ("tze", 0), ("keta", 0), ("ketan", 0), ("pena", 2), ("pen", 2),
+    ("tasuna", 2), ("tasun", 2), ("kuntza", 2), ("kizun", 2),
+    ("garri", 2), ("garria", 2), ("dura", 2), ("duria", 2),
+    ("era", 2), ("ero", 2), ("tuko", 0), ("tua", 0), ("tu", 0),
+    ("itzen", 0), ("arazi", 0), ("gura", 2), ("kor", 2), ("korra", 2),
+]
+_EU_IZENAK = [
+    ("aren", 0), ("arekin", 0), ("arentzat", 0), ("aren", 0),
+    ("etako", 0), ("etan", 0), ("etara", 0), ("etatik", 0), ("etik", 0),
+    ("aganako", 0), ("agatik", 0), ("ari", 0), ("arik", 0),
+    ("ak", 0), ("ek", 0), ("en", 0), ("an", 0), ("ean", 0),
+    ("eko", 0), ("ko", 0), ("ra", 0), ("rako", 0), ("tik", 0),
+    ("raino", 0), ("rantz", 0), ("rekin", 0), ("rentzat", 0),
+    ("tzat", 0), ("z", 0), ("az", 0), ("ez", 0), ("rik", 0),
+    ("ari", 0), ("ei", 0), ("eri", 0), ("tako", 0), ("takoa", 0),
+    ("a", 0), ("ok", 0), ("oi", 0),
+]
+_EU_ADJET = [("ago", 0), ("egi", 0), ("en", 0), ("ena", 0)]
+
+
+def stem_basque(word: str) -> str:
+    w = word
+    for table, repeat in ((_EU_ADITZAK, True), (_EU_IZENAK, True),
+                          (_EU_ADJET, False)):
+        while True:
+            rv, r1, r2 = _eu_regions(w)
+            hit = None
+            for suf, reg in sorted(table, key=lambda t: -len(t[0])):
+                if not w.endswith(suf):
+                    continue
+                cut = len(w) - len(suf)
+                bound = (rv, r1, r2)[reg]
+                if cut >= bound and cut >= 2:
+                    hit = suf
+                    break
+            if hit is None:
+                break
+            w = w[: -len(hit)]
+            if not repeat:
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian (Snowball armenian.sbl, Astghik Mkrtchyan): R2-anchored
+# removal of adjective, verb and noun endings over Armenian script.
+# ---------------------------------------------------------------------------
+
+_HY_VOWELS = set("աեէիոօ")  # ա ե է ի ո օ
+
+
+def _hy_r2(w: str) -> int:
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _HY_VOWELS:
+        i += 1
+    while i < n and w[i] in _HY_VOWELS:
+        i += 1
+    r1 = min(i + 1, n) if i < n else n
+    i = r1
+    while i < n and w[i] not in _HY_VOWELS:
+        i += 1
+    while i < n and w[i] in _HY_VOWELS:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+_HY_ADJ = ("բար",)  # բար
+_HY_VERB = tuple(sorted((
+    "ացվեցիք", "եցվեցիք", "ացվեցին", "եցվեցին", "ացվեցի", "եցվեցի",
+    "վեցիք", "վեցին", "ալով", "ելով", "ացող", "եցող", "ացել", "եցել",
+    "ացիր", "եցիր", "ացին", "եցին", "ացիք", "եցիք", "ելու", "ալու",
+    "անամ", "ենամ", "անաս", "ենաս", "անայ", "ենայ", "անանք", "ենանք",
+    "անաք", "ենաք", "անան", "ենան", "ացա", "եցա", "ացավ", "եցավ",
+    "ացանք", "եցանք", "ացաք", "եցաք", "ացան", "եցան", "եցի", "ում",
+    "վում", "ելիս", "ալիս", "ել", "ալ", "ես", "եմ", "են", "եք",
+    "ենք", " եմ",
+), key=len, reverse=True))
+_HY_NOUN = tuple(sorted((
+    "ությունների", "ություններ", "ությունը", "ության", "ություն",
+    "ներում", "ներին", "ներից", "ների", "ներն", "ները", "ներ",
+    "երում", "երին", "երից", "երի", "երն", "երը", "եր",
+    "ում", "ին", "ից", "ով", "ներով", "երով", "ի", "ն", "ը", "ս",
+    "անց", "ոց", "վ",
+), key=len, reverse=True))
+
+
+def stem_armenian(word: str) -> str:
+    w = word
+    r2 = _hy_r2(w)
+    for table in (_HY_ADJ, _HY_VERB, _HY_NOUN):
+        for suf in table:
+            if w.endswith(suf) and len(w) - len(suf) >= max(r2, 2):
+                w = w[: -len(suf)]
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Lithuanian (Snowball lithuanian.sbl, Dainius Jocas): R1-anchored
+# removal of case/verb endings, then the fix_chdz / fix_gd repairs.
+# ---------------------------------------------------------------------------
+
+_LT_VOWELS = set("aeiyouąęėįųū")
+
+
+def _lt_r1(w: str) -> int:
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _LT_VOWELS:
+        i += 1
+    while i < n and w[i] in _LT_VOWELS:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+_LT_STEP1 = tuple(sorted((
+    # noun/adjective declension endings (singular + plural cases)
+    "iausiuose", "iausiose", "iausius", "iausios", "iausiam",
+    "iausioje", "iausio", "iausia", "iausi", "iausiai",
+    "uosiuose", "iuose", "uose", "iems", "ams", "oms", "ėms", "ums",
+    "ais", "iais", "omis", "ėmis", "imis", "umis", "iomis",
+    "yje", "oje", "ėje", "uje", "iuje", "ioje",
+    "ius", "ias", "ios", "ies", "ios", "aus", "iaus", "ous",
+    "io", "ia", "iu", "iai", "iam", "iame", "įjį",
+    "as", "is", "ys", "us", "ai", "ei", "ui", "oi",
+    "es", "ės", "os", "uo", "ie", "io",
+    "ą", "ę", "į", "ų", "ū", "ė", "a", "e", "i", "y", "o", "u",
+    "iąją", "ąją", "ųjų", "ajam", "ajame", "osios", "asis",
+    # verb endings
+    "davome", "davote", "davo", "davau", "davai",
+    "iame", "iate", "ame", "ate", "aisi", "iuosi", "iesi",
+    "siu", "si", "sime", "site", "tų", "čiau", "tum", "tume",
+    "tute", "kite", "kime", "ki", "ime", "ite",
+    "au", "ai", "ome", "ote", "ė", "iau",
+), key=len, reverse=True))
+
+
+def stem_lithuanian(word: str) -> str:
+    w = word
+    r1 = _lt_r1(w)
+    for suf in _LT_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= max(r1, 2):
+            w = w[: -len(suf)]
+            break
+    # fix_chdz: č -> t, dž -> d at the stem boundary
+    if w.endswith("č"):
+        w = w[:-1] + "t"
+    elif w.endswith("dž"):
+        w = w[:-2] + "d"
+    # fix_gd: strip the 'gd' future marker's d
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Serbian (Snowball serbian.sbl, Stefan Petkovic/Dragan Ivanovic):
+# cyrillic -> latin prelude, yekavian -> ekavian normalization, then
+# morphological suffix classes.  The published table enumerates ~2000
+# expanded forms; this port covers the productive ending classes
+# (verb + noun + adjective paradigms) rather than the full expansion,
+# so rare paradigm members may diverge from the C output.
+# ---------------------------------------------------------------------------
+
+_SR_CYR2LAT = {
+    "а": "a", "б": "b", "в": "v", "г": "g",
+    "д": "d", "ђ": "đ", "е": "e", "ж": "ž",
+    "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n",
+    "њ": "nj", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "ћ": "ć", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č",
+    "џ": "dž", "ш": "š",
+}
+_SR_VOWELS = set("aeiou")
+
+_SR_STEP1 = tuple(sorted((
+    # productive nominal/adjectival endings
+    "ovnicima", "ovnicama", "ovnika", "ovnike", "ovnik", "ovnici",
+    "anjima", "enjima", "anja", "enja", "anje", "enje", "anju", "enju",
+    "avanja", "avanje", "ivanja", "ivanje",
+    "ijama", "ijima", "ijom", "ije", "ija", "iji", "iju", "ijo",
+    "ostima", "osti", "ošću", "ost",
+    "icima", "icama", "icom", "ice", "ica", "ici", "icu", "ico",
+    "cima", "čima", "čarima", "čara",
+    "inama", "inom", "ine", "ina", "ini", "inu", "ino",
+    "ovima", "evima", "ovi", "evi", "ove", "eve", "ova", "eva",
+    "ama", "ima", "om", "em", "og", "eg", "ome", "emu", "omu",
+    "ih", "ijih", "ijeg", "ijem", "ijim", "ijima",
+    "iji", "ije", "ija", "iju",
+    # verbal endings
+    "avati", "ivati", "irati", "ovati", "isati",
+    "ujemo", "ujete", "uješ", "ujem", "uju", "uje",
+    "asmo", "aste", "ahu", "aše",
+    "iti", "ati", "eti", "uti",
+    "imo", "ite", "iš", "im", "io", "ila", "ilo", "ili", "ile",
+    "emo", "ete", "eš",
+    "ao", "alo", "ala", "ali", "ale", "anu",
+    "la", "lo", "li", "le", "na", "no", "ni", "ne", "nu",
+    "ta", "to", "ti", "te", "tu",
+    "a", "e", "i", "o", "u",
+), key=len, reverse=True))
+
+
+def stem_serbian(word: str) -> str:
+    w = "".join(_SR_CYR2LAT.get(c, c) for c in word)
+    # yekavian -> ekavian (prelude): ije/je -> e
+    w = w.replace("ije", "e").replace("je", "e")
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _SR_VOWELS:
+        i += 1
+    r1 = i + 1 if i < n else n
+    for suf in _SR_STEP1:
+        cut = len(w) - len(suf)
+        if w.endswith(suf) and cut >= max(r1, 3):
+            w = w[:cut]
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil (Snowball tamil.sbl, Damodharan Rajalingam): ordered removal of
+# question clitics, plural markers, oblique/case endings and common
+# verbal suffixes over Tamil script.
+# ---------------------------------------------------------------------------
+
+def _ta(s: str) -> str:
+    return s
+
+
+_TA_QUESTION = ("ா", "ே", "ோ")           # ா ே ோ as clitics
+_TA_PLURAL = ("கள்",)                     # கள்
+_TA_CASE = tuple(sorted((
+    "இல்",            # இல் (locative)
+    "உக்கு",
+    "க்கு",      # க்கு (dative)
+    "ுக்கு",
+    "ின்",            # ின்
+    "ின்று",
+    "ில்",            # ில்
+    "ிடம்",      # ிடம்
+    "ால்",            # ால் (instrumental)
+    "ுடன்",      # ுடன்
+    "ை",                        # ை (accusative)
+    "ுக்",
+), key=len, reverse=True))
+_TA_VERB = tuple(sorted((
+    "கிறான்",   # கிறான்
+    "கிறாள்",   # கிறாள்
+    "கிறார்",   # கிறார்
+    "கிறது",         # கிறது
+    "கிறேன்",   # கிறேன்
+    "கிறோம்",   # கிறோம்
+    "ன்", "ள்", "ர்",
+    "து", "னர்",
+    "ும்",                     # ும்
+    "னான்",               # னான்
+    "தான்",               # தான்
+), key=len, reverse=True))
+
+
+def stem_tamil(word: str) -> str:
+    w = word
+    for suf in _TA_QUESTION:
+        if len(w) >= 4 and w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # remove_plural_suffix (tamil.sbl): restore the stem-final form
+    for suf, repl in (("ுங்கள்", "்"), ("ற்கள்", "ல்"),
+                      ("ட்கள்", "ள்"), ("ங்கள்", "ம்"),
+                      ("கள்", "")):
+        if len(w) - len(suf) >= 2 and w.endswith(suf):
+            w = w[: -len(suf)] + repl
+            break
+    for suf in _TA_CASE:
+        if len(w) - len(suf) >= 2 and w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    for suf in _TA_VERB:
+        if len(w) - len(suf) >= 2 and w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Yiddish (Snowball yiddish.sbl, Assaf Urieli): ligature/final-form
+# normalization prelude, R1 after the first vowel-consonant (with the
+# גע- prefix counted out), suffix classes, and the גע- prefix strip.
+# ---------------------------------------------------------------------------
+
+_YI_NORM = {
+    "אָ": "א",  # אָ -> א
+    "אַ": "א",  # אַ -> א
+    "יִ": "י",  # יִ
+    "ײַ": "ײ",  # ײַ
+    "וֹ": "ו",  # וֹ
+    "וּ": "ו",  # וּ
+    "תּ": "ת",  # תּ
+    "שׁ": "ש", "שׂ": "ש",  # שׁ שׂ
+    "ך": "כ",  # final kaf
+    "ם": "מ",  # final mem
+    "ן": "נ",  # final nun
+    "ף": "פ",  # final pe
+    "ץ": "צ",  # final tsadi
+}
+_YI_VOWELS = set("אויעװױײ")
+_YI_SUFFIXES = tuple(sorted((
+    "ערער",          # ערער
+    "ענדיק",    # ענדיק
+    "ערהייט",
+    "ענער",          # ענער
+    "ענס",                # ענס
+    "ערס",                # ערס
+    "ענ",                      # ען
+    "ער",                      # ער
+    "עס",                      # עס
+    "טע",
+    "סט",                      # סט
+    "ע",                            # ע
+    "ט",                            # ט
+    "ס",                            # ס
+    "נ",                            # ן (infinitive nun, post-normalize)
+), key=len, reverse=True))
+
+
+def stem_yiddish(word: str) -> str:
+    w = "".join(_YI_NORM.get(c, c) for c in word)
+    base = 0
+    GE = "גע"                  # -גע
+    if w.startswith(GE) and len(w) > 4:
+        base = 2
+    n = len(w)
+    i = base
+    while i < n and w[i] not in _YI_VOWELS:
+        i += 1
+    while i < n and w[i] in _YI_VOWELS:
+        i += 1
+    r1 = min(i + 1, n) if i < n else n
+    for suf in _YI_SUFFIXES:
+        cut = len(w) - len(suf)
+        if w.endswith(suf) and cut >= max(r1, base + 2):
+            w = w[:cut]
+            break
+    if w.startswith(GE) and len(w) >= 5:
+        w = w[2:]
+    return w
+
+
+SNOWBALL_EXT = {
+    "tagalog": stem_tagalog,
+    "indonesian": stem_indonesian,
+    # reference backs malay with the indonesian stemmer
+    # (src/language.c RSLanguage_GetStemmer: MALAY -> indonesian)
+    "malay": stem_indonesian,
+    "hindi": stem_hindi,
+    "nepali": stem_nepali,
+    "irish": stem_irish,
+    "turkish": stem_turkish,
+    "greek": stem_greek,
+    "catalan": stem_catalan,
+    "basque": stem_basque,
+    "armenian": stem_armenian,
+    "lithuanian": stem_lithuanian,
+    "serbian": stem_serbian,
+    "tamil": stem_tamil,
+    "yiddish": stem_yiddish,
+}

@@ -1,12 +1,17 @@
 """Stemmer registry (reference: src/stemmer.c, src/language.c:22-52).
 
-The reference bundles Snowball stemmers for ~30 languages.  Snowball is not
-available in this environment, so:
-  * english uses a full Porter implementation (porter.py);
-  * the other supported languages use light suffix-stripping stemmers that
-    capture the dominant inflectional suffixes of each language (an
-    approximation of the Snowball "light" variants);
-  * unknown languages fall back to identity.
+The reference bundles Snowball stemmers for ~30 languages.  Coverage here:
+  * 15 languages (incl. english = Porter2) run nltk's generated Snowball
+    implementations — the exact algorithms the reference vendors from
+    deps/snowball;
+  * the remaining 15 (snowball_ext.py: tagalog, indonesian/malay, hindi,
+    nepali, irish, turkish, greek, catalan, basque, armenian, lithuanian,
+    serbian, tamil, yiddish) are pure-Python ports of the published
+    Snowball algorithms (fidelity notes per-language in that module);
+  * chinese tokenizes via analysis/cjk.py and does not stem (reference
+    parity: Friso segments, no stemmer);
+  * unknown languages fall back to identity; the light suffix-strippers
+    below remain only as the no-nltk fallback.
 
 The stemmer interface mirrors the expander contract: stem(token) -> stem or
 None if the stem equals the token (reference: StemmerExpander semantics,

@@ -297,6 +297,33 @@ def test_snowball_languages_exact():
             assert (st.stem(word) or word) == want, (lang, word)
 
 
+def test_snowball_ext_languages():
+    """Ported Snowball algorithms (snowball_ext.py) for the languages
+    nltk lacks — reference bundles all ~30 (src/language.c:22-52).
+    Pins conflation of inflected forms onto one stem per language."""
+    conflate = {
+        "turkish": ["kitaplarından", "kitapları", "kitap"],
+        "greek": ["υπολογιστές", "υπολογιστής"],
+        "catalan": ["cantaven", "cantar"],
+        "basque": ["etxearen", "etxea", "etxe"],
+        "lithuanian": ["namuose", "namas"],
+        "serbian": ["кућама", "kućama", "kuća"],  # cyrillic == latin
+        "tamil": ["புத்தகங்கள்", "புத்தகம்"],
+        "yiddish": ["געזאגט", "זאגן"],   # ge- participle ~ infinitive
+    }
+    for lang, words in conflate.items():
+        st = Stemmer(lang)
+        stems = {st.stem(w) or w for w in words}
+        assert len(stems) == 1, (lang, {w: st.stem(w) for w in words})
+    # every reference language resolves to a non-identity stemmer
+    from redisearch_tpu.analysis.snowball_ext import SNOWBALL_EXT
+    for lang in ("tagalog", "indonesian", "malay", "hindi", "nepali",
+                 "irish", "turkish", "greek", "catalan", "basque",
+                 "armenian", "lithuanian", "serbian", "tamil",
+                 "yiddish"):
+        assert lang in SNOWBALL_EXT, lang
+
+
 def test_native_resp_parser():
     """Native RESP codec (native/resp_codec.cpp): streaming parse of
     arrays-of-bulk-strings, partial feeds, pipelining, inline commands."""
