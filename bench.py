@@ -59,7 +59,7 @@ KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
 KNN_B, KNN_ITERS = 2048, 48
 
 
-def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
+def bench_bm25(n_docs: int = N_DOCS, B: int = 8192, iters: int = 8):
     import redisearch_tpu as rs
     from redisearch_tpu.query import engine as E
     from redisearch_tpu.query.engine import QueryOptions, execute_batch
@@ -90,6 +90,12 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
     seg = ix.segments[0]
 
     qt = ["w%06d" % i for i in rng.integers(20, 5000, size=512)]
+    # FTSB-like mix: besides the 3 headline families, exercise 3-term
+    # intersections, unions, NOT, optional terms and multi-field scopes
+    # (reference workloads tests/benchmarks/search-ftsb-*.yml are 1-4
+    # term AND/OR/NOT over enwiki abstracts).  Stemming expanders stay
+    # on (QueryOptions default); the synthetic vocab simply has no
+    # inflected forms to expand.
     cases = {
         "and2": lambda i, it: f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]}",
         "phrase": lambda i, it:
@@ -97,30 +103,44 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
         "and2_tag": lambda i, it:
             f"{qt[(2*i+it) % 500]} {qt[(2*i+it+1) % 500]} "
             f"@cat:{{cat{(i + it) % 16:02d}}}",
+        "and3": lambda i, it:
+            f"{qt[(3*i+it) % 500]} {qt[(3*i+it+1) % 500]} "
+            f"{qt[(3*i+it+2) % 500]}",
+        "or2": lambda i, it:
+            f"{qt[(2*i+it) % 500]}|{qt[(2*i+it+1) % 500]}",
+        "not2": lambda i, it:
+            f"{qt[(2*i+it) % 500]} -{qt[(2*i+it+1) % 500]}",
+        "opt2": lambda i, it:
+            f"{qt[(2*i+it) % 500]} ~{qt[(2*i+it+1) % 500]}",
+        "fields2": lambda i, it:
+            f"@title:{qt[(2*i+it) % 500]} @body:{qt[(2*i+it+1) % 500]}",
     }
     out = {"build_docs_per_s": round(n_docs / build_s, 0)}
     E.QUERY_PATH_STATS.clear()
     OPTS = QueryOptions(k=10)
+    headline = ("and2", "phrase", "and2_tag")
     for name, qfn in cases.items():
+        ci = iters if name in headline else max(iters // 2, 2)
+        reps = 3 if name in headline else 2
         def make(it):
             return [ix.prepare(qfn(i, it), None, OPTS, 2)
                     for i in range(B)]
-        for it in range(iters):   # warm every bucket-shape combo
+        for it in range(ci):   # warm every bucket-shape combo
             execute_batch(make(it), seg, 10)
         # pipelined serving loop: next batch's host work (prepare/bind/
         # pack) overlaps the device executing the current batch — build
         # the NEXT batch after submitting the current one, before
         # collecting.  The tunnel's bandwidth fluctuates >2x minute-to-
-        # minute; keep the fastest of 3 repeats (device work is
+        # minute; keep the fastest of `reps` repeats (device work is
         # constant, the link interference is not).
         best = None
-        for _rep in range(3):
+        for _rep in range(reps):
             t0 = time.perf_counter()
             pending = None
             nxt = make(0)
-            for it in range(iters):
+            for it in range(ci):
                 h = execute_batch(nxt, seg, 10, async_=True)
-                if it + 1 < iters:
+                if it + 1 < ci:
                     nxt = make(it + 1)
                 if pending is not None:
                     pending.result()
@@ -128,7 +148,7 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
             pending.result()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        out[name] = round(iters * B / best, 1)
+        out[name] = round(ci * B / best, 1)
     stats = dict(E.QUERY_PATH_STATS)
     hit = stats.get("kernel", 0) + stats.get("phrase-kernel", 0)
     tot = max(sum(stats.values()), 1)
@@ -137,7 +157,7 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 4096, iters: int = 8):
     return out
 
 
-def bench_agg(ix, iters: int = 6, B: int = 256):
+def bench_agg(ix, iters: int = 6, B: int = 1024):
     """FT.AGGREGATE (BASELINE config 5): 2-term text match -> GROUPBY
     grp(1000) + COUNT/SUM/AVG(price) + SORTBY sum DESC + LIMIT 10, on
     the same 1M-doc corpus, batched via run_aggregate_many.
@@ -262,10 +282,11 @@ def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
     return out
 
 
-def bench_hybrid(ix, B: int = 256, iters: int = 4):
+def bench_hybrid(ix, B: int = 1024, iters: int = 4):
     """FT.HYBRID RRF/LINEAR batched serving over the arxiv-shaped corpus
     (reference hybrid-arxiv-*.yml family): both branches of all B
-    queries ride one grouped search_many round."""
+    queries ride one grouped search_many round; the serving loop
+    overlaps round i's fusion with round i+1's device work."""
     import redisearch_tpu as rs
     from redisearch_tpu.aux.hybrid import run_hybrid_many
 
@@ -284,8 +305,13 @@ def bench_hybrid(ix, B: int = 256, iters: int = 4):
         best = None
         for r in range(2):
             t0 = time.perf_counter()
+            pending = None
             for it in range(iters):
-                run_hybrid_many(ix, mk(it))
+                h = run_hybrid_many(ix, mk(it), async_=True)
+                if pending is not None:
+                    pending.result()
+                pending = h
+            pending.result()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(iters * B / best, 1)
@@ -351,6 +377,9 @@ def main():
     extra = {
         "bm25_phrase_qps": bm25["phrase"],
         "bm25_and2_tag_qps": bm25["and2_tag"],
+        "bm25_mix_qps": {k: bm25[k] for k in
+                         ("and3", "or2", "not2", "opt2", "fields2")
+                         if k in bm25},
         "bm25_build_docs_per_s": bm25["build_docs_per_s"],
         "kernel_hit_pct": bm25["kernel_hit_pct"],
     }
@@ -393,7 +422,7 @@ def main():
         extra["filtered_knn_error"] = repr(e)[:120]
 
     print(json.dumps({
-        "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 4096)",
+        "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 8192)",
         "value": bm25["and2"],
         "unit": "qps",
         "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),

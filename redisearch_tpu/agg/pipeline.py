@@ -943,6 +943,11 @@ def _device_group_submit_batch(index, items):
                  if dtail is not None else None)
     B = len(items)
     Bp = int(next_pow2(B))
+    # >1024-query batches scan <=1024-query chunks INSIDE one program:
+    # the intersection kernel's scalar-prefetched meta rows live in SMEM
+    # (1 MB — B=2048 overflows it), and per-chunk staging bounds HBM
+    # scratch.  Same chunking contract as search's _rows_executor.
+    Cp = min(Bp, 1024)
     seg_parts = []
     for seg in index.segments:
         ga = _seg_group_args(index, seg, cq0, group0, in_fields)
@@ -969,7 +974,7 @@ def _device_group_submit_batch(index, items):
                 Wr = sum(kplan[1][p] // IK.BLK + IK.R_EXTRA
                          for p in pivots_k) * IK.BLK
                 n_ops = len(operands)
-                if Bp * Wr * (2 + 3 * n_ops
+                if Cp * Wr * (2 + 3 * n_ops
                               + 2 * len(in_fields)) > _MAX_BATCH_STAGE:
                     kplan = None
         tailfn = (None if dtail is None
@@ -984,6 +989,24 @@ def _device_group_submit_batch(index, items):
         if kplan is not None:
             seg_args.update(_seg_posting_cols(index, seg, cq0, group0,
                                               in_fields, sizes))
+        def _chunked(fused_fn, _Bp=Bp, _Cp=Cp, _total=total):
+            """Scan <=Cp-query chunks of the [Bp, total] rows inside one
+            program (SMEM scalar-prefetch + HBM staging bounds)."""
+            if _Bp <= _Cp:
+                return fused_fn
+            import jax as _jax
+
+            def chunked(sa, dyn, _f=fused_fn):
+                rows_all = dyn["rows"].reshape(_Bp // _Cp, _Cp, _total)
+
+                def body(c, r):
+                    return c, _f(sa, {"rows": r})
+
+                _c, res = _jax.lax.scan(body, None, rows_all)
+                return {k: v.reshape((_Bp,) + v.shape[2:])
+                        for k, v in res.items()}
+            return chunked
+
         entry = _COMPILE_CACHE.get(sig)
         if entry is None and kplan is not None:
             fused_k, _Wr = _make_kernel_groupby(
@@ -995,7 +1018,8 @@ def _device_group_submit_batch(index, items):
                 def fused_k(sa, dyn, _f=fused_raw_k, _t=tailfn):
                     return _t(_f(sa, dyn))
             entry = _PackedExecutor(
-                fused_k, {"rows": _np.zeros((Bp, total), _np.int32)},
+                _chunked(fused_k),
+                {"rows": _np.zeros((Bp, total), _np.int32)},
                 seg_args)
             _COMPILE_CACHE[sig] = entry
         if entry is None:
@@ -1019,7 +1043,7 @@ def _device_group_submit_batch(index, items):
             S = shp["gslots"].shape[0]
             use_batch_kernel = (
                 not want_minmax
-                and Bp * Wc * (S + max(S - 1, 1)) <= _MAX_BATCH_STAGE)
+                and Cp * Wc * (S + max(S - 1, 1)) <= _MAX_BATCH_STAGE)
             if use_batch_kernel:
                 def fused_batch(seg_args_, dyn, _fc=fused_cols,
                                 _layout=layout, _G=G, _ws=want_sumsq,
@@ -1050,7 +1074,8 @@ def _device_group_submit_batch(index, items):
                     return res if _t is None else _t(res)
 
             entry = _PackedExecutor(
-                fused_batch, {"rows": _np.zeros((Bp, total), _np.int32)},
+                _chunked(fused_batch),
+                {"rows": _np.zeros((Bp, total), _np.int32)},
                 seg_args)
             _COMPILE_CACHE[sig] = entry
         flat = entry.submit(seg_args, {"rows": _np.stack(rows)})

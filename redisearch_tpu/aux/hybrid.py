@@ -158,8 +158,21 @@ def _branch_top(scores: np.ndarray, gids: np.ndarray, valid: np.ndarray,
     return (tk(gids, idx, 1), tk(scores, idx, 1), tk(valid, idx, 1))
 
 
-def run_hybrid_many(index, hqs: list,
-                    tails: Optional[list] = None) -> list[list[dict]]:
+class _HybridHandle:
+    """In-flight batched FT.HYBRID round: branch dispatches are async;
+    result() collects and fuses — lets a serving loop overlap the next
+    round's host work with the device (the reference drains branches on
+    worker threads; here the device pipeline is the second lane)."""
+
+    def __init__(self, fin):
+        self._fin = fin
+
+    def result(self) -> list:
+        return self._fin()
+
+
+def run_hybrid_many(index, hqs: list, tails: Optional[list] = None,
+                    async_: bool = False):
     """Batched FT.HYBRID: every query's SEARCH and VSIM branches ride
     ONE grouped execute_batch round per segment, fusion runs vectorized
     over the [B, w] branch outputs, and only the surviving rows
@@ -174,7 +187,8 @@ def run_hybrid_many(index, hqs: list,
         # raw segment surface: branch results come back as merged Hit
         # lists and fuse per query (the distributed coordinator path,
         # reference coord/hybrid/dist_hybrid.c)
-        return _run_hybrid_hits(index, hqs, tails)
+        res = _run_hybrid_hits(index, hqs, tails)
+        return _HybridHandle(lambda: res) if async_ else res
     index.commit()
     B = len(hqs)
     w_max = max(hq.window for hq in hqs)
@@ -189,12 +203,22 @@ def run_hybrid_many(index, hqs: list,
             f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]",
             {"__hybrid_vec": vec}, QueryOptions(k=hq.window), 2))
 
+    handles = [execute_batch(cqs, seg, w_max, async_=True)
+               for seg in index.segments]
+
+    def fin():
+        return _hybrid_finish(index, hqs, tails, handles, B, w_max)
+
+    return _HybridHandle(fin) if async_ else fin()
+
+
+def _hybrid_finish(index, hqs, tails, handles, B, w_max):
     # branch outputs stacked across segments: [B, nseg * k_pad]
     t_sc, t_g, t_ok = [], [], []
     k_sc, k_g, k_ok = [], [], []
     t_tot = np.zeros(B, np.int64)
-    for seg in index.segments:
-        results = execute_batch(cqs, seg, w_max)
+    for seg, h in zip(index.segments, handles):
+        results = h.result()
         gids = np.asarray(seg.gids_host, np.int64)
         ts = np.stack([np.asarray(results[2 * i].scores) for i in
                        range(B)])
