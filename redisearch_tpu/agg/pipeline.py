@@ -240,27 +240,19 @@ def run_aggregate_many(index, reqs: list) -> list:
             QueryOptions(scorer=req.scorer, verbatim=req.verbatim,
                          now=req.now))
         cq = index.prepare(req.query, req.params, opts, req.dialect)
-        plan = _plan_device_group(index, req, cq)
+        plan = _plan_device_group_cached(index, req, cq)
         prepared.append((req, cq, plan))
         if plan is None:
             continue
-        (group, _tail, operands, want_minmax, _pre, _in_fields,
-         pre_sig) = plan
-        # batchable = equal plan shape AND equal per-segment row
-        # structure (gsig + layout fingerprint — same contract as
-        # engine.execute_batch grouping)
+        # batchable = equal plan (the memoized plan object pins step
+        # shape, reducers and the device-tail head) AND equal per-
+        # segment row structure (gsig + layout fingerprint — same
+        # contract as engine.execute_batch grouping)
         segsig = []
         for seg in index.segments:
             ent = cq.bind_row(seg)[1]
             segsig.append((ent[6], ent[7]))
-        segsig = tuple(segsig)
-        # reducer + device-tail signature: the fused program bakes the
-        # reducer column set (incl. sumsq for STDDEV) and, when the
-        # SORT/LIMIT tail runs in-graph, the head size / sort column
-        rsig = tuple((n.upper(), tuple(a), al)
-                     for n, a, al in group.reducers)
-        key = (tuple(group.by), tuple(operands), want_minmax, pre_sig,
-               segsig, rsig, _plan_device_tail(group, _tail))
+        key = (id(plan), tuple(segsig))
         groups.setdefault(key, []).append(len(prepared) - 1)
 
     handles: dict = {}          # query index -> batched handle
@@ -350,6 +342,52 @@ def _key_encoding(index, seg, keyname):
 
 
 _MAX_DEVICE_GROUPS = 65536
+
+_PLAN_CACHE: dict = {}
+
+
+def _plan_sig(req: AggregateRequest):
+    """Query-independent signature of the step list (the device-GROUPBY
+    plan depends only on step structure + schema, not on the query
+    string): serving re-plans identical dashboards thousands of times
+    per second, and _plan_device_group costs ~40 us of host Python."""
+    parts = []
+    for s in req.steps:
+        if isinstance(s, GroupStep):
+            parts.append(("g", tuple(s.by),
+                          tuple((n, tuple(a), al)
+                                for n, a, al in s.reducers)))
+        elif isinstance(s, SortStep):
+            parts.append(("s", tuple(s.keys), s.max))
+        elif isinstance(s, LimitStep):
+            parts.append(("l", s.offset, s.num))
+        elif isinstance(s, ApplyStep):
+            parts.append(("a", s.expression, s.alias))
+        elif isinstance(s, FilterStep):
+            parts.append(("f", s.expression))
+        else:
+            return None                 # LOAD etc: not device-eligible
+    return tuple(parts)
+
+
+def _plan_device_group_cached(index, req: AggregateRequest, cq):
+    """Memoized _plan_device_group (see _plan_sig).  KNN plans bail
+    before the cache — eligibility also depends on cq.knn."""
+    if cq.knn is not None or not req.steps:
+        return None
+    sig = _plan_sig(req)
+    if sig is None:
+        return None
+    # field count catches in-place FT.ALTER field additions
+    key = (id(index.schema), len(index.schema.fields), sig)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    plan = _plan_device_group(index, req, cq)
+    if len(_PLAN_CACHE) > 4096:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = (plan,)
+    return plan
 
 
 def _plan_device_group(index, req: AggregateRequest, cq):
@@ -812,6 +850,32 @@ def _make_device_tail(G, dtail, red_specs):
     return tailfn
 
 
+_TARR_CACHE: dict = {}
+
+
+def _tail_decode_arrays(key_infos):
+    """Cached per-key object decode arrays + composite-id geometry for
+    the compact tail finish (building the 1k-entry object array cost
+    ~40 us/query at dashboard G)."""
+    ck = tuple(id(t) for _ids, t in key_infos)
+    ent = _TARR_CACHE.get(ck)
+    if ent is None:
+        tables = [list(t) for _ids, t in key_infos]
+        gsizes = [len(t) + 1 for t in tables]
+        tarrs = [np.array(t + [None], dtype=object) for t in tables]
+        divs = []
+        for d in range(len(gsizes)):
+            div = 1
+            for dd in range(d + 1, len(gsizes)):
+                div *= gsizes[dd]
+            divs.append(div)
+        if len(_TARR_CACHE) > 64:
+            _TARR_CACHE.clear()
+        ent = (gsizes, tarrs, divs)
+        _TARR_CACHE[ck] = ent
+    return ent
+
+
 def _device_tail_finish(index, h) -> "AggregateResult":
     """Materialize an AggregateResult from the compact device-tail
     output: decode the K surviving group ids' key values, replay the
@@ -822,20 +886,13 @@ def _device_tail_finish(index, h) -> "AggregateResult":
            else entry._unpack_out(flat) if isinstance(flat, np.ndarray)
            else entry.finish(flat))
     total = int(out["count"])
-    tables = [list(t) for _ids, t in key_infos]
-    gsizes = [len(t) + 1 for t in tables]
+    gsizes, tarrs, divs = _tail_decode_arrays(key_infos)
     ok = np.asarray(out["t.ok"], bool)
     n_ok = int(ok.sum())                        # ok rows form a prefix
     sel = np.asarray(out["t.sel"], np.int64)[:n_ok]
 
-    key_vals = []
-    for d in range(len(gsizes)):
-        div = 1
-        for dd in range(d + 1, len(gsizes)):
-            div *= gsizes[dd]
-        r = (sel // div) % gsizes[d]
-        tarr = np.array(tables[d] + [None], dtype=object)
-        key_vals.append(tarr[r])
+    key_vals = [tarrs[d][(sel // divs[d]) % gsizes[d]]
+                for d in range(len(gsizes))]
     by_names = list(group.by)
     rows = []
     for i in range(len(sel)):
@@ -1098,7 +1155,7 @@ def _device_group_submit(index, req: AggregateRequest, cq):
     this single-query path serves run_aggregate/_try_device_group."""
     import jax.numpy as jnp
 
-    plan = _plan_device_group(index, req, cq)
+    plan = _plan_device_group_cached(index, req, cq)
     if plan is None:
         return None
     (group, tail, operands, want_minmax, compiled_pre, in_fields,

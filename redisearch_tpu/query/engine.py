@@ -1781,6 +1781,13 @@ def _kernel_seg_ok(cq0: CompiledQuery, seg: Segment, k_pad: int) -> bool:
     if (seg.n_deleted > 0 or seg.has_ttl or seg.text_fexp is not None
             or not seg.uniform_docscore or seg.field_fexp):
         return False
+    # kernel member hits derive from (weighted tf sum > 0); a WEIGHT 0
+    # TEXT field stores tf == 0.0 postings, which would silently drop
+    # REQ matches / miss NOT exclusions on the Pallas path — those
+    # schemas take the XLA twin (membership-based hit) instead
+    for f in cq0.schema.fields:
+        if f.type == FieldType.TEXT and f.weight <= 0:
+            return False
     try:
         if seg.text.field_masks.ndim != 1:
             return False

@@ -336,3 +336,34 @@ def test_groupby_kernel_interpret(interpret_mode, want_minmax):
         np.maximum.at(exp_max, g[ok], v[ok])
         np.testing.assert_allclose(got["min"], exp_min, rtol=1e-5)
         np.testing.assert_allclose(got["max"], exp_max, rtol=1e-5)
+
+
+def test_weight_zero_field_kernel_gate(interpret_mode):
+    """A WEIGHT 0 TEXT field stores tf == 0.0 postings, which would
+    break the kernel's tf-derived member hit (REQ matches dropped, NOT
+    exclusions missed).  _kernel_seg_ok must route such schemas to the
+    XLA twin (membership-based hit).  ADVICE r3 item 1."""
+    import redisearch_tpu as rs
+    from redisearch_tpu.query import engine as E
+
+    ix = rs.SearchIndex(rs.Schema(name="w0", fields=[
+        rs.Field("title", rs.FieldType.TEXT, weight=1.0),
+        rs.Field("note", rs.FieldType.TEXT, weight=0.0)]))
+    docs = []
+    for i in range(512):
+        docs.append((f"d{i}", {
+            "title": "common term" + (" zebra" if i % 4 == 0 else ""),
+            "note": "zebra" if i % 2 == 0 else "filler"}))
+    ix.add_documents(docs)
+    has_zebra = {f"d{i}" for i in range(512) if i % 4 == 0 or i % 2 == 0}
+
+    E.QUERY_PATH_STATS.clear()
+    r = ix.search("common zebra", num=50)
+    got = {h.key for h in r.hits}
+    assert got and got <= has_zebra, sorted(got - has_zebra)[:5]
+
+    r2 = ix.search("common -zebra", num=512)
+    got2 = {h.key for h in r2.hits}
+    assert len(got2) == 256 and got2.isdisjoint(has_zebra)
+    # the mega-kernel must NOT have served these queries
+    assert E.QUERY_PATH_STATS.get("kernel", 0) == 0
