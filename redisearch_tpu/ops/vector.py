@@ -118,7 +118,15 @@ def _cand_k(n: int, k: int) -> int:
 def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
         q: jnp.ndarray, k: int, metric: str,
         mask: jnp.ndarray | None = None):
-    """Exact top-k nearest: returns (dists [k], idx [k])."""
+    """Top-k nearest: returns (dists [k], idx [k]).
+
+    For f32 storage this is two-phase: a bf16 MXU candidate scan picks
+    C = max(4k, k+16) candidates, then an exact f32 rescore ranks them —
+    returned DISTANCES are exact, and top-k MEMBERSHIP is exact unless a
+    true neighbor's bf16 distance (~0.4% rel err) falls outside the
+    C-candidate margin (recall >= 0.99 measured on clustered corpora;
+    tests/test_units.py::test_two_phase_knn_clustered pins near-tie
+    behavior).  Other dtypes rank the full scan directly."""
     valid = present if mask is None else (present & mask)
     two_phase = vecs.dtype == jnp.float32 and _cand_k(
         vecs.shape[0], k) < vecs.shape[0]

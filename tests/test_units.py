@@ -433,3 +433,60 @@ def test_wkt_spherical_edges_are_geodesics():
     p = wk.parse("POINT(-179.5 0)")
     assert wk.within(p, am, spherical=True)
     assert not wk.within(p, am, spherical=False)
+
+
+def test_two_phase_knn_clustered():
+    """Two-phase f32 KNN (bf16 candidate scan + exact f32 rescore,
+    ops/vector.py): the quality contract on adversarially CLUSTERED
+    vectors (ADVICE r3 item 2).  When distance deltas sit below the
+    candidate pass's resolution (bf16 matmul + approx top-C), top-k
+    MEMBERSHIP among near-ties is not guaranteed — but (a) returned
+    distances are the exact f32 values, and (b) every returned distance
+    is within the scan's relative error band of the oracle's k-th
+    distance, i.e. the answer is quality-equivalent.  On separated
+    clusters membership must be exact."""
+    import jax.numpy as jnp
+
+    from redisearch_tpu.ops.vector import knn_batch
+
+    rng = np.random.default_rng(11)
+    n, d, k, Bq = 4096, 64, 10, 16
+    center = rng.normal(size=(d,)).astype(np.float32)
+    # (1) near-tie cluster: deltas ~1e-3 of magnitude
+    vecs = (center[None, :]
+            + 1e-3 * rng.normal(size=(n, d))).astype(np.float32)
+    Q = (center[None, :]
+         + 1e-3 * rng.normal(size=(Bq, d))).astype(np.float32)
+    sq = np.sum(vecs.astype(np.float64) ** 2, 1).astype(np.float32)
+    present = np.ones(n, bool)
+    dists, idx = map(np.asarray, knn_batch(
+        jnp.asarray(vecs), jnp.asarray(sq), jnp.asarray(present),
+        jnp.asarray(Q), k, "L2"))
+    # f64 oracle WITHOUT the sq-2dot+qsq cancellation (at tie scale
+    # ~6e-5 the f32 formula itself carries ~1e-5 of rounding noise)
+    d64 = ((vecs.astype(np.float64)[None, :, :]
+            - Q.astype(np.float64)[:, None, :]) ** 2).sum(2)
+    true_at_idx = np.take_along_axis(d64, idx, axis=1)
+    # (a) returned values match the true distances up to f32 formula
+    # noise (measured max ~1.1e-5 here)
+    np.testing.assert_allclose(dists, true_at_idx,
+                               rtol=1e-3, atol=3e-5)
+    # (b) quality band: every returned row's TRUE distance is within a
+    # hair of the oracle's k-th (measured max excess ~7e-6)
+    kth = np.sort(d64, axis=1)[:, k - 1]
+    assert np.all(true_at_idx <= kth[:, None] + 3e-5), (
+        float((true_at_idx - kth[:, None]).max()))
+    # (2) separated clusters: membership must be exact
+    far = vecs + rng.normal(size=(n, d)).astype(np.float32) * 2.0
+    far[:64] = center[None, :] + 1e-2 * rng.normal(
+        size=(64, d)).astype(np.float32)
+    sqf = np.sum(far.astype(np.float64) ** 2, 1).astype(np.float32)
+    d2, i2 = map(np.asarray, knn_batch(
+        jnp.asarray(far), jnp.asarray(sqf), jnp.asarray(present),
+        jnp.asarray(Q), k, "L2"))
+    df2 = (sqf[None, :] - 2.0 * (Q.astype(np.float32) @ far.T)
+           + np.sum(Q ** 2, 1)[:, None])
+    oracle2 = np.argsort(df2, axis=1)[:, :k]
+    rec = np.mean([len(set(i2[b]) & set(oracle2[b])) / k
+                   for b in range(Bq)])
+    assert rec >= 0.99, rec
