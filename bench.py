@@ -23,9 +23,21 @@ and scans chunk-by-chunk in ONE dispatch.  Both avoid per-dispatch tunnel
 latency dominating the measurement (~30 ms/round trip on a tunneled attach).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Capture resilience (round-4 lesson — BENCH_r04 was rc=1 because ONE
+"Unable to initialize backend 'axon'" killed the whole run): the parent
+process NEVER initializes JAX.  Each bench section runs in a clean
+re-exec'd subprocess (same recipe as __graft_entry__.dryrun_multichip)
+that appends every completed sub-result to a progress file; a crashed or
+flaky section is retried with backoff in a FRESH process, resuming past
+sub-results already captured.  The final JSON line is assembled from
+whatever completed, with per-section `error` fields instead of a
+process-wide rc=1.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -58,8 +70,16 @@ N_DOCS = 1_000_000
 KNN_N, KNN_D, KNN_K = 1_000_000, 128, 10
 KNN_B, KNN_ITERS = 2048, 48
 
+# BENCH_SMOKE=1: tiny shapes for validating the capture harness itself
+# (CPU-friendly); numbers produced under smoke are meaningless.
+_SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+if _SMOKE:
+    N_DOCS = 20_000
+    KNN_N, KNN_B, KNN_ITERS = 100_000, 256, 4
 
-def bench_bm25(n_docs: int = N_DOCS, B: int = 8192, iters: int = 8):
+
+def bench_bm25(emit, done, n_docs: int = N_DOCS, B: int = 8192,
+               iters: int = 8):
     import redisearch_tpu as rs
     from redisearch_tpu.query import engine as E
     from redisearch_tpu.query.engine import QueryOptions, execute_batch
@@ -115,46 +135,59 @@ def bench_bm25(n_docs: int = N_DOCS, B: int = 8192, iters: int = 8):
         "fields2": lambda i, it:
             f"@title:{qt[(2*i+it) % 500]} @body:{qt[(2*i+it+1) % 500]}",
     }
-    out = {"build_docs_per_s": round(n_docs / build_s, 0)}
+    emit("bm25_build_docs_per_s", round(n_docs / build_s, 0))
     E.QUERY_PATH_STATS.clear()
     OPTS = QueryOptions(k=10)
     headline = ("and2", "phrase", "and2_tag")
+    errored = False
+    ran_any = False
     for name, qfn in cases.items():
+        key = "bm25__" + name
+        if key in done:
+            continue
         ci = iters if name in headline else max(iters // 2, 2)
         reps = 3 if name in headline else 2
-        def make(it):
+
+        def make(it, qfn=qfn):
             return [ix.prepare(qfn(i, it), None, OPTS, 2)
                     for i in range(B)]
-        for it in range(ci):   # warm every bucket-shape combo
-            execute_batch(make(it), seg, 10)
-        # pipelined serving loop: next batch's host work (prepare/bind/
-        # pack) overlaps the device executing the current batch — build
-        # the NEXT batch after submitting the current one, before
-        # collecting.  The tunnel's bandwidth fluctuates >2x minute-to-
-        # minute; keep the fastest of `reps` repeats (device work is
-        # constant, the link interference is not).
-        best = None
-        for _rep in range(reps):
-            t0 = time.perf_counter()
-            pending = None
-            nxt = make(0)
-            for it in range(ci):
-                h = execute_batch(nxt, seg, 10, async_=True)
-                if it + 1 < ci:
-                    nxt = make(it + 1)
-                if pending is not None:
-                    pending.result()
-                pending = h
-            pending.result()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(ci * B / best, 1)
-    stats = dict(E.QUERY_PATH_STATS)
-    hit = stats.get("kernel", 0) + stats.get("phrase-kernel", 0)
-    tot = max(sum(stats.values()), 1)
-    out["kernel_hit_pct"] = round(100.0 * hit / tot, 1)
-    out["_ix"] = ix      # reused by bench_agg (same 1M corpus)
-    return out
+        try:
+            for it in range(ci):   # warm every bucket-shape combo
+                execute_batch(make(it), seg, 10)
+            # pipelined serving loop: next batch's host work (prepare/
+            # bind/pack) overlaps the device executing the current batch
+            # — build the NEXT batch after submitting the current one,
+            # before collecting.  The tunnel's bandwidth fluctuates >2x
+            # minute-to-minute; keep the fastest of `reps` repeats
+            # (device work is constant, the link interference is not).
+            best = None
+            for _rep in range(reps):
+                t0 = time.perf_counter()
+                pending = None
+                nxt = make(0)
+                for it in range(ci):
+                    h = execute_batch(nxt, seg, 10, async_=True)
+                    if it + 1 < ci:
+                        nxt = make(it + 1)
+                    if pending is not None:
+                        pending.result()
+                    pending = h
+                pending.result()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            emit(key, round(ci * B / best, 1))
+            ran_any = True
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            emit(key + "_error", repr(e)[:160])
+            errored = True
+    if ran_any and "kernel_hit_pct" not in done:
+        stats = dict(E.QUERY_PATH_STATS)
+        hit = stats.get("kernel", 0) + stats.get("phrase-kernel", 0)
+        tot = max(sum(stats.values()), 1)
+        emit("kernel_hit_pct", round(100.0 * hit / tot, 1))
+    return ix, errored
 
 
 def bench_agg(ix, iters: int = 6, B: int = 1024):
@@ -218,7 +251,7 @@ def bench_agg_star(ix, iters: int = 4, B: int = 64):
     return round(B / best, 1)
 
 
-def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
+def bench_filtered_knn(emit, done, n_docs: int = 500_000, dim: int = 384,
                        B: int = 512, iters: int = 6):
     """Filtered KNN (BASELINE config 4): KNN 25 cosine behind fulltext /
     numeric / tag prefilters on an arxiv-shaped 500k x 384 corpus."""
@@ -246,7 +279,7 @@ def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
     ix.add_documents(docs)
     seg = ix.segments[0]
     qvecs = rng.normal(size=(512, dim)).astype(np.float32)
-    out = {}
+    errored = False
     for name, qfn in {
         "fulltext": lambda i: f"(@title:{words[i % 10]})"
                               "=>[KNN 25 @emb $b EF_RUNTIME 64]",
@@ -256,33 +289,42 @@ def bench_filtered_knn(n_docs: int = 500_000, dim: int = 384,
         "tag": lambda i: f"(@cat:{{c{i % 20}}})"
                          "=>[KNN 25 @emb $b EF_RUNTIME 64]",
     }.items():
-        def make(it):
+        key = "fknn__" + name
+        if key in done:
+            continue
+
+        def make(it, qfn=qfn):
             return [ix.prepare(qfn(it * B + i),
                                {"b": qvecs[(it * B + i) % 512]},
                                QueryOptions(k=25), 2) for i in range(B)]
-        for it in range(2):
-            execute_batch(make(it), seg, 25)
-        best = None
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            pending = None
-            nxt = make(0)
-            for it in range(iters):
-                h = execute_batch(nxt, seg, 25, async_=True)
-                if it + 1 < iters:
-                    nxt = make(it + 1)
-                if pending is not None:
-                    pending.result()
-                pending = h
-            pending.result()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(iters * B / best, 1)
-    out["_ix"] = ix
-    return out
+        try:
+            for it in range(2):
+                execute_batch(make(it), seg, 25)
+            best = None
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                pending = None
+                nxt = make(0)
+                for it in range(iters):
+                    h = execute_batch(nxt, seg, 25, async_=True)
+                    if it + 1 < iters:
+                        nxt = make(it + 1)
+                    if pending is not None:
+                        pending.result()
+                    pending = h
+                pending.result()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            emit(key, round(iters * B / best, 1))
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            emit(key + "_error", repr(e)[:160])
+            errored = True
+    return ix, errored
 
 
-def bench_hybrid(ix, B: int = 1024, iters: int = 4):
+def bench_hybrid(ix, emit, done, B: int = 1024, iters: int = 4):
     """FT.HYBRID RRF/LINEAR batched serving over the arxiv-shaped corpus
     (reference hybrid-arxiv-*.yml family): both branches of all B
     queries ride one grouped search_many round; the serving loop
@@ -294,28 +336,38 @@ def bench_hybrid(ix, B: int = 1024, iters: int = 4):
     words = ["algebra", "graph", "neural", "quantum", "protein",
              "market", "vision", "speech", "logic", "random"]
     qvecs = rng.normal(size=(512, 384)).astype(np.float32)
-    out = {}
+    errored = False
     for name, cmb in (("rrf", "RRF"), ("linear", "LINEAR")):
-        def mk(it):
+        key = "hybrid__" + name
+        if key in done:
+            continue
+
+        def mk(it, cmb=cmb):
             return [rs.HybridQuery(
                 search=words[(it * B + i) % 10], vsim_field="emb",
                 vsim_vector=qvecs[(it * B + i) % 512], combine=cmb,
                 window=20, limit=10) for i in range(B)]
-        run_hybrid_many(ix, mk(0))    # warm
-        best = None
-        for r in range(2):
-            t0 = time.perf_counter()
-            pending = None
-            for it in range(iters):
-                h = run_hybrid_many(ix, mk(it), async_=True)
-                if pending is not None:
-                    pending.result()
-                pending = h
-            pending.result()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(iters * B / best, 1)
-    return out
+        try:
+            run_hybrid_many(ix, mk(0))    # warm
+            best = None
+            for r in range(2):
+                t0 = time.perf_counter()
+                pending = None
+                for it in range(iters):
+                    h = run_hybrid_many(ix, mk(it), async_=True)
+                    if pending is not None:
+                        pending.result()
+                    pending = h
+                pending.result()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            emit(key, round(iters * B / best, 1))
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            emit(key + "_error", repr(e)[:160])
+            errored = True
+    return errored
 
 
 def bench_knn():
@@ -365,70 +417,260 @@ def bench_knn():
     rec = np.mean([len(set(i_host[0][b]) & set(gt[b])) / KNN_K
                    for b in range(64)])
     assert rec >= 0.97, f"recall too low: {rec}"
-    return round(qps, 1)
+    return round(qps, 1), round(float(rec), 4)
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: parent never touches JAX; each section is a clean
+# re-exec'd subprocess appending to a progress file it can resume from.
+# ---------------------------------------------------------------------------
+
+RC_BACKEND = 17    # backend init failed fast — parent backs off + retries
+RC_PARTIAL = 18    # some sub-benches errored in-process — parent retries
+
+# (name, per-attempt timeout seconds)
+SECTIONS = (("text", 2700), ("fknn", 1500), ("knn", 900))
+
+
+def _load_progress(path):
+    out = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        out.update(json.loads(line))
+                    except ValueError:
+                        pass   # torn tail line from a killed child
+    except OSError:
+        pass
+    return out
+
+
+def _make_emitter(path):
+    f = open(path, "a")
+
+    def emit(key, val):
+        f.write(json.dumps({key: val}) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    return emit
+
+
+def _probe_backend():
+    """Fail fast (RC_BACKEND) if the TPU backend won't come up, so the
+    parent retries in a fresh process instead of burning the section
+    timeout — JAX caches a failed backend for the process lifetime.
+
+    The env var JAX_PLATFORMS alone does NOT stop other registered
+    plugins from initializing (observed: a CPU-pinned child still hung
+    in axon/TPU init); `jax.config.update('jax_platforms', ...)` is the
+    effective pin (same recipe as tests/conftest.py)."""
+    try:
+        import jax
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        import jax.numpy as jnp
+        jax.devices()
+        jnp.ones((8,), jnp.float32).sum().block_until_ready()
+    except Exception as e:
+        print("BACKEND_INIT_FAILED: " + repr(e)[:300], file=sys.stderr)
+        sys.exit(RC_BACKEND)
+
+
+def _child(section, progress_path):
+    _probe_backend()
+    import redisearch_tpu as rs
+    rs.enable_compilation_cache()
+    done = _load_progress(progress_path)
+    emit = _make_emitter(progress_path)
+    errored = False
+    if section == "text":
+        ix, errored = bench_bm25(
+            emit, done, B=512 if _SMOKE else 8192,
+            iters=2 if _SMOKE else 8)
+        aggB = 64 if _SMOKE else 1024
+        starB = 8 if _SMOKE else 64
+        for key, fn, tag in (
+                ("agg_groupby_qps",
+                 lambda ix: bench_agg(ix, B=aggB), "agg"),
+                ("agg_star_qps",
+                 lambda ix: bench_agg_star(ix, B=starB), "agg_star")):
+            if key in done:
+                continue
+            try:
+                emit(key, fn(ix))
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                emit(tag + "_error", repr(e)[:160])
+                errored = True
+    elif section == "fknn":
+        ix, errored = bench_filtered_knn(
+            emit, done, n_docs=20_000 if _SMOKE else 500_000,
+            B=64 if _SMOKE else 512, iters=2 if _SMOKE else 6)
+        errored |= bench_hybrid(ix, emit, done,
+                                B=64 if _SMOKE else 1024,
+                                iters=2 if _SMOKE else 4)
+    elif section == "knn":
+        if "flat_knn_qps" not in done:
+            try:
+                qps, rec = bench_knn()
+                emit("flat_knn_qps", qps)
+                emit("flat_knn_recall", rec)
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                emit("knn_error", repr(e)[:160])
+                errored = True
+    else:
+        raise SystemExit(f"unknown section {section!r}")
+    sys.exit(RC_PARTIAL if errored else 0)
+
+
+def _run_section(name, progress_path, timeout_s):
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--section", name, "--progress", progress_path]
+    try:
+        r = subprocess.run(cmd, timeout=timeout_s)
+        return r.returncode
+    except subprocess.TimeoutExpired:
+        return "timeout"
+
+
+def _wait_for_backend(deadline):
+    """Cheap parent-level gate: a tiny child that only inits the backend.
+    A hung TPU tunnel otherwise burns a whole section timeout per
+    attempt; this probe costs at most ~360 s per try and backs off
+    until either the backend answers or ~half the budget is gone."""
+    import subprocess
+    code = ("import bench, sys; bench._probe_backend(); sys.exit(0)")
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.time()
+        if left < 120:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=min(360, left / 2))
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe attempt {attempt} failed; backing off",
+              file=sys.stderr)
+        time.sleep(min(30 * attempt, 120))
 
 
 def main():
-    import redisearch_tpu as rs
-    rs.enable_compilation_cache()
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", 4800))
+    run_id = os.environ.get("BENCH_PROGRESS_TAG", str(os.getpid()))
+    section_rc = {}
+    progress = {}
+    backend_ok = _wait_for_backend(deadline)
+    if not backend_ok:
+        print("backend never came up; emitting empty scoreboard",
+              file=sys.stderr)
+        _assemble({}, {"backend": "unavailable"})
+        return
+    for name, tmo in SECTIONS:
+        ppath = f"/tmp/rsbench_{run_id}_{name}.progress"
+        rc = None
+        for attempt in range(4):
+            left = deadline - time.time()
+            if left < 60:
+                rc = "deadline" if rc is None else rc
+                break
+            rc = _run_section(name, ppath, min(tmo, left))
+            if rc == 0:
+                break
+            # flaky backend / crash / partial: back off, fresh process,
+            # resume past the sub-results already in the progress file
+            time.sleep(min(20 * (attempt + 1),
+                           30 if rc == RC_PARTIAL else 120))
+        section_rc[name] = rc
+        progress.update(_load_progress(ppath))
+    _assemble(progress, section_rc)
 
-    bm25 = bench_bm25()
-    ix = bm25.pop("_ix")
-    extra = {
-        "bm25_phrase_qps": bm25["phrase"],
-        "bm25_and2_tag_qps": bm25["and2_tag"],
-        "bm25_mix_qps": {k: bm25[k] for k in
-                         ("and3", "or2", "not2", "opt2", "fields2")
-                         if k in bm25},
-        "bm25_build_docs_per_s": bm25["build_docs_per_s"],
-        "kernel_hit_pct": bm25["kernel_hit_pct"],
-    }
-    try:
-        agg_qps = bench_agg(ix)
-        extra["agg_groupby_qps"] = agg_qps
-        extra["agg_vs_baseline"] = round(agg_qps / AGG_BASELINE_QPS, 2)
-    except Exception as e:   # extras must not kill the headline
-        extra["agg_error"] = repr(e)[:120]
-    try:
-        star_qps = bench_agg_star(ix)
-        extra["agg_star_qps"] = star_qps
+
+def _assemble(p, section_rc):
+    extra = {}
+
+    def put(dst, src):
+        if src in p:
+            extra[dst] = p[src]
+        elif src + "_error" in p:
+            extra[dst + "_error"] = p[src + "_error"]
+
+    put("bm25_phrase_qps", "bm25__phrase")
+    put("bm25_and2_tag_qps", "bm25__and2_tag")
+    extra["bm25_mix_qps"] = {k: p["bm25__" + k] for k in
+                             ("and3", "or2", "not2", "opt2", "fields2")
+                             if "bm25__" + k in p}
+    put("bm25_build_docs_per_s", "bm25_build_docs_per_s")
+    put("kernel_hit_pct", "kernel_hit_pct")
+    if "agg_groupby_qps" in p:
+        extra["agg_groupby_qps"] = p["agg_groupby_qps"]
+        extra["agg_vs_baseline"] = round(
+            p["agg_groupby_qps"] / AGG_BASELINE_QPS, 2)
+    elif "agg_error" in p:
+        extra["agg_error"] = p["agg_error"]
+    if "agg_star_qps" in p:
+        extra["agg_star_qps"] = p["agg_star_qps"]
         extra["agg_star_vs_baseline"] = round(
-            star_qps / AGG_STAR_BASELINE_QPS, 2)
-    except Exception as e:
-        extra["agg_star_error"] = repr(e)[:120]
-    del ix
-    try:
-        knn_qps = bench_knn()
-        extra["flat_knn_qps"] = knn_qps
+            p["agg_star_qps"] / AGG_STAR_BASELINE_QPS, 2)
+    elif "agg_star_error" in p:
+        extra["agg_star_error"] = p["agg_star_error"]
+    if "flat_knn_qps" in p:
+        extra["flat_knn_qps"] = p["flat_knn_qps"]
         extra["flat_knn_vs_baseline"] = round(
-            knn_qps / KNN_BASELINE_QPS, 2)
-    except Exception as e:
-        extra["knn_error"] = repr(e)[:120]
-    try:
-        fk = bench_filtered_knn()
-        fk_ix = fk.pop("_ix")
+            p["flat_knn_qps"] / KNN_BASELINE_QPS, 2)
+        if "flat_knn_recall" in p:
+            extra["flat_knn_recall"] = p["flat_knn_recall"]
+    elif "knn_error" in p:
+        extra["knn_error"] = p["knn_error"]
+    fk = {k: p["fknn__" + k] for k in ("fulltext", "numeric", "tag")
+          if "fknn__" + k in p}
+    if fk:
         extra["filtered_knn_qps"] = fk
         extra["filtered_knn_vs_baseline"] = {
             k: round(v / FKNN_BASELINE_QPS, 2) for k, v in fk.items()}
-        try:
-            hy = bench_hybrid(fk_ix)
-            extra["hybrid_qps"] = hy
-            extra["hybrid_vs_baseline"] = {
-                k: round(v / HYBRID_BASELINE_QPS, 2) for k, v in hy.items()}
-        except Exception as e:
-            extra["hybrid_error"] = repr(e)[:120]
-        del fk_ix
-    except Exception as e:
-        extra["filtered_knn_error"] = repr(e)[:120]
+    hy = {k: p["hybrid__" + k] for k in ("rrf", "linear")
+          if "hybrid__" + k in p}
+    if hy:
+        extra["hybrid_qps"] = hy
+        extra["hybrid_vs_baseline"] = {
+            k: round(v / HYBRID_BASELINE_QPS, 2) for k, v in hy.items()}
+    for k, v in p.items():   # surface any leftover sub-bench errors
+        if k.endswith("_error") and k not in extra \
+                and not k.startswith(("bm25__", "fknn__", "hybrid__")):
+            extra[k] = v
+    bad = {k: v for k, v in section_rc.items() if v != 0}
+    if bad:
+        extra["section_rc"] = bad
 
+    and2 = p.get("bm25__and2")
     print(json.dumps({
         "metric": "BM25 AND-2 top-10 QPS (1M zipf docs, batch 8192)",
-        "value": bm25["and2"],
+        "value": and2 if and2 is not None else 0.0,
         "unit": "qps",
-        "vs_baseline": round(bm25["and2"] / BM25_BASELINE_QPS, 2),
+        "vs_baseline": round((and2 or 0.0) / BM25_BASELINE_QPS, 2),
         "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--section" in sys.argv:
+        i = sys.argv.index("--section")
+        sec = sys.argv[i + 1]
+        j = sys.argv.index("--progress")
+        _child(sec, sys.argv[j + 1])
+    else:
+        main()
