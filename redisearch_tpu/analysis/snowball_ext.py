@@ -8,9 +8,10 @@ Snowball algorithms (snowballstem.org).  Each stemmer is a plain
 ``str -> str`` function over lowercase tokens.
 
 Fidelity notes (kept honest per-language):
-  * tagalog — ported statement-for-statement from the algorithm spec
-    (the reference vendors the same algorithm,
-    deps/stemmers/algorithms/tagalog.sbl).
+  * tagalog — ORACLE-VERIFIED: diff-fuzzed 0/270k words against the
+    reference's vendored deps/stemmers/algorithms/tagalog.sbl executed
+    directly by a Snowball interpreter (tests/snowball_oracle.py,
+    tests/test_snowball_oracle.py).
   * indonesian, hindi, nepali, irish, catalan, turkish, greek, armenian,
     basque, lithuanian, yiddish, serbian, tamil — ported from the
     published Snowball algorithm structure (regions, ordered suffix
@@ -68,31 +69,39 @@ _TL_PREFIXES = (
 
 
 def _tl_remove_prefix_once(w: str, state: dict) -> str:
-    # remove_prefix_9 or _8 or ... or _2 — first class that fires wins
+    # remove_prefix_9 or _8 or ... or _2.  Each class is one Snowball
+    # `among`: it commits to its longest textual match and fails as a
+    # whole if that match's condition fails — but the enclosing `or`
+    # then restores the cursor and gives the NEXT (shorter) class a
+    # turn.  (Oracle-verified against deps/stemmers/algorithms/
+    # tagalog.sbl via tests/snowball_oracle.py: e.g. 'magpaza' — class
+    # 'magpa' leaves 'za' which fails has_minimum_remainder, then class
+    # 'mag' fires, leaving 'paza'.)
     for cls in _TL_PREFIXES:
-        # 'panganga' shares length-8 slot with 'pinakama'
+        # 'panganga' shares the length-8 among with 'pinakama'
         if cls == ("pinakama",):
-            if w.startswith("pinakama") and _tl_has_min_remainder(w[8:]):
-                state["prefix"] = True
-                return w[8:]
-            if w.startswith("panganga") and _tl_has_repl_remainder(w[8:]):
-                state["prefix"] = True
-                return "ka" + w[8:]
+            if w.startswith("pinakama"):
+                if _tl_has_min_remainder(w[8:]):
+                    state["prefix"] = True
+                    return w[8:]
+            elif w.startswith("panganga"):
+                if _tl_has_repl_remainder(w[8:]):
+                    state["prefix"] = True
+                    return "ka" + w[8:]
             continue
-        for p in sorted(cls, key=len, reverse=True):
-            if not w.startswith(p):
-                continue
-            if p == "ka" and w[2:4] == "ny":
-                continue                      # 'ka' not before 'ny'
-            if _tl_has_min_remainder(w[len(p):]):
-                state["prefix"] = True
-                return w[len(p):]
-        if any(w.startswith(p) for p in cls):
-            # a prefix of this class matched but its condition failed:
-            # Snowball's among picks the longest match then fails the
-            # whole routine — shorter classes do NOT get a turn for the
-            # same surface string, so stop at first textual match
-            return w
+        match = None
+        for p in cls:
+            if w.startswith(p) and (match is None or len(p) > len(match)):
+                match = p
+        if match is None:
+            continue
+        if match == "ka" and w[2:4] == "ny":
+            continue                          # 'ka' not before 'ny'
+        if _tl_has_min_remainder(w[len(match):]):
+            state["prefix"] = True
+            return w[len(match):]
+        # condition failed: this among fails; fall through to the next
+        # (shorter) prefix class
     return w
 
 
@@ -118,12 +127,12 @@ def _tl_remove_infix(w: str, state: dict) -> str:
             rest = w[0] + w[3:]
             if not _tl_has_min_infix_remainder(w[3:]):
                 continue
-            if infix == "in" and w[0] == "d":
-                # not (atlimit 'd' goto ('iya' or 'ita') atlimit):
-                # din+iya / din+ita style words keep the infix
-                tail = w[3:]
-                if tail.endswith("iya") or tail.endswith("ita"):
-                    continue
+            # The .sbl's `not (atlimit 'd' goto (...) atlimit)` guard on
+            # 'in' is unsatisfiable under Snowball semantics (`atlimit`
+            # requires cursor==limit, then 'd' needs cursor<limit), so
+            # the compiled stemmer always deletes the infix here —
+            # oracle-verified via tests/snowball_oracle.py against
+            # deps/stemmers/algorithms/tagalog.sbl.
             state["infix"] = True
             return rest
     return w
