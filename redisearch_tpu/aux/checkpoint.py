@@ -72,8 +72,16 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         put(f"str.{attr}.value_ids", s.value_ids)
         put(f"str.{attr}.order", s.order)
     for attr, v in seg.vectors.items():
-        arrays[f"{prefix}.vec.{attr}.vecs"] = np.asarray(
-            v.vecs.astype(jnp.float32))
+        if v.compression:
+            # LVQ8: persist the codes (uint8) + dequant pair — the
+            # compressed form is the source of truth (4x smaller
+            # checkpoints too)
+            arrays[f"{prefix}.vec.{attr}.vecs"] = np.asarray(v.vecs)
+            put(f"vec.{attr}.vqoff", v.vq_off)
+            put(f"vec.{attr}.vqscl", v.vq_scl)
+        else:
+            arrays[f"{prefix}.vec.{attr}.vecs"] = np.asarray(
+                v.vecs.astype(jnp.float32))
         put(f"vec.{attr}.present", v.present)
         put(f"vec.{attr}.sq", v.sq_norms)
         if v.multi:
@@ -85,7 +93,8 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         elif v.ivf is not None:
             put(f"vec.{attr}.cents", v.ivf.centroids)
         meta[prefix][f"vec.{attr}"] = {"dim": v.dim, "multi": v.multi,
-                                       "host": v.host}
+                                       "host": v.host,
+                                       "compression": v.compression}
     for attr, m in seg.missing.items():
         put(f"missing.{attr}", m)
     if seg.text_fexp is not None:
@@ -221,8 +230,26 @@ def load(path: str):
                      if f"{p}.vec.{attr}.cents" in npz.files else None)
             if vmeta.get("host"):
                 from ..ops.ivf import HostIVF
-                mat = np.asarray(npz[f"{p}.vec.{attr}.vecs"], np.float32)
                 pres = np.asarray(npz[f"{p}.vec.{attr}.present"])
+                comp = vmeta.get("compression", "")
+                if comp:
+                    mat = np.asarray(npz[f"{p}.vec.{attr}.vecs"],
+                                     np.uint8)
+                    off = np.asarray(npz[f"{p}.vec.{attr}.vqoff"],
+                                     np.float32)
+                    scl = np.asarray(npz[f"{p}.vec.{attr}.vqscl"],
+                                     np.float32)
+                    hivf = (HostIVF.build_lvq(mat, off, scl, pres,
+                                              metric, centroids=cents)
+                            if cents is not None else None)
+                    vectors[attr] = VectorColumn(
+                        vecs=mat, present=jnp.asarray(pres),
+                        dim=vmeta["dim"],
+                        sq_norms=np.asarray(npz[f"{p}.vec.{attr}.sq"]),
+                        host=True, host_ivf=hivf, compression=comp,
+                        vq_off=off, vq_scl=scl)
+                    continue
+                mat = np.asarray(npz[f"{p}.vec.{attr}.vecs"], np.float32)
                 vectors[attr] = VectorColumn(
                     vecs=mat, present=jnp.asarray(pres),
                     dim=vmeta["dim"],

@@ -561,7 +561,8 @@ class SegmentBuilder:
             vp = field.vector
             vectors[attr] = make_vector_column(rows, n, n_pad, vp.dim,
                                                vp.dtype,
-                                               host=vp.storage == "host")
+                                               host=vp.storage == "host",
+                                               compression=vp.compression)
 
         missing = {}
         for attr, pres in self._present.items():

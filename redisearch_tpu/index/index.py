@@ -265,9 +265,15 @@ class SearchIndex:
                 # host tier has no device FLAT fallback: the bucket slabs
                 # ARE the only query structure, so build unconditionally
                 if col.host_ivf is None:
-                    col.host_ivf = HostIVF.build(
-                        col.vecs, np.asarray(col.present),
-                        vp.metric.value, nlist=vp.nlist)
+                    if col.compression:
+                        col.host_ivf = HostIVF.build_lvq(
+                            col.vecs, col.vq_off, col.vq_scl,
+                            np.asarray(col.present), vp.metric.value,
+                            nlist=vp.nlist)
+                    else:
+                        col.host_ivf = HostIVF.build(
+                            col.vecs, np.asarray(col.present),
+                            vp.metric.value, nlist=vp.nlist)
                 continue
             if vp.algo == VectorAlgo.FLAT:
                 continue

@@ -277,14 +277,15 @@ _VEC_JNP_DTYPES = {
 
 
 def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
-                       dtype_name: str, host: bool = False
-                       ) -> "VectorColumn":
+                       dtype_name: str, host: bool = False,
+                       compression: str = "") -> "VectorColumn":
     """Build a VectorColumn from per-doc vector lists.
     rows_per_doc[i]: None | ndarray[dim] | list[ndarray[dim]].
     Multi-value docs switch the column to row layout (reference: VecSim
     multi-value support, src/vector_index.h).  host=True keeps the
     vector matrix in HOST memory (beyond-HBM tier, ops/ivf.py HostIVF);
-    only `present` goes to the device."""
+    only `present` goes to the device.  compression="LVQ8" (host only)
+    stores the matrix as per-vector-scaled uint8 codes (ops/lvq.py)."""
     import jax.numpy as jnp
 
     norm = []
@@ -310,6 +311,13 @@ def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
                 mat[i] = v[0]
         sq = (mat.astype(np.float64) ** 2).sum(1).astype(np.float32)
         if host:
+            if compression:
+                from ..ops.lvq import lvq_encode, lvq_sq_norms
+                codes, off, scl = lvq_encode(mat)
+                return VectorColumn(
+                    vecs=codes, present=jnp.asarray(present), dim=dim,
+                    sq_norms=lvq_sq_norms(codes, off, scl), host=True,
+                    compression=compression, vq_off=off, vq_scl=scl)
             return VectorColumn(
                 vecs=mat, present=jnp.asarray(present), dim=dim,
                 sq_norms=sq, host=True)
@@ -382,6 +390,14 @@ class VectorColumn:
     # the disk tier, src/search_disk_api.h).
     host: bool = False
     host_ivf: Any = None
+    # LVQ8 compressed host tier (reference: SVS LVQ, src/vector_index.h:
+    # 17-71; ops/lvq.py): `vecs` holds uint8 codes, vq_off/vq_scl the
+    # per-vector dequant pair, sq_norms = ||reconstruction||^2.  The
+    # compressed form is the source of truth — slicing/compaction stay
+    # exact because quantization is per-vector.
+    compression: str = ""
+    vq_off: Any = None     # HOST f32[n_pad]
+    vq_scl: Any = None     # HOST f32[n_pad]
 
 
 def build_tag_codes(stage: dict, values: list, n_pad: int):

@@ -230,7 +230,8 @@ def slice_segment(seg: Segment, sel: np.ndarray,
         elif vc.host:
             # host tier: numpy slices stay on the host; rebuild the
             # bucket slabs around the KEPT centroids (assignment only —
-            # no k-means retrain on compaction)
+            # no k-means retrain on compaction).  LVQ8 columns slice
+            # exactly (per-vector quantization — no re-encode).
             from ..ops.ivf import HostIVF
             mat_old = np.asarray(vc.vecs)
             mat = np.zeros((n_pad_new, vc.dim), mat_old.dtype)
@@ -239,14 +240,27 @@ def slice_segment(seg: Segment, sel: np.ndarray,
             pres_np[:n_new] = np.asarray(vc.present)[sel]
             sq = np.zeros(n_pad_new, np.float32)
             sq[:n_new] = np.asarray(vc.sq_norms)[sel]
+            off = scl = None
+            if vc.compression:
+                off = np.zeros(n_pad_new, np.float32)
+                off[:n_new] = np.asarray(vc.vq_off)[sel]
+                scl = np.zeros(n_pad_new, np.float32)
+                scl[:n_new] = np.asarray(vc.vq_scl)[sel]
             hivf = None
             if vc.host_ivf is not None:
-                hivf = HostIVF.build(
-                    mat, pres_np, vc.host_ivf.metric,
-                    centroids=np.asarray(vc.host_ivf.centroids))
+                cents = np.asarray(vc.host_ivf.centroids)
+                if vc.compression:
+                    hivf = HostIVF.build_lvq(
+                        mat, off, scl, pres_np, vc.host_ivf.metric,
+                        centroids=cents)
+                else:
+                    hivf = HostIVF.build(
+                        mat, pres_np, vc.host_ivf.metric,
+                        centroids=cents)
             vectors[attr] = VectorColumn(
                 vecs=mat, present=jnp.asarray(pres_np), dim=vc.dim,
-                sq_norms=sq, host=True, host_ivf=hivf)
+                sq_norms=sq, host=True, host_ivf=hivf,
+                compression=vc.compression, vq_off=off, vq_scl=scl)
         else:
             mat_old = np.asarray(vc.vecs)
             mat = np.zeros((n_pad_new, vc.dim), mat_old.dtype)

@@ -194,13 +194,19 @@ class HostIVF:
 
     centroids: Any           # DEVICE f32[nlist, d]
     cent_sq: Any             # DEVICE f32[nlist]
-    bucket_vecs: np.ndarray  # HOST f32[nlist, list_pad, d]
+    bucket_vecs: np.ndarray  # HOST f32[nlist, list_pad, d] (u8 if LVQ8)
     bucket_sq: np.ndarray    # HOST f32[nlist, list_pad]
     bucket_ids: np.ndarray   # HOST int32[nlist, list_pad]
     nlist: int
     list_pad: int
     dim: int
     metric: str
+    # LVQ8 compressed slabs (reference: SVS LVQ, src/vector_index.h:
+    # 17-71; ops/lvq.py): bucket_vecs holds uint8 codes and these hold
+    # the per-vector dequant pair; bucket_sq = ||reconstruction||^2.
+    compression: str = ""
+    bucket_off: Optional[np.ndarray] = None   # HOST f32[nlist, list_pad]
+    bucket_scl: Optional[np.ndarray] = None   # HOST f32[nlist, list_pad]
 
     @classmethod
     def build(cls, vecs: np.ndarray, present: np.ndarray, metric: str,
@@ -212,12 +218,77 @@ class HostIVF:
                    bucket_vecs=bv, bucket_sq=bsq, bucket_ids=bi,
                    nlist=nlist, list_pad=list_pad, dim=d, metric=metric)
 
+    @classmethod
+    def build_lvq(cls, codes: np.ndarray, off: np.ndarray,
+                  scl: np.ndarray, present: np.ndarray, metric: str,
+                  nlist: int = 0, iters: int = 10,
+                  centroids: Optional[np.ndarray] = None) -> "HostIVF":
+        """Bucket layout over LVQ8-compressed vectors (ops/lvq.py).
+        Centroids train/assign on the reconstructions (decoded in
+        bounded chunks — build-time transient), the slabs store the
+        uint8 codes; scan-time distances are exact against the
+        reconstruction, so recall matches an uncompressed index built
+        on the reconstructed vectors at equal nprobe."""
+        from .lvq import lvq_decode, lvq_sq_norms
+
+        sel = np.nonzero(np.asarray(present))[0]
+        c_all = np.asarray(codes)[sel]
+        o_all = np.asarray(off, np.float32)[sel]
+        s_all = np.asarray(scl, np.float32)[sel]
+        n, d = c_all.shape
+        if centroids is None:
+            if nlist <= 0:
+                nlist = max(int(np.sqrt(max(n, 1))), 1)
+            x = lvq_decode(c_all, o_all, s_all)
+            if metric == "COSINE":
+                x /= np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            cents = train_kmeans(x, nlist, iters)
+            del x
+        else:
+            cents = np.asarray(centroids, np.float32)
+            nlist = cents.shape[0]
+        csq = np.sum(cents * cents, axis=1).astype(np.float32)
+        assign = np.zeros(n, np.int64)
+        CH = 65536
+        for i in range(0, n, CH):
+            x = lvq_decode(c_all[i:i + CH], o_all[i:i + CH],
+                           s_all[i:i + CH])
+            if metric == "COSINE":
+                x /= np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            assign[i:i + CH] = np.argmax(
+                2.0 * (x @ cents.T) - csq[None, :], axis=1)
+        counts = np.bincount(assign, minlength=nlist)
+        list_pad = max(int(counts.max()), 1)
+        list_pad = ((list_pad + 127) // 128) * 128
+        bc = np.zeros((nlist, list_pad, d), np.uint8)
+        bo = np.zeros((nlist, list_pad), np.float32)
+        bs = np.zeros((nlist, list_pad), np.float32)
+        bi = np.full((nlist, list_pad), -1, np.int32)
+        fill = np.zeros(nlist, np.int64)
+        for row, cl in enumerate(assign):
+            j = fill[cl]
+            bc[cl, j] = c_all[row]
+            bo[cl, j] = o_all[row]
+            bs[cl, j] = s_all[row]
+            bi[cl, j] = sel[row]
+            fill[cl] += 1
+        bsq = lvq_sq_norms(bc, bo, bs)
+        return cls(centroids=jnp.asarray(cents),
+                   cent_sq=jnp.asarray(csq),
+                   bucket_vecs=bc, bucket_sq=bsq, bucket_ids=bi,
+                   nlist=nlist, list_pad=list_pad, dim=d, metric=metric,
+                   compression="LVQ8", bucket_off=bo, bucket_scl=bs)
+
     def device_bytes(self) -> int:
         return self.centroids.nbytes + self.cent_sq.nbytes
 
     def host_bytes(self) -> int:
+        extra = ((self.bucket_off.nbytes + self.bucket_scl.nbytes)
+                 if self.compression else 0)
         return (self.bucket_vecs.nbytes + self.bucket_sq.nbytes
-                + self.bucket_ids.nbytes)
+                + self.bucket_ids.nbytes + extra)
 
 
 def ivf_probe_arrays(centroids, cent_sq, bucket_vecs, bucket_sq, bucket_ids,
@@ -367,6 +438,11 @@ def host_ivf_knn(hivf: HostIVF, Q: np.ndarray, k: int, nprobe: int,
     slab_sq[:U] = hivf.bucket_sq[uniq]
     slab_ids = np.full((U_pad, hivf.list_pad), -1, np.int32)
     slab_ids[:U] = hivf.bucket_ids[uniq]
+    if hivf.compression:
+        slab_off = np.zeros((U_pad, hivf.list_pad), np.float32)
+        slab_off[:U] = hivf.bucket_off[uniq]
+        slab_scl = np.zeros((U_pad, hivf.list_pad), np.float32)
+        slab_scl[:U] = hivf.bucket_scl[uniq]
     rowmap = inv.reshape(B, nprobe).astype(np.int32)
 
     has_cand = cand_docs is not None
@@ -383,10 +459,20 @@ def host_ivf_knn(hivf: HostIVF, Q: np.ndarray, k: int, nprobe: int,
         cd = np.zeros((B, 1), np.int32)
         cv = np.zeros((B, 1), bool)
     ok = doc_ok if doc_ok is not None else jnp.ones(1, bool)
-    dists, ids = _scan_slab(
-        jnp.asarray(slab_v), jnp.asarray(slab_sq), jnp.asarray(slab_ids),
-        jnp.asarray(rowmap), jnp.asarray(Qp), k, hivf.metric,
-        jnp.asarray(cd), jnp.asarray(cv), ok, has_cand,
-        doc_ok is not None)
+    if hivf.compression:
+        from .lvq import scan_slab_lvq
+        dists, ids = scan_slab_lvq(
+            jnp.asarray(slab_v), jnp.asarray(slab_off),
+            jnp.asarray(slab_scl), jnp.asarray(slab_sq),
+            jnp.asarray(slab_ids), jnp.asarray(rowmap), jnp.asarray(Qp),
+            k, hivf.metric, jnp.asarray(cd), jnp.asarray(cv), ok,
+            has_cand, doc_ok is not None)
+    else:
+        dists, ids = _scan_slab(
+            jnp.asarray(slab_v), jnp.asarray(slab_sq),
+            jnp.asarray(slab_ids), jnp.asarray(rowmap),
+            jnp.asarray(Qp), k, hivf.metric,
+            jnp.asarray(cd), jnp.asarray(cv), ok, has_cand,
+            doc_ok is not None)
     dists, ids = jax.device_get((dists, ids))
     return np.asarray(dists)[:B_real], np.asarray(ids)[:B_real]

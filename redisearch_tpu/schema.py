@@ -82,6 +82,12 @@ class VectorParams:
     # centroids, probed lists page per query batch — the disk-tier analog,
     # reference src/search_disk_api.h).
     storage: str = "hbm"
+    # Compressed storage for the host tier (reference: SVS LVQ/LeanVec,
+    # src/vector_index.h:17-71).  "LVQ8" stores per-vector-scaled uint8
+    # codes (~4x capacity at equal memory, ops/lvq.py); reference codec
+    # names (LVQ4, LVQ4x8, LeanVec…) are accepted as aliases so configs
+    # load unchanged.  Only valid with storage="host".
+    compression: str = ""
 
     def __post_init__(self):
         if isinstance(self.algo, str):  # accept "HNSW"/"SVS-VAMANA" aliases
@@ -94,6 +100,16 @@ class VectorParams:
             self.metric = VectorMetric(self.metric.upper())
         if self.dtype not in VECTOR_DTYPES:
             raise IndexError_(f"bad vector dtype {self.dtype}")
+        if self.compression:
+            up = self.compression.upper().replace("-", "").replace("_", "")
+            if not (up.startswith("LVQ") or up.startswith("LEANVEC")):
+                raise IndexError_(
+                    f"bad vector compression {self.compression}")
+            self.compression = "LVQ8"
+            if self.storage != "host":
+                raise IndexError_(
+                    "vector compression requires storage='host' "
+                    "(HBM tiers use dtype=INT8/BFLOAT16 instead)")
 
 
 @dataclasses.dataclass
