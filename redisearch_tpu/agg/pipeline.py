@@ -159,6 +159,17 @@ class AggregateResult:
 # Execution
 # ---------------------------------------------------------------------------
 
+#: Served-path counters for aggregations (the aggregate analog of
+#: engine.QUERY_PATH_STATS): "device-tail" = fused GROUPBY with in-graph
+#: SORT/LIMIT head, "device" = fused GROUPBY with host finish, "host" =
+#: full host pipeline.  Benchmarks report the device hit rate from this.
+AGG_PATH_STATS: dict = {}
+
+
+def _count_path(path: str, n: int = 1) -> None:
+    AGG_PATH_STATS[path] = AGG_PATH_STATS.get(path, 0) + n
+
+
 def run_aggregate(index, req: AggregateRequest,
                   profile: Optional[dict] = None) -> AggregateResult:
     """Execute an aggregation against a SearchIndex.  When `profile` is
@@ -178,6 +189,7 @@ def run_aggregate(index, req: AggregateRequest,
     t_start = _t.perf_counter()
     fast = _try_device_group(index, req, cq)
     if fast is not None:
+        _count_path("device")
         if profile is not None:
             profile["result_processors"] = [
                 {"name": "RP_INDEX+DeviceGroupBy(fused)",
@@ -210,6 +222,7 @@ def run_aggregate(index, req: AggregateRequest,
                    "__gid": gid, "__meta": meta}
             rows.append(row)
 
+    _count_path("host")
     if profile is not None:
         timings: list = [{"name": "RP_INDEX", "rows": len(rows),
                           "time_ms": round(
@@ -288,6 +301,7 @@ def run_aggregate_many(index, reqs: list) -> list:
             fparts.append((ki, e, {k: v[j] for k, v in full.items()}))
         fin = (_device_tail_finish if rspec is not None
                else _device_group_finish)
+        _count_path("device-tail" if rspec is not None else "device")
         out.append(fin(index, (group, tail, op_list, mm, rspec,
                                fparts)))
     return out
@@ -437,8 +451,13 @@ def _plan_device_group(index, req: AggregateRequest, cq):
         else:
             compiled_pre.append(("filter", None, fn))
 
-    if any(b in apply_aliases for b in group.by):
-        return None              # computed group keys stay host-side
+    # computed (APPLY-alias) group keys: the expression column is a pure
+    # function of segment numeric columns, so it can be evaluated ONCE
+    # per (segment, plan) and dictionary-encoded like any numeric key
+    # (_alias_key_encoding) — the per-query program then gathers its ids
+    # exactly like a raw key.  Reference hot path: group_by.c:63-158
+    # hashes computed RSValues per row instead.
+    key_aliases = frozenset(b for b in group.by if b in apply_aliases)
 
     operands: list[str] = []     # reducer operand columns, order-stable
     for name, args, _alias in group.reducers:
@@ -470,7 +489,7 @@ def _plan_device_group(index, req: AggregateRequest, cq):
         f"{k}:{getattr(s, 'alias', '')}:{s.expression}"
         for (k, _a, _f), s in zip(compiled_pre, pre))
     return (group, tail, operands, want_minmax, compiled_pre,
-            in_fields, pre_sig)
+            in_fields, pre_sig, key_aliases)
 
 
 def _make_fused(cq, raw, G, sizes, in_fields, compiled_pre, operands,
@@ -591,7 +610,9 @@ def _make_fused_cols(cq, raw, sizes, in_fields, compiled_pre, operands):
 _MAX_BATCH_STAGE = 64_000_000
 
 
-def _seg_posting_cols(index, seg, cq, group, in_fields, sizes):
+def _seg_posting_cols(index, seg, cq, group, in_fields, sizes,
+                      compiled_pre=(), pre_sig="",
+                      key_aliases=frozenset()):
     """Posting-ALIGNED device columns for the kernel-raw GROUPBY path:
     the composite group id, and each input numeric field's (value,
     present), all gathered once to align with seg.text's posting arrays
@@ -606,11 +627,13 @@ def _seg_posting_cols(index, seg, cq, group, in_fields, sizes):
     cache = getattr(seg, "_gbpcols_cache", None)
     if cache is None:
         cache = seg._gbpcols_cache = {}
-    ckey = (tuple(group.by), tuple(in_fields))
+    ckey = (tuple(group.by), tuple(in_fields),
+            pre_sig if key_aliases else "")
     ent = cache.get(ckey)
     if ent is not None:
         return ent
-    ga = _seg_group_args(index, seg, cq, group, in_fields)
+    ga = _seg_group_args(index, seg, cq, group, in_fields,
+                         compiled_pre, pre_sig, key_aliases)
     key_infos, _sizes, _G, seg_args = ga
     n_pad = seg.n_pad
     cd = jnp.minimum(seg.text.doc_ids, n_pad - 1)
@@ -924,25 +947,70 @@ def _gb_seg_state(cq, seg) -> str:
             f"|ft={seg.text_fexp is not None}:{sorted(seg.field_fexp)}")
 
 
-def _seg_group_args(index, seg, cq, group, in_fields):
+def _alias_key_encoding(seg, compiled_pre, in_fields, aliases):
+    """Dictionary encoding of computed (APPLY-alias) group-key columns
+    for one segment: evaluate the compiled pre-chain over the segment's
+    numeric columns in ONE jitted program, then dict-encode each needed
+    alias column exactly like a numeric key (_key_encoding).  One-time
+    per (segment, plan) — cached by the _gbcols_cache around it."""
+    import jax
+    import jax.numpy as jnp
+
+    def compute(cols):
+        env = dict(cols)
+        outs = {}
+        for kind, alias, fn in compiled_pre:
+            if kind != "apply":
+                continue
+            va, pa = fn(env)
+            va = jnp.broadcast_to(va, (seg.n_pad,)).astype(jnp.float32)
+            pa = jnp.broadcast_to(pa, (seg.n_pad,))
+            env[alias] = (va, pa)
+            if alias in aliases:
+                outs[alias] = (va, pa)
+        return outs
+
+    cols = {f: (seg.numerics[f].values, seg.numerics[f].present)
+            for f in in_fields if f in seg.numerics}
+    outs = jax.device_get(jax.jit(compute)(cols))
+    encs = {}
+    for alias, (va, pa) in outs.items():
+        va = np.asarray(va)
+        pa = np.asarray(pa)
+        uniq = np.unique(va[pa])
+        ids = np.searchsorted(uniq, va).astype(np.int32)
+        ids = np.where(pa, np.minimum(ids, max(len(uniq) - 1, 0)),
+                       -1).astype(np.int32)
+        encs[alias] = (jnp.asarray(ids), [float(u) for u in uniq])
+    return encs
+
+
+def _seg_group_args(index, seg, cq, group, in_fields,
+                    compiled_pre=(), pre_sig="",
+                    key_aliases=frozenset()):
     """Per-segment GROUPBY eligibility + device args: returns
     (key_infos, sizes, G, seg_args) or None (unencodable key / too many
     groups).  The stacked device columns are cached per (segment,
-    by-keys, in_fields) — segments are immutable after seal, and
-    restacking them per dispatch both re-executes device work and breaks
-    executor-arg identity."""
+    by-keys, in_fields, pre-chain) — segments are immutable after seal,
+    and restacking them per dispatch both re-executes device work and
+    breaks executor-arg identity."""
     import jax.numpy as jnp
     from ..query.engine import _segment_args
 
     cache = getattr(seg, "_gbcols_cache", None)
     if cache is None:
         cache = seg._gbcols_cache = {}
-    ckey = (tuple(group.by), tuple(in_fields))
+    ckey = (tuple(group.by), tuple(in_fields),
+            pre_sig if key_aliases else "")
     ent = cache.get(ckey)
     if ent is None:
+        alias_encs = (_alias_key_encoding(seg, compiled_pre, in_fields,
+                                          key_aliases)
+                      if key_aliases else {})
         key_infos = []
         for b in group.by:
-            enc = _key_encoding(index, seg, b)
+            enc = (alias_encs.get(b) if b in key_aliases
+                   else _key_encoding(index, seg, b))
             if enc is None:
                 return None
             key_infos.append(enc)
@@ -989,7 +1057,7 @@ def _device_group_submit_batch(index, items):
 
     req0, cq0, plan0 = items[0]
     (group0, _tail0, operands, want_minmax, compiled_pre, in_fields,
-     pre_sig) = plan0
+     pre_sig, key_aliases) = plan0
     want_sumsq = any(n.upper() == "STDDEV"
                      for n, _a, _al in group0.reducers)
     # in-graph SORT/LIMIT head: only the surviving rows cross the link
@@ -1007,7 +1075,8 @@ def _device_group_submit_batch(index, items):
     Cp = min(Bp, 1024)
     seg_parts = []
     for seg in index.segments:
-        ga = _seg_group_args(index, seg, cq0, group0, in_fields)
+        ga = _seg_group_args(index, seg, cq0, group0, in_fields,
+                             compiled_pre, pre_sig, key_aliases)
         if ga is None:
             return None
         key_infos, sizes, G, seg_args = ga
@@ -1044,8 +1113,9 @@ def _device_group_submit_batch(index, items):
             f"|B={Bp}|{_gb_seg_state(cq0, seg)}", buckets, P, 1)
             + f"|rows[{lfp}]")
         if kplan is not None:
-            seg_args.update(_seg_posting_cols(index, seg, cq0, group0,
-                                              in_fields, sizes))
+            seg_args.update(_seg_posting_cols(
+                index, seg, cq0, group0, in_fields, sizes,
+                compiled_pre, pre_sig, key_aliases))
         def _chunked(fused_fn, _Bp=Bp, _Cp=Cp, _total=total):
             """Scan <=Cp-query chunks of the [Bp, total] rows inside one
             program (SMEM scalar-prefetch + HBM staging bounds)."""
@@ -1159,12 +1229,13 @@ def _device_group_submit(index, req: AggregateRequest, cq):
     if plan is None:
         return None
     (group, tail, operands, want_minmax, compiled_pre, in_fields,
-     pre_sig) = plan
+     pre_sig, key_aliases) = plan
 
     from ..query.engine import _COMPILE_CACHE, _build_fn
     parts = []
     for seg in index.segments:
-        ga = _seg_group_args(index, seg, cq, group, in_fields)
+        ga = _seg_group_args(index, seg, cq, group, in_fields,
+                             compiled_pre, pre_sig, key_aliases)
         if ga is None:
             return None
         key_infos, sizes, G, seg_args = ga

@@ -359,3 +359,65 @@ def test_kernel_groupby_interpret_matches_host():
                         q, k, va, vb)
                 else:
                     assert va == vb, (q, k, va, vb)
+
+
+def test_apply_alias_group_key_on_device(idx):
+    """Computed (APPLY-alias) group keys run on the device path and
+    match the host pipeline (reference: group_by.c hashes computed
+    RSValues per row; here the expression column is dict-encoded once
+    per segment, _alias_key_encoding)."""
+    def mk():
+        return (AggregateRequest("*")
+                .apply("floor(@x / 100)", "bucket")
+                .group_by("@bucket", ("COUNT", [], "n"),
+                          ("SUM", ["@y"], "sy"))
+                .sort_by(("@sy", DESC)).limit(0, 5))
+
+    cq = idx.compile(idx.parse_query("*"), QueryOptions())
+    assert _try_device_group(idx, mk(), cq) is not None  # device-eligible
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    assert len(dev) == len(host) == 5
+    for d, h in zip(dev, host):
+        assert float(d["bucket"]) == float(h["bucket"])
+        assert d["n"] == h["n"]
+        assert abs(d["sy"] - h["sy"]) < 1e-3 * max(1.0, abs(h["sy"]))
+
+
+def test_apply_alias_key_chained_and_filtered(idx):
+    """Alias-of-alias keys + FILTER pre-steps stay device-eligible."""
+    def mk():
+        return (AggregateRequest("odd")
+                .apply("@x / 10", "a")
+                .apply("floor(@a / 10)", "bucket")
+                .filter("@y < 40")
+                .group_by("@bucket", ("COUNT", [], "n"),
+                          ("AVG", ["@x"], "ax"))
+                .sort_by(("@n", DESC)).limit(0, 8))
+
+    cq = idx.compile(idx.parse_query("odd"), QueryOptions())
+    assert _try_device_group(idx, mk(), cq) is not None
+    dev = idx.aggregate(mk()).rows
+    host = _host_rows(idx, mk())
+    assert [r["bucket"] for r in dev] == [r["bucket"] for r in host]
+    for d, h in zip(dev, host):
+        assert d["n"] == h["n"]
+        assert abs(d["ax"] - h["ax"]) < 1e-3 * max(1.0, abs(h["ax"]))
+
+
+def test_agg_path_stats_counter(idx):
+    from redisearch_tpu.agg import pipeline as P
+    from redisearch_tpu.agg.pipeline import run_aggregate_many
+
+    P.AGG_PATH_STATS.clear()
+    reqs = [AggregateRequest("*")
+            .group_by("@cat", ("COUNT", [], "n"))
+            .sort_by(("@n", DESC)).limit(0, 3) for _ in range(4)]
+    run_aggregate_many(idx, reqs)
+    # TOLIST is not algebraic -> host
+    run_aggregate_many(idx, [
+        AggregateRequest("*").group_by("@cat", ("TOLIST", ["@x"], "l"))])
+    stats = dict(P.AGG_PATH_STATS)
+    dev = stats.get("device", 0) + stats.get("device-tail", 0)
+    assert dev == 4, stats
+    assert stats.get("host", 0) == 1, stats
