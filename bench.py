@@ -370,6 +370,92 @@ def bench_hybrid(ix, emit, done, B: int = 1024, iters: int = 4):
     return errored
 
 
+def bench_ann(emit, done, n: int = 1_000_000, d: int = 100, k: int = 10,
+              nlist: int = 1024):
+    """ANN recall@10-vs-QPS operating points on a clustered (ANN-
+    favorable, glove-100-shaped) cosine corpus — BASELINE config 3.
+
+    Emits the full sweep plus `ann_qps_at_r95`: the best QPS among
+    operating points whose measured recall@10 >= 0.95.  Operating
+    points: the exact FLAT MXU scan (recall 1.0 — at equal memory it
+    stores no graph, where reference HNSW M=16 adds ~1.6x on 100-d) and
+    the IVF nprobe ladder (the EF_RUNTIME analog used for beyond-HBM
+    and low-latency configs).  Reference workload family:
+    tests/benchmarks/vecsim-glove-100/deep-1M sweeps."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from redisearch_tpu.ops.ivf import IVFIndex, ivf_probe_batch
+    from redisearch_tpu.ops.vector import knn_scan_batches
+
+    if "ann_qps_at_r95" in done:
+        return False
+    rng = np.random.default_rng(7)
+    n_queries, reps = 256, 4
+    centers = rng.normal(size=(256, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 256, size=n)]
+            + 0.3 * rng.normal(size=(n, d))).astype(np.float32)
+    queries = (centers[rng.integers(0, 256, size=n_queries * reps)]
+               + 0.3 * rng.normal(size=(n_queries * reps, d))
+               ).astype(np.float32)
+
+    dv = jnp.asarray(vecs)
+    sq = jnp.sum(dv * dv, axis=1)
+    present = jnp.ones((n,), bool)
+    Q = jnp.asarray(queries).reshape(reps, n_queries, d)
+
+    qn = queries[:n_queries]
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-30)
+    sims = vn @ qn.T
+    truth = [set(np.argpartition(-sims[:, i], k)[:k].tolist())
+             for i in range(n_queries)]
+
+    def recall_of(got):
+        return float(np.mean([len(set(got[i].tolist()) & truth[i]) / k
+                              for i in range(n_queries)]))
+
+    points = []
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def flat(vs, sqs, pres, Qc, kk):
+        return knn_scan_batches(vs, sqs, pres, Qc, kk, "COSINE")
+
+    _, idx0 = flat(dv, sq, present, Q[:1], k)
+    flat_rec = recall_of(jax.device_get(idx0)[0])
+    t0 = time.perf_counter()
+    outs = [flat(dv, sq, present, Q[r:r + 1], k)[1]
+            for r in range(1, reps)]
+    jax.device_get(outs)
+    flat_qps = (reps - 1) * n_queries / (time.perf_counter() - t0)
+    points.append({"op": "flat", "recall": round(flat_rec, 4),
+                   "qps": round(flat_qps, 1)})
+
+    try:
+        ivf = IVFIndex.build(vecs, np.ones(n, bool), "COSINE",
+                             nlist=nlist)
+        for nprobe in (8, 32, 128):
+            _, ids = ivf_probe_batch(ivf, Q[0], k, nprobe)
+            rec = recall_of(jax.device_get(ids))
+            t0 = time.perf_counter()
+            outs = [ivf_probe_batch(ivf, Q[r], k, nprobe)[1]
+                    for r in range(1, reps)]
+            jax.device_get(outs)
+            qps = (reps - 1) * n_queries / (time.perf_counter() - t0)
+            points.append({"op": f"ivf{nprobe}", "recall": round(rec, 4),
+                           "qps": round(qps, 1)})
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        emit("ann_ivf_error", repr(e)[:160])
+    emit("ann_sweep", points)
+    ok = [pt["qps"] for pt in points if pt["recall"] >= 0.95]
+    emit("ann_qps_at_r95", max(ok) if ok else 0.0)
+    return False
+
+
 def bench_knn():
     import jax
     import jax.numpy as jnp
@@ -429,7 +515,7 @@ RC_BACKEND = 17    # backend init failed fast — parent backs off + retries
 RC_PARTIAL = 18    # some sub-benches errored in-process — parent retries
 
 # (name, per-attempt timeout seconds)
-SECTIONS = (("text", 2700), ("fknn", 1500), ("knn", 900))
+SECTIONS = (("text", 2700), ("fknn", 1500), ("knn", 900), ("ann", 900))
 
 
 def _load_progress(path):
@@ -514,6 +600,15 @@ def _child(section, progress_path):
         errored |= bench_hybrid(ix, emit, done,
                                 B=64 if _SMOKE else 1024,
                                 iters=2 if _SMOKE else 4)
+    elif section == "ann":
+        try:
+            errored = bench_ann(
+                emit, done, n=100_000 if _SMOKE else 1_000_000)
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            emit("ann_error", repr(e)[:160])
+            errored = True
     elif section == "knn":
         if "flat_knn_qps" not in done:
             try:
@@ -642,6 +737,9 @@ def _assemble(p, section_rc):
         extra["filtered_knn_qps"] = fk
         extra["filtered_knn_vs_baseline"] = {
             k: round(v / FKNN_BASELINE_QPS, 2) for k, v in fk.items()}
+    put("ann_qps_at_r95", "ann_qps_at_r95")
+    put("ann_sweep", "ann_sweep")
+    put("ann_error", "ann_error")
     hy = {k: p["hybrid__" + k] for k in ("rrf", "linear")
           if "hybrid__" + k in p}
     if hy:
