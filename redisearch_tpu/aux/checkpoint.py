@@ -266,15 +266,19 @@ def load(path: str):
                     np.asarray(npz[f"{p}.vec.{attr}.vecs"], np.float32),
                     np.asarray(npz[f"{p}.vec.{attr}.present"]), metric,
                     centroids=cents)
+            from ..index.segment import bf16_scan_copy
+            dev = jnp.asarray(npz[f"{p}.vec.{attr}.vecs"],
+                              dtype=jnp.dtype(dt))
+            multi = bool(vmeta.get("multi"))
             vectors[attr] = VectorColumn(
-                vecs=jnp.asarray(npz[f"{p}.vec.{attr}.vecs"],
-                                 dtype=jnp.dtype(dt)),
+                vecs=dev,
                 present=arr(f"{p}.vec.{attr}.present"),
                 dim=vmeta["dim"],
                 sq_norms=arr(f"{p}.vec.{attr}.sq"),
+                scan_vecs=None if multi else bf16_scan_copy(dev),
                 doc_rows=(arr(f"{p}.vec.{attr}.doc_rows")
-                          if vmeta.get("multi") else None),
-                multi=bool(vmeta.get("multi")),
+                          if multi else None),
+                multi=multi,
                 ivf=ivf,
             )
         missing = {attr: arr(f"{p}.missing.{attr}")

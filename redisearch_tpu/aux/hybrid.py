@@ -212,6 +212,65 @@ def run_hybrid_many(index, hqs: list, tails: Optional[list] = None,
     return _HybridHandle(fin) if async_ else fin()
 
 
+class _Ready:
+    def __init__(self, v):
+        self._v = v
+
+    def result(self):
+        return self._v
+
+
+def run_hybrid_rounds(index, rounds: list, tails_rounds=None,
+                      async_: bool = False):
+    """R rounds of batched FT.HYBRID in ONE device dispatch
+    (engine.execute_batch_rounds): both branches of every query in every
+    round ride one lax.scan'd program, amortizing the per-dispatch link
+    overhead that dominates a tunneled attach.  Single-segment indexes
+    only; anything else falls back to per-round run_hybrid_many."""
+    from ..query.engine import execute_batch_rounds
+
+    if (not hasattr(index, "segments") or len(index.segments) != 1
+            or not rounds):
+        hs = [run_hybrid_many(index, hqs,
+                              tails_rounds[r] if tails_rounds else None,
+                              async_=True)
+              for r, hqs in enumerate(rounds)]
+
+        def fin_fb():
+            return [h.result() for h in hs]
+        return _HybridHandle(fin_fb) if async_ else fin_fb()
+    index.commit()
+    seg = index.segments[0]
+    w_max = max(hq.window for hqs in rounds for hq in hqs)
+    cqs_rounds = []
+    for hqs in rounds:
+        cqs = []
+        for hq in hqs:
+            if not hq.vsim_field:
+                raise QuerySyntaxError("FT.HYBRID requires a VSIM field")
+            vec = np.asarray(hq.vsim_vector, np.float32)
+            cqs.append(index.prepare(
+                hq.search, hq.search_params,
+                QueryOptions(scorer=hq.search_scorer, k=hq.window), 2))
+            cqs.append(index.prepare(
+                f"*=>[KNN {hq.window} @{hq.vsim_field} $__hybrid_vec]",
+                {"__hybrid_vec": vec}, QueryOptions(k=hq.window), 2))
+        cqs_rounds.append(cqs)
+    rh = execute_batch_rounds(cqs_rounds, seg, w_max, async_=True)
+
+    def fin():
+        per_round = rh.result()
+        outs = []
+        for r, hqs in enumerate(rounds):
+            tails = tails_rounds[r] if tails_rounds else None
+            outs.append(_hybrid_finish(
+                index, hqs, tails, [_Ready(per_round[r])], len(hqs),
+                w_max))
+        return outs
+
+    return _HybridHandle(fin) if async_ else fin()
+
+
 def _hybrid_finish(index, hqs, tails, handles, B, w_max):
     # branch outputs stacked across segments: [B, nseg * k_pad]
     t_sc, t_g, t_ok = [], [], []

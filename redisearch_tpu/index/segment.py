@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -276,6 +277,23 @@ _VEC_JNP_DTYPES = {
 }
 
 
+def bf16_scan_copy(mat):
+    """bf16 copy of an f32 device vector matrix for the two-phase KNN
+    candidate scan (VectorColumn.scan_vecs / ops/vector.py knn_batch):
+    halves the scan's HBM reads at +50% vector memory.  The f32 master
+    stays the source of truth (rescore, checkpoints, compaction); the
+    copy is derived state, rebuilt here on build/load/slice.  Returns
+    None for non-f32 storage or under RS_TPU_NO_BF16_SCAN=1."""
+    import jax.numpy as jnp
+
+    if os.environ.get("RS_TPU_NO_BF16_SCAN"):
+        return None
+    a = jnp.asarray(mat)
+    if a.dtype != jnp.float32:
+        return None
+    return a.astype(jnp.bfloat16)
+
+
 def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
                        dtype_name: str, host: bool = False,
                        compression: str = "") -> "VectorColumn":
@@ -321,10 +339,10 @@ def make_vector_column(rows_per_doc: list, n: int, n_pad: int, dim: int,
             return VectorColumn(
                 vecs=mat, present=jnp.asarray(present), dim=dim,
                 sq_norms=sq, host=True)
+        dev = jnp.asarray(mat, dtype=dt)
         return VectorColumn(
-            vecs=jnp.asarray(mat, dtype=dt),
-            present=jnp.asarray(present), dim=dim,
-            sq_norms=jnp.asarray(sq))
+            vecs=dev, present=jnp.asarray(present), dim=dim,
+            sq_norms=jnp.asarray(sq), scan_vecs=bf16_scan_copy(dev))
     M = next_pow2(max(len(v) for v in norm))
     R = sum(len(v) for v in norm)
     R_pad = max(round_up(R, 8), 8)
@@ -373,6 +391,10 @@ class VectorColumn:
     # Precomputed squared L2 norms (f32[n_pad]) for L2 via the MXU
     # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 trick.
     sq_norms: Any = None
+    # bf16 copy of `vecs` for the two-phase candidate scan (f32 storage
+    # only; ops/vector.py knn_batch scan_vecs).  Derived state — rebuilt
+    # on load/compaction, never checkpointed.
+    scan_vecs: Any = None
     # Multi-value vectors (reference: VecSim multi-value indexes — a doc's
     # score is the best of its vectors): all vectors stored as rows, with
     # doc_rows[n_pad, M] mapping each doc to its row indices (-1 pad).

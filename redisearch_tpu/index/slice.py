@@ -269,9 +269,12 @@ def slice_segment(seg: Segment, sel: np.ndarray,
             pres[:n_new] = np.asarray(vc.present)[sel]
             sq = np.zeros(n_pad_new, np.float32)
             sq[:n_new] = np.asarray(vc.sq_norms)[sel]
+            from .segment import bf16_scan_copy
+            dev = jnp.asarray(mat)
             vectors[attr] = VectorColumn(
-                vecs=jnp.asarray(mat), present=jnp.asarray(pres),
-                dim=vc.dim, sq_norms=jnp.asarray(sq))
+                vecs=dev, present=jnp.asarray(pres),
+                dim=vc.dim, sq_norms=jnp.asarray(sq),
+                scan_vecs=bf16_scan_copy(dev))
 
     missing = {}
     for attr, m in seg.missing.items():

@@ -827,8 +827,7 @@ def _member_min_ge(anch_ref, ok_ref, found_ref, acc_f, mkeys_r, r_m, mlen,
 
 
 def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
-                   out_docs, out_scores, out_counts, *scratch,
-                   T, Ws, PWs, stride, slop, k):
+                   *rest, T, Ws, PWs, stride, slop, k, raw=False):
     """Exact / in-order-slop phrase, one query per grid step.
 
     Chain semantics mirror engine._phrase_chain_pivot (in-order branch):
@@ -838,7 +837,19 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     key must stay in the candidate's doc.  Valid keys then fold to doc
     hits on term 0's posting window (key // stride == doc), and scoring
     adds each slot's BM25 contribution where the doc sits mask-valid in
-    that slot's postings (engine gen_phrase)."""
+    that slot's postings (engine gen_phrase).
+
+    raw=True (same contract as _kernel): emit the full masked
+    (doc, score) window of term 0 and no counts — the k-pass in-VMEM
+    extraction (scalar-latency-bound) is replaced by one batched
+    iter_topk outside at full VPU throughput."""
+    if raw:
+        out_docs, out_scores = rest[:2]
+        out_counts = None
+        scratch = rest[2:]
+    else:
+        out_docs, out_scores, out_counts = rest[:3]
+        scratch = rest[3:]
     q = pl.program_id(0)
     at = 0
     refs = []
@@ -977,6 +988,11 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     d_o = jnp.where(dochit, pdocs, INF)
     s_o = jnp.where(dochit, score, NEG_INF)
 
+    if raw:
+        out_docs[0] = d_o
+        out_scores[0] = s_o
+        return
+
     # top-k extraction + count (single phase)
     KR = max(-(-k // BLK), 1)
     oi = _flat_iota(KR)
@@ -1093,17 +1109,23 @@ def _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "Ws", "PWs", "stride", "slop", "k"))
+    jax.jit,
+    static_argnames=("T", "Ws", "PWs", "stride", "slop", "k", "raw"))
 def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
                  *, T: int, Ws: tuple, PWs: tuple, stride: int,
-                 slop: int = 0, k: int = 16):
+                 slop: int = 0, k: int = 16, raw: bool = False):
     """Exact / in-order phrase kernel over a batch.
 
     meta: int32 [B, 5T] — per slot posting starts, lens, qmasks, then
     poskey-window starts and lens (flat offsets into `poskeys`).
     fmeta: f32 [B, T+1] — slot tweights then avgdl.  Returns
     (docs [B, >=k], scores, counts [B]) — top-k score desc, doc asc ties.
-    """
+
+    raw=True (small term-0 windows; same trick as intersect_batch):
+    emit the full masked (doc, score) window instead of the in-VMEM
+    k-pass extraction; callers finish with one batched iter_topk.  The
+    CPU/XLA fallback ignores `raw` (its outputs are already top-k; the
+    engine's merge is a no-op on them)."""
     if not _use_pallas():
         return _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks,
                                 posting_dl, poskeys, T=T, Ws=Ws, PWs=PWs,
@@ -1111,7 +1133,7 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     pkrows = [PWs[t] // BLK + R_EXTRA for t in range(T)]
-    KR = max(-(-k // BLK), 1)
+    KR = rows[0] if raw else max(-(-k // BLK), 1)
     scratch = []
     for t in range(T):
         scratch.append(pltpu.VMEM((rows[t], BLK), jnp.int32))
@@ -1142,6 +1164,21 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
     dl2 = posting_dl.reshape(n2, BLK)
     pk2 = poskeys.reshape(poskeys.shape[0] // BLK, BLK)
 
+    out_specs = [
+        pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
+        jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
+    ]
+    if not raw:
+        out_specs.append(pl.BlockSpec((1, 1, BLK),
+                                      lambda q, meta: (q, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -1149,28 +1186,24 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
                                lambda q, meta: (q, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=[
-            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KR, BLK), lambda q, meta: (q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLK), lambda q, meta: (q, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_phrase_kernel, T=T, Ws=Ws, PWs=PWs,
-                             stride=stride, slop=slop, k=k)
-    docs, scores, counts = pl.pallas_call(
+                             stride=stride, slop=slop, k=k, raw=raw)
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, KR, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((B, KR, BLK), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, BLK), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(meta, fmeta[:, None, :], d2, f2, m2, dl2, pk2)
+    if raw:
+        docs, scores = outs
+        docs = docs.reshape(B, KR * BLK)
+        return (docs, scores.reshape(B, KR * BLK),
+                jnp.sum((docs != jnp.int32(2**31 - 1)).astype(jnp.int32),
+                        axis=1))
+    docs, scores, counts = outs
     return (docs.reshape(B, KR * BLK),
             scores.reshape(B, KR * BLK),
             counts.reshape(B, BLK)[:, 0])

@@ -115,9 +115,25 @@ def _cand_k(n: int, k: int) -> int:
     return min(n, max(4 * k, k + 16))
 
 
+def _cand_top(dm: jnp.ndarray, C: int):
+    """Candidate top-C extraction for the two-phase path.
+
+    The candidate values only gate WHICH rows get rescored — their
+    precision is already bf16-level (the scan matmul runs one-pass bf16
+    on the MXU) — so the extraction itself runs on a bf16 view of the
+    distance matrix: approx_max_k streams half the HBM bytes (measured
+    ~2x faster at [512, 524k] on v5e).  Masked lanes (-BIG) become -inf
+    in bf16, which approx_max_k orders identically."""
+    if dm.ndim > 1 and dm.shape[-1] > 4096:
+        vals, idx = _fast_top_k(dm.astype(jnp.bfloat16), C)
+        return vals.astype(jnp.float32), idx
+    return _fast_top_k(dm, C)
+
+
 def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
         q: jnp.ndarray, k: int, metric: str,
-        mask: jnp.ndarray | None = None):
+        mask: jnp.ndarray | None = None,
+        scan_vecs: jnp.ndarray | None = None):
     """Top-k nearest: returns (dists [k], idx [k]).
 
     For f32 storage this is two-phase: a bf16 MXU candidate scan picks
@@ -126,17 +142,23 @@ def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
     true neighbor's bf16 distance (~0.4% rel err) falls outside the
     C-candidate margin (recall >= 0.99 measured on clustered corpora;
     tests/test_units.py::test_two_phase_knn_clustered pins near-tie
-    behavior).  Other dtypes rank the full scan directly."""
+    behavior).  Other dtypes rank the full scan directly.
+
+    scan_vecs: optional bf16 copy of `vecs` for the candidate scan —
+    halves the scan's HBM reads; the values it produces are the same
+    bf16-precision dots the MXU computes from f32 inputs at DEFAULT
+    precision, and the f32 rescore path always reads `vecs`."""
     valid = present if mask is None else (present & mask)
     two_phase = vecs.dtype == jnp.float32 and _cand_k(
         vecs.shape[0], k) < vecs.shape[0]
-    d = distances_to(vecs, sq_norms, q, metric, approx=two_phase)
+    sv = scan_vecs if (two_phase and scan_vecs is not None) else vecs
+    d = distances_to(sv, sq_norms, q, metric, approx=two_phase)
     dm = jnp.where(valid, d, BIG)
     if not two_phase:
         vals, idx = _fast_top_k(-dm, k)
         return -vals, idx
     C = _cand_k(vecs.shape[0], k)
-    avals, aidx = _fast_top_k(-dm, C)
+    avals, aidx = _cand_top(-dm, C)
     dr = jnp.where(-avals >= BIG * 0.5, BIG,
                    _rescore(vecs, sq_norms, q, aidx, metric))
     vals, sel = jax.lax.top_k(-dr, k)
@@ -145,24 +167,26 @@ def knn(vecs: jnp.ndarray, sq_norms: jnp.ndarray, present: jnp.ndarray,
 
 def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
               present: jnp.ndarray, Q: jnp.ndarray, k: int, metric: str,
-              mask: jnp.ndarray | None = None):
+              mask: jnp.ndarray | None = None,
+              scan_vecs: jnp.ndarray | None = None):
     """Batched exact KNN: Q [B, d] -> (dists [B, k], idx [B, k]).
 
     One [B, d] x [d, N] MXU matmul — the throughput path for benchmarks and
     the serving layer (amortizes HBM reads of the vector matrix over B).
     f32 storage scans at bf16 (one-pass MXU) and rescores a C-candidate
     set per query at f32, keeping exact distance semantics ~4x faster
-    than a Precision.HIGHEST scan."""
+    than a Precision.HIGHEST scan.  scan_vecs: see knn()."""
     valid = present if mask is None else (present & mask)
     two_phase = vecs.dtype == jnp.float32 and _cand_k(
         vecs.shape[0], k) < vecs.shape[0]
-    d = distances_to(vecs, sq_norms, Q, metric, approx=two_phase)
+    sv = scan_vecs if (two_phase and scan_vecs is not None) else vecs
+    d = distances_to(sv, sq_norms, Q, metric, approx=two_phase)
     dm = jnp.where(valid[None, :], d, BIG)
     if not two_phase:
         vals, idx = _fast_top_k(-dm, k)
         return -vals, idx
     C = _cand_k(vecs.shape[0], k)
-    avals, aidx = _fast_top_k(-dm, C)                  # [B, C]
+    avals, aidx = _cand_top(-dm, C)                    # [B, C]
     dr = jnp.where(-avals >= BIG * 0.5, BIG,
                    _rescore(vecs, sq_norms, Q, aidx, metric))
     vals, sel = jax.lax.top_k(-dr, k)
@@ -171,7 +195,8 @@ def knn_batch(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
 
 def knn_batch_masked(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
                      valid2d: jnp.ndarray, Q: jnp.ndarray, k: int,
-                     metric: str):
+                     metric: str,
+                     scan_vecs: jnp.ndarray | None = None):
     """Batched filtered KNN: per-query validity mask [B, N] fused as an
     epilogue on the shared distance matmul (the reference's filtered
     "hybrid" query, src/iterators/hybrid_reader.c:16-59 — here there is
@@ -180,16 +205,17 @@ def knn_batch_masked(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
 
     Q [B, d], valid2d bool[B, N] -> (dists [B, k], idx [B, k]).  Same
     precision contract as knn_batch: f32 storage scans at bf16 and
-    rescores the candidate set at f32."""
+    rescores the candidate set at f32.  scan_vecs: see knn()."""
     two_phase = vecs.dtype == jnp.float32 and _cand_k(
         vecs.shape[0], k) < vecs.shape[0]
-    d = distances_to(vecs, sq_norms, Q, metric, approx=two_phase)
+    sv = scan_vecs if (two_phase and scan_vecs is not None) else vecs
+    d = distances_to(sv, sq_norms, Q, metric, approx=two_phase)
     dm = jnp.where(valid2d, d, BIG)
     if not two_phase:
         vals, idx = _fast_top_k(-dm, k)
         return -vals, idx
     C = _cand_k(vecs.shape[0], k)
-    avals, aidx = _fast_top_k(-dm, C)                  # [B, C]
+    avals, aidx = _cand_top(-dm, C)                    # [B, C]
     dr = jnp.where(-avals >= BIG * 0.5, BIG,
                    _rescore(vecs, sq_norms, Q, aidx, metric))
     vals, sel = jax.lax.top_k(-dr, k)
@@ -198,7 +224,8 @@ def knn_batch_masked(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
 
 def knn_scan_batches(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
                      present: jnp.ndarray, Qc: jnp.ndarray, k: int,
-                     metric: str, mask: jnp.ndarray | None = None):
+                     metric: str, mask: jnp.ndarray | None = None,
+                     scan_vecs: jnp.ndarray | None = None):
     """Chunked batched KNN: Qc [it, B, d] -> (dists [it, B, k], idx).
 
     One XLA dispatch scans the chunk axis, so per-dispatch overhead
@@ -208,7 +235,7 @@ def knn_scan_batches(vecs: jnp.ndarray, sq_norms: jnp.ndarray,
     matmul's output reduction."""
     def body(_, q):
         return None, knn_batch(vecs, sq_norms, present, q, k, metric,
-                               mask=mask)
+                               mask=mask, scan_vecs=scan_vecs)
     return jax.lax.scan(body, None, Qc)[1]
 
 

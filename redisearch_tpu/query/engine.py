@@ -1269,10 +1269,12 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
     fexp = seg.field_fexp.get(field.attribute)
     sig = (f"pureknn|{seg.n_pad}|{col.vecs.dtype}|{metric}|B={B}"
            f"|k={k_eff}|t={seg.has_ttl}|d={seg.n_deleted > 0}"
-           f"|fx={fexp is not None}")
+           f"|fx={fexp is not None}|sc={col.scan_vecs is not None}")
     seg_args = {"vecs": col.vecs, "sq": col.sq_norms,
                 "present": col.present, "alive": seg.alive,
                 "expire_at": seg.expire_at}
+    if col.scan_vecs is not None:
+        seg_args["scan"] = col.scan_vecs
     if fexp is not None:
         seg_args["fexp"] = fexp
     dyn = {"blobs": blobs, "now": np.int32(now)}
@@ -1296,7 +1298,8 @@ def _execute_batch_pure_knn(cqs: list, seg: Segment, k: int,
             # lax.top_k on a [B, n_pad] row lowers to per-row sorts
             # (~0.4 ms/query at 524k docs — the batch bottleneck).
             dists, idx = V.knn_batch(sa["vecs"], sa["sq"], valid,
-                                     dy["blobs"], k_eff, metric)
+                                     dy["blobs"], k_eff, metric,
+                                     scan_vecs=sa.get("scan"))
             return {"idx": idx, "knn": dists,
                     "scores": jnp.zeros((B, k_eff), jnp.float32),
                     "count": jnp.sum(valid.astype(jnp.int32))}
@@ -1501,12 +1504,34 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
         return handle if async_ else handle.result()
     if _pure_knn_eligible(cqs, seg):
         return _execute_batch_pure_knn(cqs, seg, k, async_)
-    # bind every query as a packed transport row (memoized per segment:
-    # one template memcpy + clock/vector patches per query), then group
-    # by group_sig — tree structure + window buckets.  Structurally
-    # different queries cannot share an executable; mixed *bucket*
-    # shapes are kept apart so one huge query never inflates everyone's
-    # windows.
+    subs = _prep_subs(cqs, seg, k)
+    if len(subs) > 1 and all(e._warm for _, e, _, _ in subs):
+        # fuse every group into ONE XLA program: a mixed-bucket batch
+        # otherwise pays one dispatch+collect link round trip PER GROUP
+        # (measured ~20 ms each on the tunneled attach — it dominated
+        # the serving profile at B=4096 with ~5 bucket groups)
+        flats = _combined_submit(tuple(e for _, e, _, _ in subs),
+                                 tuple(sa for _, _, sa, _ in subs),
+                                 tuple(b for _, _, _, b in subs))
+        parts = [(g, e, fl)
+                 for (g, e, _, _), fl in zip(subs, flats)]
+    else:
+        parts = [(g, e, e.submit_buf(sa, buf))
+                 for g, e, sa, buf in subs]
+    handle = _BatchHandle(parts, len(cqs), cqs=cqs, seg=seg, k=k)
+    return handle if async_ else handle.result()
+
+
+def _prep_subs(cqs: list, seg: Segment, k: int) -> list:
+    """Bind + group + pack a batch: returns [(g, entry, seg_args,
+    buf_np)] — everything execute_batch does before device submission.
+
+    Binds every query as a packed transport row (memoized per segment:
+    one template memcpy + clock/vector patches per query), then groups
+    by group_sig — tree structure + window buckets.  Structurally
+    different queries cannot share an executable; mixed *bucket*
+    shapes are kept apart so one huge query never inflates everyone's
+    windows."""
     groups: dict[tuple, list[int]] = {}
     ents = []
     for i, cq in enumerate(cqs):
@@ -1534,28 +1559,39 @@ def execute_batch(cqs: list[CompiledQuery], seg: Segment, k: int,
                 gr[:, o] = np.fromiter(
                     (cqs[i].opts.now for i in g), np.int32, len(g))
         else:
-            # per-call vector payloads: row-wise patching
-            gr = np.stack([cqs[i].bind_row(seg)[0] for i in g])
+            # per-call vector payloads: stack the cached static
+            # templates once and write each payload as ONE vectorized
+            # column assignment — B bind_row calls would re-copy the
+            # static row and re-patch per query in Python
+            gr = np.stack([ents[i][0] for i in g])
+            for key, o, n, _shape, dt in patches:
+                if key == "now":
+                    gr[:, o] = np.fromiter(
+                        (cqs[i].opts.now for i in g), np.int32, len(g))
+                    continue
+                if key == "knn_blob":
+                    cq0g = cqs[g[0]]
+                    fld = cq0g.schema.field(cq0g.knn.field)
+                    vals = [decode_blob(cqs[i].knn.blob, fld)
+                            for i in g]
+                elif key.startswith("vblob"):
+                    j = int(key[5:])
+                    vals = [cqs[i].vec_blobs[j] for i in g]
+                else:                                   # vrad{j}
+                    j = int(key[4:])
+                    vals = [np.float32(cqs[i].vec_radii[j]) for i in g]
+                M = np.stack([np.asarray(v).reshape(-1) for v in vals])
+                if dt.startswith("float") or dt == "bfloat16":
+                    M = M.astype(np.float32, copy=False).view(np.int32)
+                elif dt != "int32":
+                    M = M.astype(np.int32)
+                gr[:, o:o + n] = M
         entry = _rows_executor(cqs[idxs[0]], ents[idxs[0]], seg, len(g), k)
         QUERY_PATH_STATS[entry.path] = (
             QUERY_PATH_STATS.get(entry.path, 0) + len(idxs))
         subs.append((g, entry, _segment_args(cqs[idxs[0]], seg),
                      entry._pack({"rows": gr})))
-    if len(subs) > 1 and all(e._warm for _, e, _, _ in subs):
-        # fuse every group into ONE XLA program: a mixed-bucket batch
-        # otherwise pays one dispatch+collect link round trip PER GROUP
-        # (measured ~20 ms each on the tunneled attach — it dominated
-        # the serving profile at B=4096 with ~5 bucket groups)
-        flats = _combined_submit(tuple(e for _, e, _, _ in subs),
-                                 tuple(sa for _, _, sa, _ in subs),
-                                 tuple(b for _, _, _, b in subs))
-        parts = [(g, e, fl)
-                 for (g, e, _, _), fl in zip(subs, flats)]
-    else:
-        parts = [(g, e, e.submit_buf(sa, buf))
-                 for g, e, sa, buf in subs]
-    handle = _BatchHandle(parts, len(cqs), cqs=cqs, seg=seg, k=k)
-    return handle if async_ else handle.result()
+    return subs
 
 
 #: combined-dispatch executables keyed by the fused entries' stable
@@ -1606,6 +1642,127 @@ def _combined_submit(entries, seg_args_list, bufs):
     for pos, i in enumerate(order):
         inv[i] = pos
     return [out_s[inv[i]] for i in range(len(entries))]
+
+
+#: rounds-scan executables keyed by (per-group sigs, R): ONE dispatch
+#: runs R same-shaped batches via lax.scan per group — on a tunneled
+#: attach a standalone dispatch costs ~100 ms of link overhead
+#: regardless of size, so amortizing it R-fold is the serving lever.
+_ROUNDS_CACHE: dict[tuple, list] = {}
+_ROUNDS_CACHE_MAX = 64
+
+
+class _RoundsHandle:
+    """In-flight execute_batch_rounds dispatch: result() collects the
+    stacked output buffers once and finishes each round through the
+    ordinary _BatchHandle logic (padding rows, underfill refires)."""
+
+    def __init__(self, stacked, groups_rounds, rounds, seg, k):
+        self._stacked = stacked          # list per group: dev [R, L]
+        # per-ROUND group index lists (the same sig-aligned group can sit
+        # at different batch positions in different rounds)
+        self._groups_rounds = groups_rounds
+        self._rounds = rounds
+        self._seg = seg
+        self._k = k
+        for s in stacked:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+
+    def result(self) -> list:
+        flats = jax.device_get(self._stacked)    # list of [R, L] np
+        out = []
+        for r, cqs_r in enumerate(self._rounds):
+            parts = [(g, e, np.asarray(fl[r]))
+                     for (g, e), fl in zip(self._groups_rounds[r],
+                                           flats)]
+            out.append(_BatchHandle(parts, len(cqs_r), cqs=cqs_r,
+                                    seg=self._seg, k=self._k).result())
+        return out
+
+
+class _RoundsFallbackHandle:
+    def __init__(self, handles):
+        self._hs = handles
+
+    def result(self) -> list:
+        return [h.result() for h in self._hs]
+
+
+def execute_batch_rounds(rounds: list, seg: Segment, k: int,
+                         async_: bool = False):
+    """Run R same-shaped batches of queries in ONE device dispatch.
+
+    Each round is a list of CompiledQuery, executed exactly like
+    execute_batch; all rounds' packed transport buffers stack to
+    [R, buf] per executable group and a lax.scan runs them inside one
+    XLA program — amortizing the per-dispatch link overhead (~100 ms
+    measured on the tunneled attach, vs ~26 ms of actual device compute
+    for a 2048-query filtered-KNN batch) across R * B queries.  This is
+    the deep-queue serving shape (the analog of the FLAT-KNN bench's
+    chunks-inside-one-dispatch trick, generalized to any query family).
+
+    Rounds must produce the same executable set (same group signatures
+    and padded sizes — true for homogeneous serving streams); otherwise
+    falls back to pipelined per-round execute_batch.  Returns a list of
+    per-round result lists (async_: a handle whose .result() does)."""
+    if (not rounds or _knn_host_col(rounds[0][0], seg) is not None
+            or seg.cold or _pure_knn_eligible(rounds[0], seg)):
+        return _rounds_fallback(rounds, seg, k, async_)
+    subs_list = [_prep_subs(cqs, seg, k) for cqs in rounds]
+    subs_list = [sorted(s, key=lambda t: t[1].sig) for s in subs_list]
+    shape0 = [(e.sig, len(g)) for g, e, _, _ in subs_list[0]]
+    if any([(e.sig, len(g)) for g, e, _, _ in s] != shape0
+           for s in subs_list[1:]) or not all(
+               e._warm for _, e, _, _ in subs_list[0]):
+        return _rounds_fallback(rounds, seg, k, async_)
+    R = len(rounds)
+    entries = tuple(e for _, e, _, _ in subs_list[0])
+    sas = tuple(sa for _, _, sa, _ in subs_list[0])
+    blists = tuple(
+        np.stack([s[j][3] for s in subs_list])      # [R, in_total]
+        for j in range(len(entries)))
+    key = (tuple(e.sig for e in entries), R)
+    rec = _ROUNDS_CACHE.pop(key, None)
+    if rec is not None and any(r is not e
+                               for r, e in zip(rec[2], entries)):
+        rec = None          # compile-cache rebuild under the same sig
+    if rec is None:
+        fns = tuple(e.fn for e in entries)
+
+        def multi(sas_, bufs_):
+            outs = []
+            for f, sa, bs in zip(fns, sas_, bufs_):
+                outs.append(jax.lax.scan(
+                    lambda c, b, f=f, sa=sa: (c, f(sa, b)),
+                    None, bs)[1])
+            return tuple(outs)
+
+        while len(_ROUNDS_CACHE) >= _ROUNDS_CACHE_MAX:
+            _ROUNDS_CACHE.pop(next(iter(_ROUNDS_CACHE)))
+        rec = [jax.jit(multi), False, entries]
+    _ROUNDS_CACHE[key] = rec
+    if not rec[1]:
+        t0 = _time.perf_counter()
+        stacked = rec[0](sas, blists)
+        global _COMPILE_SECONDS
+        _COMPILE_SECONDS += _time.perf_counter() - t0
+        rec[1] = True
+    else:
+        stacked = rec[0](sas, blists)
+    handle = _RoundsHandle(list(stacked),
+                           [[(g, e) for g, e, _, _ in s]
+                            for s in subs_list],
+                           rounds, seg, k)
+    return handle if async_ else handle.result()
+
+
+def _rounds_fallback(rounds, seg, k, async_):
+    handles = []
+    for cqs in rounds:
+        handles.append(execute_batch(cqs, seg, k, async_=True))
+    h = _RoundsFallbackHandle(handles)
+    return h if async_ else h.result()
 
 
 def _kernel_plan(cq0: CompiledQuery, seg: Segment, bk: dict, k_pad: int):
@@ -1974,9 +2131,7 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
     k_eff = min(k_pad, seg.n_pad)
     tanh_factor = opts.tanh_factor
 
-    def batched(seg_args_, dyn):
-        stacked = _device_unpack_rows(layout, dyn["rows"])
-        now = stacked["now"].reshape(-1)                    # [B]
+    def one_chunk(seg_args_, stacked, now):
         N = seg_args_["alive"].shape[0]
         ok = seg_args_["knn_present"]
         if dirty:
@@ -2039,7 +2194,8 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
                 opt_hits.append((hit, const))
         dists, idx = V.knn_batch_masked(
             seg_args_["knn_vecs"], seg_args_["knn_sq"], valid,
-            stacked["knn_blob"], k_eff, metric)
+            stacked["knn_blob"], k_eff, metric,
+            scan_vecs=seg_args_.get("knn_scan"))
         yielded = dists < 3.3e38
         score = jnp.broadcast_to(const_req[:, None], idx.shape)
         for hit, const in opt_hits:
@@ -2055,6 +2211,25 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
         count = jnp.sum(yielded.astype(jnp.int32), axis=1)
         return {"idx": idx, "scores": score, "knn": dists,
                 "count": count}
+
+    # deep batches run in ONE dispatch (amortizing the link round trip
+    # like the text path's SMEM-bounded chunks) but evaluate the [B, N]
+    # mask + distance matrix in <=CH-query chunks INSIDE the program so
+    # the transient stays bounded (~[CH, N] f32)
+    CH = max(128, int(next_pow2((1 << 28) // max(seg.n_pad, 1) + 1)) // 2)
+
+    def batched(seg_args_, dyn):
+        stacked = _device_unpack_rows(layout, dyn["rows"])
+        now = stacked["now"].reshape(-1)                    # [B]
+        Bq = now.shape[0]
+        if Bq <= CH:
+            return one_chunk(seg_args_, stacked, now)
+        outs = []
+        for c0 in range(0, Bq, CH):
+            sl = {kk: vv[c0:c0 + CH] for kk, vv in stacked.items()}
+            outs.append(one_chunk(seg_args_, sl, now[c0:c0 + CH]))
+        return {kk: jnp.concatenate([o[kk] for o in outs])
+                for kk in outs[0]}
 
     return batched
 
@@ -2076,7 +2251,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                f"|d={seg.n_deleted > 0}|t={seg.has_ttl}"
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
-               f"{sorted(seg.field_fexp)}")
+               f"{sorted(seg.field_fexp)}"
+               f"|sc={_knn_has_scan(cq0, seg)}")
     sig = cq0.signature(seg_sig, bk, P2, k_pad) + f"|rows[{lfp}]"
     entry = _COMPILE_CACHE.get(sig)
     if entry is not None:
@@ -2170,6 +2346,12 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 [stacked["tweight"][:, _slots],
                  stacked["avgdl"].reshape(-1, 1)],
                 axis=1).astype(jnp.float32)
+            # raw mode for small term-0 windows (same gate as the and2
+            # kernel): skip the scalar-latency-bound in-VMEM k-pass
+            # extraction, emit masked windows, finish with the batched
+            # iter_topk below at full VPU throughput
+            _raw = ((_Ws[0] // 128 + IK.R_EXTRA) * 128 <= 10_240
+                    and IK._use_pallas())
             Bq = meta.shape[0]
             CH = min(Bq, 1024)       # SMEM-bounded kernel chunks
             dd, ss, cc = [], [], []
@@ -2180,7 +2362,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     seg_args_["field_masks"], seg_args_["posting_dl"],
                     seg_args_["poskeys"],
                     T=len(_slots), Ws=_Ws, PWs=_PWs, stride=_stride,
-                    slop=_slop, k=_k)
+                    slop=_slop, k=_k, raw=_raw)
                 dd.append(docs)
                 ss.append(scores)
                 cc.append(count)
@@ -2240,7 +2422,10 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     _tp=two_phase):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             now = stacked["now"].reshape(-1)
-            D = V.distances_to(seg_args_["knn_vecs"],
+            src = (seg_args_["knn_scan"]
+                   if _tp and "knn_scan" in seg_args_
+                   else seg_args_["knn_vecs"])
+            D = V.distances_to(src,
                                seg_args_["knn_sq"], stacked["knn_blob"],
                                knn_metric, approx=_tp)   # [B, N]
             ok = seg_args_["knn_present"]
@@ -2256,7 +2441,10 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                 okd = okd & ~((fe[None, :] > 0)
                               & (fe[None, :] <= now[:, None]))
             dmd = jnp.where(okd, D, 3.4e38)
-            negd, ids = T.fast_top_k(-dmd, _M)           # [B, M]
+            if _tp:
+                negd, ids = V._cand_top(-dmd, _M)        # [B, M]
+            else:
+                negd, ids = T.fast_top_k(-dmd, _M)       # [B, M]
 
             def body(_, args):
                 dyn_i, nd_i, id_i = args
@@ -2422,6 +2610,8 @@ def _segment_args(cq: CompiledQuery, seg: Segment) -> dict:
         args["knn_vecs"] = col.vecs
         args["knn_present"] = col.present
         args["knn_sq"] = col.sq_norms
+        if col.scan_vecs is not None:
+            args["knn_scan"] = col.scan_vecs
         if field.attribute in seg.field_fexp:
             args["knn_fexp"] = seg.field_fexp[field.attribute]
         if col.multi:
@@ -2671,6 +2861,15 @@ def _knn_ivf_sig(cq: CompiledQuery, seg: Segment) -> str:
         return base + "flat"
     nprobe = cq.knn.ef_runtime or field.vector.nprobe
     return base + f"ivf:{nprobe}:{col.ivf.nlist}:{col.ivf.list_pad}"
+
+
+def _knn_has_scan(cq: CompiledQuery, seg: Segment) -> bool:
+    """Whether the KNN field carries a bf16 scan copy (changes both the
+    seg_args pytree and the program baked into the executor)."""
+    if cq.knn is None:
+        return False
+    col = seg.vectors.get(cq.schema.field(cq.knn.field).attribute)
+    return col is not None and col.scan_vecs is not None
 
 
 def _can_gen(t) -> bool:
@@ -3635,17 +3834,32 @@ def _slop_root_children(tree):
     return None
 
 
+_BLOB_STORE_DTYPES = None
+
+
 def decode_blob(raw, field) -> np.ndarray:
     """Decode a query vector param against the field's storage dtype
     (reference: blobs are raw arrays of the index's VecSimType).  Keeps
     int8/uint8 integer and bf16 as bf16 so the distance matmul runs on
-    the MXU's low-precision paths; f16/f64 queries upcast to f32."""
-    import ml_dtypes
+    the MXU's low-precision paths; f16/f64 queries upcast to f32.
+
+    An f32 ndarray of the right shape passes through WITHOUT a copy
+    (serving hot path — the packed-row patch reads it immediately);
+    callers must not mutate a passed blob before the batch submits."""
     vp = field.vector
-    np_store = {"INT8": np.int8, "UINT8": np.uint8,
-                "FLOAT16": np.float16, "FLOAT64": np.float64,
-                "BFLOAT16": ml_dtypes.bfloat16,
-                "FLOAT32": np.float32}[vp.dtype]
+    if (vp.dtype == "FLOAT32" and type(raw) is np.ndarray
+            and raw.dtype == np.float32 and raw.ndim == 1
+            and raw.shape[0] == vp.dim):
+        return raw          # serving fast path: already decoded
+    global _BLOB_STORE_DTYPES
+    if _BLOB_STORE_DTYPES is None:
+        import ml_dtypes
+        _BLOB_STORE_DTYPES = {
+            "INT8": np.int8, "UINT8": np.uint8,
+            "FLOAT16": np.float16, "FLOAT64": np.float64,
+            "BFLOAT16": ml_dtypes.bfloat16, "FLOAT32": np.float32}
+    import ml_dtypes
+    np_store = _BLOB_STORE_DTYPES[vp.dtype]
     if isinstance(raw, (bytes, bytearray)):
         arr = np.frombuffer(raw, dtype=np_store).copy()
     else:
@@ -3663,7 +3877,7 @@ def decode_blob(raw, field) -> np.ndarray:
         return arr
     if vp.dtype == "BFLOAT16":
         return arr.astype(ml_dtypes.bfloat16)
-    return arr.astype(np.float32)
+    return arr.astype(np.float32, copy=False)
 
 
 def _mxu_dots(rows, q):

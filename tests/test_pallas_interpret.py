@@ -269,6 +269,32 @@ def test_phrase_kernel_interpret(interpret_mode, slop):
     assert int(np.asarray(kc).sum()) > 0, "no phrase matches generated"
 
 
+def test_phrase_kernel_interpret_raw(interpret_mode):
+    """raw=True emits the masked (doc, score) term-0 window; the merged
+    top-k must equal the extracted top-k of the XLA twin."""
+    rng = np.random.default_rng(23)
+    Ws, PWs, stride = (1024, 1024), (1024, 1024), 64
+    args = _make_phrase(rng, 8, Ws, PWs, stride)
+    k = 16
+    kd, ks, kc = IK.phrase_batch(
+        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=0, k=k,
+        raw=True)
+    vals, sel = IK.iter_topk(ks, kd, k)
+    kdocs = np.array(jnp.take_along_axis(kd, sel, axis=1))
+    kvals = np.asarray(vals)
+    kdocs[kvals <= -3e38] = 2**31 - 1   # exhausted-lane filler
+    xd, xs, xc = IK._xla_phrase_impl(
+        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=0, k=k)
+    xvals, xsel = IK.iter_topk(np.asarray(xs), np.asarray(xd), k)
+    xdocs = np.array(jnp.take_along_axis(jnp.asarray(xd), xsel, axis=1))
+    xdocs[np.asarray(xvals) <= -3e38] = 2**31 - 1
+    np.testing.assert_array_equal(kdocs, xdocs)
+    np.testing.assert_allclose(kvals, np.asarray(xvals),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(kc), np.asarray(xc))
+    assert int(np.asarray(kc).sum()) > 0, "no phrase matches generated"
+
+
 @pytest.mark.parametrize("n_ops,want_sumsq", [(0, False), (1, False),
                                               (2, True)],
                          ids=["count-only", "one-op", "two-op-sumsq"])
