@@ -1191,9 +1191,17 @@ class _BatchHandle:
                 if under is not None and int(under[j]):
                     refire.append(idxs[j])
                     continue
+                if "scores" in out:
+                    sc = out["scores"][j]
+                else:
+                    # "score1" compact form (query-constant scores —
+                    # see _make_dense_knn): expand against live lanes
+                    kd = out["knn"][j]
+                    sc = np.where(kd < 3.3e38, out["score1"][j],
+                                  0.0).astype(np.float32)
                 out_all[idxs[j]] = SegmentResult(
                     local_idx=out["idx"][j],
-                    scores=out["scores"][j],
+                    scores=sc,
                     count=int(out["count"][j]),
                     sortkeys=(out["sortkeys"][j]
                               if "sortkeys" in out else None),
@@ -1612,7 +1620,8 @@ def _combined_submit(entries, seg_args_list, bufs):
     order = sorted(range(len(entries)), key=lambda i: entries[i].sig)
     entries_s = tuple(entries[i] for i in order)
     sas_s = tuple(seg_args_list[i] for i in order)
-    bufs_s = tuple(bufs[i] for i in order)
+    bufs_s = tuple(jax.device_put(b) if isinstance(b, np.ndarray) else b
+                   for b in (bufs[i] for i in order))
     key = tuple(e.sig for e in entries_s)
     rec = _COMBINED_CACHE.pop(key, None)
     if rec is not None and any(r is not e
@@ -1720,7 +1729,9 @@ def execute_batch_rounds(rounds: list, seg: Segment, k: int,
     entries = tuple(e for _, e, _, _ in subs_list[0])
     sas = tuple(sa for _, _, sa, _ in subs_list[0])
     blists = tuple(
-        np.stack([s[j][3] for s in subs_list])      # [R, in_total]
+        # explicit device_put: numpy jit args ride the slow inline
+        # RPC transfer (~34 MB/s vs 1 GB/s bulk h2d) — see submit_buf
+        jax.device_put(np.stack([s[j][3] for s in subs_list]))
         for j in range(len(entries)))
     key = (tuple(e.sig for e in entries), R)
     rec = _ROUNDS_CACHE.pop(key, None)
@@ -2116,9 +2127,16 @@ def _knn_dense_plan(cq0: CompiledQuery, seg: Segment, bk: dict):
 
 
 def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
-                    layout, k_pad: int):
+                    layout, k_pad: int, k_exact: int | None = None):
     """Batched executor fn for a dense-filter KNN plan (see
-    _knn_dense_plan): bitmap epilogue on the shared distance matmul."""
+    _knn_dense_plan): bitmap epilogue on the shared distance matmul.
+
+    Output slimming for the ~40 MB/s d2h collect path (the serving
+    bottleneck on a tunneled attach): results carry exactly k lanes
+    (not the pow2-padded k — the exact k rides the compile sig), and
+    when scores are provably query-constant (uniform docscores, no OPT
+    terms, non-DOCSCORE scorer) the per-hit scores array collapses to
+    ONE f32 per query ("score1"; _BatchHandle re-expands)."""
     opts = cq0.opts
     scorer = opts.scorer
     field = cq0.schema.field(cq0.knn.field)
@@ -2128,7 +2146,10 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
     knn_has_fexp = field.attribute in seg.field_fexp
     uniform_ds = seg.uniform_docscore
     fexp_attrs = frozenset(seg.field_fexp)
-    k_eff = min(k_pad, seg.n_pad)
+    k_eff = min(k_exact if k_exact is not None else k_pad, seg.n_pad)
+    const_score = (scorer != "DOCSCORE"
+                   and (uniform_ds or scorer == "DISMAX")
+                   and not any(s[3] == "opt" for s in dplan))
     tanh_factor = opts.tanh_factor
 
     def one_chunk(seg_args_, stacked, now):
@@ -2197,6 +2218,13 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
             stacked["knn_blob"], k_eff, metric,
             scan_vecs=seg_args_.get("knn_scan"))
         yielded = dists < 3.3e38
+        count = jnp.sum(yielded.astype(jnp.int32), axis=1)
+        if const_score:
+            score1 = const_req                              # [B]
+            if scorer == "BM25STD.TANH":
+                score1 = jnp.tanh(score1 / tanh_factor)
+            return {"idx": idx, "score1": score1, "knn": dists,
+                    "count": count}
         score = jnp.broadcast_to(const_req[:, None], idx.shape)
         for hit, const in opt_hits:
             h = jnp.take_along_axis(hit, idx, axis=1)
@@ -2208,7 +2236,6 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
         if scorer == "BM25STD.TANH":
             score = jnp.tanh(score / tanh_factor)
         score = jnp.where(yielded, score, 0.0)
-        count = jnp.sum(yielded.astype(jnp.int32), axis=1)
         return {"idx": idx, "scores": score, "knn": dists,
                 "count": count}
 
@@ -2234,6 +2261,23 @@ def _make_dense_knn(cq0: CompiledQuery, seg: Segment, dplan: tuple,
     return batched
 
 
+def _exact_k_lanes(batched, ke: int):
+    """Wrap a batched executor fn so per-hit output columns carry
+    exactly `ke` lanes instead of the pow2-padded k.  The d2h collect
+    path runs at ~40 MB/s on a tunneled attach, so result bytes ARE
+    serving throughput; the exact k rides the compile signature.  Lanes
+    are already rank-ordered in every path, so the trim is a slice."""
+    _cols = ("idx", "scores", "knn", "sortkeys")
+
+    def wrapped(seg_args_, dyn):
+        out = batched(seg_args_, dyn)
+        return {kk: (vv[:, :ke]
+                     if kk in _cols and vv.ndim == 2
+                     and vv.shape[1] > ke else vv)
+                for kk, vv in out.items()}
+    return wrapped
+
+
 def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                    k: int) -> "_PackedExecutor":
     """Compile-cached batched executor over stacked transport rows.
@@ -2253,7 +2297,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                f"|ft={seg.text_fexp is not None}:"
                f"{sorted(seg.field_fexp)}"
                f"|sc={_knn_has_scan(cq0, seg)}")
-    sig = cq0.signature(seg_sig, bk, P2, k_pad) + f"|rows[{lfp}]"
+    sig = (cq0.signature(seg_sig, bk, P2, k_pad)
+           + f"|rows[{lfp}]|ke={min(k, k_pad)}")
     entry = _COMPILE_CACHE.get(sig)
     if entry is not None:
         return entry
@@ -2270,7 +2315,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
         def batched(seg_args_, dyn, _descs=slot_descs, _Ws=Ws,
                     _groups=kgroups, _pg=pivot_g, _aux=aux_keys,
-                    _k=k_pad, _dense=kdense, _dmeta=dmeta, _Pn=P_n):
+                    _k=k_pad, _ke=min(k, k_pad), _dense=kdense,
+                    _dmeta=dmeta, _Pn=P_n):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             meta, fmeta, aux_arrs = _kernel_batched_inputs(
                 stacked, seg_args_, _descs, _aux, _dmeta)
@@ -2305,12 +2351,15 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             count = cc[0] if len(cc) == 1 else jnp.concatenate(cc)
             if _Pn == 1 and not _raw:
                 # single-phase output is already the exact top-k (score
-                # desc, window position asc) — no merge needed
-                return {"idx": docs[:, :_k], "scores": scores[:, :_k],
+                # desc, window position asc) — no merge needed.  Return
+                # exactly _ke lanes: the d2h collect path runs at
+                # ~40 MB/s on a tunneled attach, so result bytes are
+                # serving throughput
+                return {"idx": docs[:, :_ke], "scores": scores[:, :_ke],
                         "count": count}
             # kernel emits per-phase top-k ([B, P*k] lanes) + counts
             # (or raw windows); merging replaces the [B, W] iter_topk
-            vals, sel = IK.iter_topk(scores, docs, _k)
+            vals, sel = IK.iter_topk(scores, docs, _ke)
             idx = jnp.take_along_axis(docs, sel, axis=1)
             # exhausted lanes: consumers trim by the -inf score, but
             # pin the doc filler to INT32_MAX so raw and extracted
@@ -2320,7 +2369,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             return {"idx": idx, "scores": vals, "count": count}
 
         proto = {"rows": np.zeros((B, total), np.int32)}
-        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry = _PackedExecutor(_exact_k_lanes(batched, min(k, k_pad)),
+                                proto, _segment_args(cq0, seg))
         entry.path = "kernel"
         entry.sig = sig
         _COMPILE_CACHE[sig] = entry
@@ -2333,7 +2383,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
         pslots_l = list(pslots)
 
         def batched(seg_args_, dyn, _slots=pslots_l, _Ws=pWs,
-                    _PWs=pPWs, _stride=pstride, _slop=pslop, _k=k_pad):
+                    _PWs=pPWs, _stride=pstride, _slop=pslop, _k=k_pad,
+                    _ke=min(k, k_pad)):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             ts = stacked["tstarts"][:, _slots].astype(jnp.int32)
             tl = stacked["tlens"][:, _slots].astype(jnp.int32)
@@ -2369,12 +2420,13 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             docs = dd[0] if len(dd) == 1 else jnp.concatenate(dd)
             scores = ss[0] if len(ss) == 1 else jnp.concatenate(ss)
             count = cc[0] if len(cc) == 1 else jnp.concatenate(cc)
-            vals, sel = IK.iter_topk(scores, docs, _k)
+            vals, sel = IK.iter_topk(scores, docs, _ke)
             idx = jnp.take_along_axis(docs, sel, axis=1)
             return {"idx": idx, "scores": vals, "count": count}
 
         proto = {"rows": np.zeros((B, total), np.int32)}
-        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry = _PackedExecutor(_exact_k_lanes(batched, min(k, k_pad)),
+                                proto, _segment_args(cq0, seg))
         entry.path = "phrase-kernel"
         entry.sig = sig
         _COMPILE_CACHE[sig] = entry
@@ -2382,9 +2434,11 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
     dplan = _knn_dense_plan(cq0, seg, bk)
     if dplan is not None:
-        batched = _make_dense_knn(cq0, seg, dplan, layout, k_pad)
+        batched = _make_dense_knn(cq0, seg, dplan, layout, k_pad,
+                                  k_exact=min(k, k_pad))
         proto = {"rows": np.zeros((B, total), np.int32)}
-        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry = _PackedExecutor(_exact_k_lanes(batched, min(k, k_pad)),
+                                proto, _segment_args(cq0, seg))
         entry.path = "knn-dense"
         entry.sig = sig
         _COMPILE_CACHE[sig] = entry
@@ -2419,7 +2473,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             cq0.knn.field).attribute in seg.field_fexp
 
         def batched(seg_args_, dyn, _M=M, _C=C, _k=k_pad,
-                    _tp=two_phase):
+                    _ke=min(k, k_pad), _tp=two_phase):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             now = stacked["now"].reshape(-1)
             src = (seg_args_["knn_scan"]
@@ -2452,13 +2506,16 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                                                  knn_ids=id_i))
             _, outs = jax.lax.scan(body, None, (stacked, negd, ids))
             if not _tp and _C == _k:
-                return outs
+                # exact-k output lanes (d2h bytes are serving
+                # throughput on the tunneled attach)
+                return {kk: (vv[:, :_ke] if vv.ndim == 2 else vv)
+                        for kk, vv in outs.items()}
             # exact f32 rescore of the candidate set + final top-k
             cidx = outs["idx"]                           # [B, C]
             dr = V._rescore(seg_args_["knn_vecs"], seg_args_["knn_sq"],
                             stacked["knn_blob"], cidx, knn_metric)
             dr = jnp.where(outs["knn"] >= 3.3e38, 3.4e38, dr)
-            vals, sel = jax.lax.top_k(-dr, _k)
+            vals, sel = jax.lax.top_k(-dr, _ke)
             knn_k = -vals
             outs["idx"] = jnp.take_along_axis(cidx, sel, axis=1)
             outs["scores"] = jnp.take_along_axis(outs["scores"], sel,
@@ -2469,7 +2526,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             return outs
 
         proto = {"rows": np.zeros((B, total), np.int32)}
-        entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+        entry = _PackedExecutor(_exact_k_lanes(batched, min(k, k_pad)),
+                                proto, _segment_args(cq0, seg))
         entry.path = "knn-batches"
         entry.sig = sig
         _COMPILE_CACHE[sig] = entry
@@ -2506,7 +2564,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
             return outs
 
     proto = {"rows": np.zeros((B, total), np.int32)}
-    entry = _PackedExecutor(batched, proto, _segment_args(cq0, seg))
+    entry = _PackedExecutor(_exact_k_lanes(batched, min(k, k_pad)),
+                                proto, _segment_args(cq0, seg))
     entry.sig = sig
     _COMPILE_CACHE[sig] = entry
     return entry
@@ -2807,7 +2866,14 @@ class _PackedExecutor:
         return self.submit_buf(seg_args, self._pack(dyn))
 
     def submit_buf(self, seg_args: dict, buf: np.ndarray):
-        """submit() over an already-packed transport buffer."""
+        """submit() over an already-packed transport buffer.
+
+        The buffer is device_put EXPLICITLY first: a numpy argument to a
+        jitted call rides the dispatch RPC's inline-transfer path, which
+        on a tunneled attach runs ~30x slower than the bulk h2d path
+        (measured 34 MB/s vs 1 GB/s — it dominated serving dispatches)."""
+        if isinstance(buf, np.ndarray):
+            buf = jax.device_put(buf)
         if self._warm:
             return self.fn(seg_args, buf)
         t0 = _time.perf_counter()

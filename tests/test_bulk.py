@@ -110,5 +110,8 @@ def test_execute_batch_vmap_matches_single():
     for cq, got in zip(cqs, batch):
         want = execute(cq, seg, 10)
         assert got.count == want.count, cq
-        assert list(got.local_idx) == list(want.local_idx)
-        assert np.allclose(got.scores, want.scores, rtol=1e-5)
+        # batch paths return exactly k lanes; the single path keeps
+        # the pow2-padded k — compare the top-k prefix
+        n = len(got.local_idx)
+        assert list(got.local_idx) == list(want.local_idx)[:n]
+        assert np.allclose(got.scores, want.scores[:n], rtol=1e-5)

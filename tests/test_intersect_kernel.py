@@ -75,7 +75,8 @@ def test_kernel_matches_scan_path(idx, monkeypatch):
         wd = [(int(d), round(float(s), 4))
               for d, s in zip(want.local_idx, want.scores)
               if s > -3.3e38]
-        assert gd == wd, (gd[:3], wd[:3])
+        assert gd == wd[:len(gd)] and len(gd) >= min(
+            want.count, 10), (gd[:3], wd[:3])
 
 
 def test_kernel_disabled_env(idx, monkeypatch):
@@ -95,7 +96,8 @@ def test_kernel_with_stemmed_queries_matches(idx):
     for cq, g in zip(cqs, got):
         want = execute(cq, seg, 10)
         assert g.count == want.count
-        assert list(g.local_idx) == list(want.local_idx)
+        assert list(g.local_idx) == \
+            list(want.local_idx)[:len(g.local_idx)]
 
 
 def test_filtered_knn_batched_underfill_refires_exact():
@@ -126,7 +128,8 @@ def test_filtered_knn_batched_underfill_refires_exact():
         wd = [(int(d), round(float(x), 4))
               for d, x in zip(want.local_idx, want.knn_dists)
               if x < 3.3e38]
-        assert gd == wd
+        assert gd == wd[:len(gd)] and len(gd) >= min(
+            want.count, 10)
         assert len(gd) == 5   # 5 needle docs
 
 
@@ -176,7 +179,8 @@ def test_kernel_big_member_window():
         wd = [(int(d), round(float(s), 4))
               for d, s in zip(want.local_idx, want.scores)
               if s > -3.3e38]
-        assert gd == wd
+        assert gd == wd[:len(gd)] and len(gd) >= min(
+            want.count, 10)
 
 
 def test_kernel_multislot_stem_groups():
@@ -215,7 +219,8 @@ def test_kernel_multislot_stem_groups():
         wd = [(int(d), round(float(s), 4))
               for d, s in zip(want.local_idx, want.scores)
               if s > -3.3e38]
-        assert gd == wd, (gd[:3], wd[:3])
+        assert gd == wd[:len(gd)] and len(gd) >= min(
+            want.count, 10), (gd[:3], wd[:3])
 
 
 @pytest.fixture(scope="module")
@@ -327,7 +332,8 @@ def test_dense_tag_predicate_matches_scan_path():
         wd = [(int(d), round(float(s), 4))
               for d, s in zip(want.local_idx, want.scores)
               if s > -3.3e38]
-        assert gd == wd
+        assert gd == wd[:len(gd)] and len(gd) >= min(
+            want.count, 10)
 
 
 def test_dense_tag_multivalue_field_falls_back():
@@ -351,8 +357,8 @@ def test_dense_tag_multivalue_field_falls_back():
     got = execute_batch([cq], seg, 10)[0]
     want = execute(cq, seg, 10)
     assert got.count == want.count
-    assert list(got.local_idx)[:got.count] == \
-        list(want.local_idx)[:want.count]
+    assert list(got.local_idx)[:min(got.count, 10)] == \
+        list(want.local_idx)[:min(want.count, 10)]
 
 
 def test_weight_zero_field_still_matches():
