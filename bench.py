@@ -323,21 +323,22 @@ def bench_filtered_knn(emit, done, n_docs: int = 500_000, dim: int = 384,
             from redisearch_tpu.query.engine import execute_batch_rounds
             execute_batch_rounds([make(it) for it in range(iters)],
                                  seg, 25)   # compile the R-round scan
-            reps = 3
+            reps = 4
             best = None
             for _ in range(2):
-                pending = None
+                pending = []     # depth-2: host prep of round r+1 and
                 nxt = [make(it) for it in range(iters)]
                 t0 = time.perf_counter()
-                for rep in range(reps):
-                    h = execute_batch_rounds(nxt, seg, 25, async_=True)
+                for rep in range(reps):     # collect of r-1 both overlap
+                    pending.append(execute_batch_rounds(
+                        nxt, seg, 25, async_=True))
                     if rep + 1 < reps:
                         nxt = [make((rep + 1) * iters + it)
                                for it in range(iters)]
-                    if pending is not None:
-                        pending.result()
-                    pending = h
-                pending.result()
+                    if len(pending) > 2:
+                        pending.pop(0).result()
+                for h in pending:
+                    h.result()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             emit(key, round(reps * iters * B / best, 1))
@@ -376,21 +377,22 @@ def bench_hybrid(ix, emit, done, B: int = 1024, iters: int = 4):
         try:
             run_hybrid_many(ix, mk(0))    # warm branch executables
             run_hybrid_rounds(ix, [mk(it) for it in range(iters)])
-            reps = 3
+            reps = 4
             best = None
             for r in range(2):
-                pending = None
+                pending = []
                 nxt = [mk(it) for it in range(iters)]
                 t0 = time.perf_counter()
                 for rep in range(reps):
-                    h = run_hybrid_rounds(ix, nxt, async_=True)
+                    pending.append(run_hybrid_rounds(ix, nxt,
+                                                     async_=True))
                     if rep + 1 < reps:
                         nxt = [mk((rep + 1) * iters + it)
                                for it in range(iters)]
-                    if pending is not None:
-                        pending.result()
-                    pending = h
-                pending.result()
+                    if len(pending) > 2:
+                        pending.pop(0).result()
+                for h in pending:
+                    h.result()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             emit(key, round(reps * iters * B / best, 1))

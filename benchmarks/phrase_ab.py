@@ -74,22 +74,29 @@ def main():
                 jnp.asarray(masks), jnp.asarray(dl),
                 jnp.asarray(poskeys), (Wp, Wm), (PWp, PWm))
 
-    def timed(fn, *args):
+    def timed(fn, meta, *args):
+        # meta varies PER SCAN STEP (XLA hoists loop-invariant bodies)
+        # and the fmeta tweights vary PER TIMED DISPATCH (the tunneled
+        # attach memoizes bit-identical dispatches).
         @jax.jit
-        def loop(a):
-            def body(c, _):
-                out = fn(*a)
+        def loop(ms, a):
+            def body(c, m):
+                out = fn(m, *a)
                 s = sum(jnp.sum(o) for o in out)
                 return c + s.astype(jnp.float32), None
-            return jax.lax.scan(body, jnp.float32(0), None,
-                                length=N_ITER)[0]
-        r = loop(args)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        r = loop(args)
-        jax.block_until_ready(r)
-        dt = time.perf_counter() - t0
-        return dt / (N_ITER * B) * 1e6
+            return jax.lax.scan(body, jnp.float32(0), ms)[0]
+
+        fm = args[0]
+        metas0 = jnp.stack([jnp.roll(meta, it, axis=0)
+                            for it in range(N_ITER)])
+        jax.device_get(loop(metas0, (fm,) + args[1:]))  # compile+warm
+        best = 9e9
+        for rep in range(3):
+            fmr = fm * (1.0 + 0.001 * (rep + 1))
+            t0 = time.perf_counter()
+            jax.device_get(loop(metas0, (fmr,) + args[1:]))
+            best = min(best, time.perf_counter() - t0)
+        return best / (N_ITER * B) * 1e6
 
     for Wp, Wm, fill, tfm in ((2048, 2048, 0.5, 2),
                               (2048, 8192, 0.5, 2),
@@ -106,6 +113,11 @@ def main():
                 M, FM, D, F, MK, DL, PK, T=2, Ws=Ws, PWs=PWs,
                 stride=stride, slop=0, k=16),
             pmeta, fmeta, d, f, m, dl, pk)
+        us_pr = timed(
+            lambda M, FM, D, F, MK, DL, PK: IK.phrase_batch(
+                M, FM, D, F, MK, DL, PK, T=2, Ws=Ws, PWs=PWs,
+                stride=stride, slop=0, k=16, raw=True),
+            pmeta, fmeta, d, f, m, dl, pk)
         # matched and2 (doc windows only)
         imeta = jnp.concatenate([meta[:, 0:2], meta[:, 2:4],
                                  meta[:, 4:6]], axis=1)
@@ -116,7 +128,8 @@ def main():
                 k=16),
             imeta, fmeta, d, f, m, dl)
         print(f"W=({Wp},{Wm}) fill={fill} tf={tfm}: "
-              f"phrase {us_p:.1f} us/q  and2 {us_i:.1f} us/q  "
+              f"phrase {us_p:.1f} (raw {us_pr:.1f}) us/q  "
+              f"and2 {us_i:.1f} us/q  "
               f"ratio {us_p / max(us_i, 1e-9):.1f}x", flush=True)
 
 

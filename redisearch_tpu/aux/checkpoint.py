@@ -44,7 +44,8 @@ def _collect_arrays(seg, prefix: str, arrays: dict, meta: dict):
         "n_deleted": seg.n_deleted, "has_ttl": seg.has_ttl,
         "uniform_docscore": seg.uniform_docscore,
         "cold": seg.cold,
-        "pos_stride": t.pos_stride, "nnz": t.nnz,
+        "pos_stride": t.pos_stride,
+        "pos_clamped": bool(t.pos_clamped), "nnz": t.nnz,
         "max_postings": t.max_postings,
         "tag_fields": list(seg.tags), "numeric_fields": list(seg.numerics),
         "geo_fields": list(seg.geos), "str_fields": list(seg.strcols),
@@ -179,7 +180,9 @@ def load(path: str):
             doclens=csr(f"{p}.text.doclens"),
             pos_offsets=csr(f"{p}.text.pos_offsets"),
             poskeys=csr(f"{p}.text.poskeys"),
-            pos_stride=sm["pos_stride"], nnz=sm["nnz"],
+            pos_stride=sm["pos_stride"],
+            pos_clamped=bool(sm.get("pos_clamped", False)),
+            nnz=sm["nnz"],
             max_postings=sm["max_postings"],
             term_offsets_np=np.asarray(npz[f"{p}.text.term_offsets"]),
             pos_offsets_np=np.asarray(

@@ -485,6 +485,7 @@ class SegmentBuilder:
                                              POS_SLICE_PAD),
                                  2**31 - 1)),
             pos_stride=pos_stride,
+            pos_clamped=self.max_positions + 1 > pos_stride - 1,
             nnz=nnz,
             max_postings=max_postings,
             term_offsets_np=term_offsets.astype(np.int32),

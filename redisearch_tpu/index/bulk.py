@@ -198,7 +198,9 @@ def bulk_add(index, docs: Iterable[tuple[str, dict]],
         pos_offsets=jnp.asarray(po.astype(np.int32)),
         poskeys=jnp.asarray(tail_pad(
             pk, posting_pad(len(pk), POS_SLICE_PAD), 2**31 - 1)),
-        pos_stride=pos_stride, nnz=int(nnz),
+        pos_stride=pos_stride,
+        pos_clamped=bool(npos and positions.max() > pos_stride - 1),
+        nnz=int(nnz),
         max_postings=int(max_postings), term_offsets_np=term_offsets,
         pos_offsets_np=pos_offsets.astype(np.int64))
 

@@ -157,6 +157,11 @@ class TextPostings:
     pos_stride: int     # power of two >= max positions tracked per doc
     nnz: int
     max_postings: int   # longest posting list (gather bucket upper bound)
+    # True when any position was clamped at pos_stride - 1 (docs longer
+    # than the stride cap): the phrase equality-join formulation and the
+    # anchor chain judge clamped keys differently, so the engine keeps
+    # the chain kernel on such segments (ops/intersect.py phrase_batch)
+    pos_clamped: bool = False
     term_offsets_np: Optional[np.ndarray] = None  # host mirror for planning
     pos_offsets_np: Optional[np.ndarray] = None   # host mirror for planning
 

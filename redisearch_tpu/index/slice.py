@@ -129,7 +129,8 @@ def slice_segment(seg: Segment, sel: np.ndarray,
         pos_offsets=dev(po_pad.astype(np.int32)),
         poskeys=dev(tail_pad(
             pkp, posting_pad(len(pkp), POS_SLICE_PAD), 2**31 - 1)),
-        pos_stride=stride, nnz=nnz_new,
+        pos_stride=stride, pos_clamped=seg.text.pos_clamped,
+        nnz=nnz_new,
         max_postings=int(new_counts.max()) if n_terms else 0,
         term_offsets_np=new_to.astype(np.int32),
         pos_offsets_np=po_pad,

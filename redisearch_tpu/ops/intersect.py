@@ -105,10 +105,24 @@ def _extract_pass(sc, d_o):
     return mx, dv, sc, d_o
 
 
+def _rel_cmp(pd_i, mdm_i, rel, rel_stride):
+    """[128, 128] pivot-lane x member-lane hit matrix: equality by
+    default; rel != (0, 0) tests member in [pivot+lo, pivot+hi] with
+    doc-boundary clamps (see _member_pass docstring)."""
+    if rel == (0, 0):
+        return pd_i[:, None] == mdm_i[None, :]
+    pos = pd_i & jnp.int32(rel_stride - 1)
+    lo = pd_i + jnp.where(pos == 0, 0, jnp.int32(rel[0]))
+    hi = pd_i + jnp.where(pos == jnp.int32(rel_stride - 1), 0,
+                          jnp.int32(rel[1]))
+    m = mdm_i[None, :]
+    return (m >= lo[:, None]) & (m <= hi[:, None])
+
+
 def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                  mdocs_r, mtf_r, mfm_r, r_m, mlen, qm_t,
                  rows_p, rows_m, p_end, check_mask: bool = True,
-                 want_tf: bool = True):
+                 want_tf: bool = True, rel=(0, 0), rel_stride: int = 0):
     """hit/tf of the member window at the pivot candidates.
 
     Writes hit_ref/tfa_ref over the first rows_p rows.  valid_ref narrows
@@ -129,7 +143,14 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
     windows without masks (tag postings; key->doc folds use an explicit
     0/1 validity buffer with qm == 1 instead).  want_tf=False skips the
     tf accumulation entirely for members whose tf the caller never reads
-    (tag postings, phrase key->doc folds)."""
+    (tag postings, phrase key->doc folds).
+
+    rel=(lo, hi) != (0, 0) switches the hit test from equality to RANGE
+    membership: member in [pivot + lo, pivot + hi] — the 2-term exact
+    phrase probe (position keys: member key in {k0, k0+1}).  rel_stride
+    (pow2) guards the doc boundary: a pivot key at in-doc position 0
+    clamps lo to 0, one at position stride-1 clamps hi to 0, so the
+    range never crosses into a neighboring doc's key block."""
     fi_m = _flat_iota(rows_m)
     m_inr = (fi_m >= r_m) & (fi_m < r_m + mlen)
     mdocs_masked = jnp.where(m_inr, mdocs_r[:rows_m, :],
@@ -150,14 +171,16 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
         # per-row doc ranges for the overlap predicate ([8, 1] keepdims:
         # 1D vectors are fragile under Mosaic legalization); scalars are
         # hoisted once per tile so pair predicates are scalar-ALU only
-        rmin = jnp.min(pdm_lo, axis=1, keepdims=True)    # [8, 1]
-        rmax = jnp.max(pdm_hi, axis=1, keepdims=True)
+        rmin = jnp.min(pdm_lo, axis=1, keepdims=True) + rel[0]  # [8, 1]
+        rmax = jnp.max(pdm_hi, axis=1, keepdims=True) + rel[1]
         s_rmin = [rmin[pi, 0] for pi in range(R)]
         s_rmax = [rmax[pi, 0] for pi in range(R)]
-        # member tile range covering [pmin, pmax]: counts are positions
-        # among the window's live docs (flat offset r_m)
-        lo_e = r_m + jnp.sum((mdocs_masked < pmin).astype(jnp.int32))
-        hi_e = r_m + jnp.sum((mdocs_masked <= pmax).astype(jnp.int32))
+        # member tile range covering [pmin, pmax] (rel-widened): counts
+        # are positions among the window's live docs (flat offset r_m)
+        lo_e = r_m + jnp.sum((mdocs_masked < pmin + rel[0])
+                             .astype(jnp.int32))
+        hi_e = r_m + jnp.sum((mdocs_masked <= pmax + rel[1])
+                             .astype(jnp.int32))
         lo_t = lo_e // TILE
         hi_t = jnp.minimum((hi_e + TILE - 1) // TILE, mt_max)
 
@@ -203,7 +226,8 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                         @pl.when((s_mhi[mi] >= s_rmin[pi])
                                  & (s_mlo[mi] <= s_rmax[pi]))
                         def _pair(pi=pi, mi=mi, pd_i=pd_i):
-                            eq = pd_i[:, None] == mdm[mi][None, :]
+                            eq = _rel_cmp(pd_i, mdm[mi], rel,
+                                          rel_stride)
                             if want_tf:
                                 acc_t[pi:pi + 1, :] = \
                                     acc_t[pi:pi + 1, :] + jnp.sum(
@@ -229,7 +253,8 @@ def _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
                         hi_ = jnp.zeros((BLK,), jnp.bool_)
                         ti_ = jnp.zeros((BLK,), jnp.float32)
                         for mi in range(R):
-                            eq = pd_i[:, None] == mdm[mi][None, :]
+                            eq = _rel_cmp(pd_i, mdm[mi], rel,
+                                          rel_stride)
                             if want_tf:
                                 ti_ = ti_ + jnp.sum(jnp.where(
                                     eq, mtfm[mi][None, :], 0.0), axis=1)
@@ -827,7 +852,8 @@ def _member_min_ge(anch_ref, ok_ref, found_ref, acc_f, mkeys_r, r_m, mlen,
 
 
 def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
-                   *rest, T, Ws, PWs, stride, slop, k, raw=False):
+                   *rest, T, Ws, PWs, stride, slop, k, raw=False,
+                   eq_pivot=-1):
     """Exact / in-order-slop phrase, one query per grid step.
 
     Chain semantics mirror engine._phrase_chain_pivot (in-order branch):
@@ -842,7 +868,14 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     raw=True (same contract as _kernel): emit the full masked
     (doc, score) window of term 0 and no counts — the k-pass in-VMEM
     extraction (scalar-latency-bound) is replaced by one batched
-    iter_topk outside at full VPU throughput."""
+    iter_topk outside at full VPU throughput.
+
+    eq_pivot >= 0 (2-term exact phrases, slop == 0): the greedy anchor
+    chain collapses to ONE range-membership pass — term-1 key in
+    [k0, k0 + 1] (equal allowed, same chain semantics) — pivoted on
+    the smaller position window via _member_pass(rel=...).  The
+    chain's _member_min_ge probe measured up to 13x an and2 pass at
+    imbalanced windows."""
     if raw:
         out_docs, out_scores = rest[:2]
         out_counts = None
@@ -915,35 +948,64 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
         c.wait()
 
     INF = jnp.int32(2**31 - 1)
-    rows_pk = pkrows[0]
-    fi0 = _flat_iota(rows_pk)
-    in_r0 = (fi0 >= prr[0]) & (fi0 < prr[0] + plens[0])
-    cand = jnp.where(in_r0, pkrefs[0][:rows_pk, :], INF)
-    anch_ref[:rows_pk, :] = cand
-    ok_ref[:rows_pk, :] = in_r0.astype(jnp.int32)
-    span_ref[:rows_pk, :] = jnp.zeros((rows_pk, BLK), jnp.int32)
-    doc0 = jnp.where(in_r0, cand // stride, INF)
-    kd_ref[:rows_pk, :] = doc0
-    # kdum's contents are never consumed (the fold reads hit only and
-    # every _member_pass re-zeroes tfa per pivot tile) — it just has to
-    # be a safely readable f32 buffer of the member's row count
-    pk_end = (prr[0] + plens[0] + TILE - 1) // TILE
+    piv = eq_pivot if eq_pivot >= 0 else 0
+    rows_pk = pkrows[piv]
+    pk_end = (prr[piv] + plens[piv] + TILE - 1) // TILE
+    if eq_pivot >= 0:
+        # --- 2-term exact phrase as ONE range-membership pass ---
+        # chain semantics for slop 0 (engine._phrase_chain_pivot /
+        # proximity.rs within_range_in_order): term-1 position in
+        # {p0, p0 + 1} (equal allowed — overlapping synonym positions)
+        # <=> term-1 key in [k0, k0 + 1], doc-boundary-guarded.  The
+        # chain's _member_min_ge probe measured up to 13x an and2 pass
+        # at imbalanced windows; this reuses the pair-predicated
+        # _member_pass, pivoted on the SMALLER position window.
+        other = 1 - piv
+        rel = (0, 1) if piv == 0 else (-1, 0)
+        fi_p = _flat_iota(rows_pk)
+        inr_p = (fi_p >= prr[piv]) & (fi_p < prr[piv] + plens[piv])
+        cand = jnp.where(inr_p, pkrefs[piv][:rows_pk, :], INF)
+        ok_ref[:rows_pk, :] = inr_p.astype(jnp.int32)
+        kd_ref[:rows_pk, :] = jnp.where(inr_p, cand // stride, INF)
+        _member_pass(pkrefs[piv], ok_ref, found_ref, kdum_ref,
+                     acc_h, acc_t, pkrefs[other], kdum_ref,
+                     pkrefs[other], prr[other], plens[other],
+                     jnp.int32(1), rows_pk, pkrows[other], pk_end,
+                     check_mask=False, want_tf=False, rel=rel,
+                     rel_stride=stride)
+        ok_ref[:rows_pk, :] = jnp.where(
+            (ok_ref[:rows_pk, :] != 0)
+            & (found_ref[:rows_pk, :] != 0), 1, 0)
+    else:
+        fi0 = _flat_iota(rows_pk)
+        in_r0 = (fi0 >= prr[0]) & (fi0 < prr[0] + plens[0])
+        cand = jnp.where(in_r0, pkrefs[0][:rows_pk, :], INF)
+        anch_ref[:rows_pk, :] = cand
+        ok_ref[:rows_pk, :] = in_r0.astype(jnp.int32)
+        span_ref[:rows_pk, :] = jnp.zeros((rows_pk, BLK), jnp.int32)
+        doc0 = jnp.where(in_r0, cand // stride, INF)
+        kd_ref[:rows_pk, :] = doc0
+        # kdum's contents are never consumed (the fold reads hit only
+        # and every _member_pass re-zeroes tfa per pivot tile) — it
+        # just has to be a safely readable f32 buffer of the member's
+        # row count
 
-    for j in range(1, T):
-        _member_min_ge(anch_ref, ok_ref, found_ref, acc_h, pkrefs[j],
-                       prr[j], plens[j], rows_pk, pkrows[j], pk_end)
-        anchor = anch_ref[:rows_pk, :]
-        ok = ok_ref[:rows_pk, :] != 0
-        span = span_ref[:rows_pk, :]
-        found = found_ref[:rows_pk, :]
-        ok = (ok & (found >= anchor) & (found != INF)
-              & ((found // stride) == doc0))
-        span = jnp.where(ok, span + (found - anchor - 1), span)
-        ok = ok & (span <= max(slop, 0))
-        anchor = jnp.where(ok, found, anchor)
-        anch_ref[:rows_pk, :] = anchor
-        ok_ref[:rows_pk, :] = ok.astype(jnp.int32)
-        span_ref[:rows_pk, :] = span
+        for j in range(1, T):
+            _member_min_ge(anch_ref, ok_ref, found_ref, acc_h,
+                           pkrefs[j], prr[j], plens[j], rows_pk,
+                           pkrows[j], pk_end)
+            anchor = anch_ref[:rows_pk, :]
+            ok = ok_ref[:rows_pk, :] != 0
+            span = span_ref[:rows_pk, :]
+            found = found_ref[:rows_pk, :]
+            ok = (ok & (found >= anchor) & (found != INF)
+                  & ((found // stride) == doc0))
+            span = jnp.where(ok, span + (found - anchor - 1), span)
+            ok = ok & (span <= max(slop, 0))
+            anchor = jnp.where(ok, found, anchor)
+            anch_ref[:rows_pk, :] = anchor
+            ok_ref[:rows_pk, :] = ok.astype(jnp.int32)
+            span_ref[:rows_pk, :] = span
 
     # fold valid keys to doc hits on term 0's posting window: kd holds
     # key//stride for EVERY lane (monotone, so _member_pass range
@@ -956,7 +1018,7 @@ def _phrase_kernel(meta_ref, fmeta, doc_ids, freqs, masks, dl, poskeys,
     valid_ref[:rows_p, :] = in_range.astype(jnp.int32)
     p_end = (rr[0] + lens[0] + TILE - 1) // TILE
     _member_pass(pdocs_ref, valid_ref, hit_ref, tfa_ref, acc_h, acc_t,
-                 kd_ref, kdum_ref, ok_ref, prr[0], plens[0],
+                 kd_ref, kdum_ref, ok_ref, prr[piv], plens[piv],
                  jnp.int32(1), rows_p, rows_pk, p_end, want_tf=False)
     anylen = lens[0] > 0
     for t in range(1, T):
@@ -1110,10 +1172,12 @@ def _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks, posting_dl,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "Ws", "PWs", "stride", "slop", "k", "raw"))
+    static_argnames=("T", "Ws", "PWs", "stride", "slop", "k", "raw",
+                     "eq_join"))
 def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
                  *, T: int, Ws: tuple, PWs: tuple, stride: int,
-                 slop: int = 0, k: int = 16, raw: bool = False):
+                 slop: int = 0, k: int = 16, raw: bool = False,
+                 eq_join: bool | None = None):
     """Exact / in-order phrase kernel over a batch.
 
     meta: int32 [B, 5T] — per slot posting starts, lens, qmasks, then
@@ -1125,7 +1189,14 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
     emit the full masked (doc, score) window instead of the in-VMEM
     k-pass extraction; callers finish with one batched iter_topk.  The
     CPU/XLA fallback ignores `raw` (its outputs are already top-k; the
-    engine's merge is a no-op on them)."""
+    engine's merge is a no-op on them).
+
+    eq_join: 2-term exact phrases (slop == 0) run as one
+    range-membership pass pivoted on the smallest position window (see
+    _phrase_kernel).  Default (None) enables it for T == 2, slop == 0
+    and pow2 stride; pass False when the segment clamped positions at
+    stride - 1 (builder pos_clamped — clamped keys would be judged
+    differently by the two formulations)."""
     if not _use_pallas():
         return _xla_phrase_impl(meta, fmeta, doc_ids, freqs, masks,
                                 posting_dl, poskeys, T=T, Ws=Ws, PWs=PWs,
@@ -1133,6 +1204,10 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
     B = meta.shape[0]
     rows = [Ws[t] // BLK + R_EXTRA for t in range(T)]
     pkrows = [PWs[t] // BLK + R_EXTRA for t in range(T)]
+    eq_pivot = -1
+    if (T == 2 and slop == 0 and stride & (stride - 1) == 0
+            and (eq_join is None or eq_join)):
+        eq_pivot = int(np.argmin(PWs))
     KR = rows[0] if raw else max(-(-k // BLK), 1)
     scratch = []
     for t in range(T):
@@ -1143,7 +1218,7 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
             (rows[t] if t == 0 else R_TILE, BLK), jnp.float32))
     for t in range(T):
         scratch.append(pltpu.VMEM((pkrows[t], BLK), jnp.int32))
-    rows_pk = pkrows[0]
+    rows_pk = pkrows[eq_pivot if eq_pivot >= 0 else 0]
     scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # anchor
     scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # ok
     scratch.append(pltpu.VMEM((rows_pk, BLK), jnp.int32))    # span
@@ -1190,7 +1265,8 @@ def phrase_batch(meta, fmeta, doc_ids, freqs, masks, posting_dl, poskeys,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_phrase_kernel, T=T, Ws=Ws, PWs=PWs,
-                             stride=stride, slop=slop, k=k, raw=raw)
+                             stride=stride, slop=slop, k=k, raw=raw,
+                             eq_pivot=eq_pivot)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

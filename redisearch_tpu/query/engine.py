@@ -2296,7 +2296,8 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                f"|u={seg.uniform_docscore}"
                f"|ft={seg.text_fexp is not None}:"
                f"{sorted(seg.field_fexp)}"
-               f"|sc={_knn_has_scan(cq0, seg)}")
+               f"|sc={_knn_has_scan(cq0, seg)}"
+               f"|pc={seg.text.pos_clamped}")
     sig = (cq0.signature(seg_sig, bk, P2, k_pad)
            + f"|rows[{lfp}]|ke={min(k, k_pad)}")
     entry = _COMPILE_CACHE.get(sig)
@@ -2384,7 +2385,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
 
         def batched(seg_args_, dyn, _slots=pslots_l, _Ws=pWs,
                     _PWs=pPWs, _stride=pstride, _slop=pslop, _k=k_pad,
-                    _ke=min(k, k_pad)):
+                    _ke=min(k, k_pad), _eq=not seg.text.pos_clamped):
             stacked = _device_unpack_rows(layout, dyn["rows"])
             ts = stacked["tstarts"][:, _slots].astype(jnp.int32)
             tl = stacked["tlens"][:, _slots].astype(jnp.int32)
@@ -2413,7 +2414,7 @@ def _rows_executor(cq0: CompiledQuery, ent: tuple, seg: Segment, B: int,
                     seg_args_["field_masks"], seg_args_["posting_dl"],
                     seg_args_["poskeys"],
                     T=len(_slots), Ws=_Ws, PWs=_PWs, stride=_stride,
-                    slop=_slop, k=_k, raw=_raw)
+                    slop=_slop, k=_k, raw=_raw, eq_join=_eq)
                 dd.append(docs)
                 ss.append(scores)
                 cc.append(count)

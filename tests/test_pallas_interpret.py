@@ -253,13 +253,18 @@ def _make_phrase(rng, B, Ws, PWs, stride=64):
             jnp.asarray(pk.reshape(-1)))
 
 
-@pytest.mark.parametrize("slop", [0, 2], ids=["exact", "slop2"])
-def test_phrase_kernel_interpret(interpret_mode, slop):
+@pytest.mark.parametrize("slop,eq", [(0, None), (0, False), (2, None)],
+                         ids=["exact-eqjoin", "exact-chain", "slop2"])
+def test_phrase_kernel_interpret(interpret_mode, slop, eq):
+    """Both slop-0 formulations (equality join on normalized keys, and
+    the anchor chain kept for clamped-position segments) must match the
+    XLA chain oracle."""
     rng = np.random.default_rng(21 + slop)
     Ws, PWs, stride = (1024, 1024), (1024, 1024), 64
     args = _make_phrase(rng, 8, Ws, PWs, stride)
     kd, ks, kc = jax.device_get(IK.phrase_batch(
-        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=slop, k=16))
+        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=slop, k=16,
+        eq_join=eq))
     xd, xs, xc = jax.device_get(IK._xla_phrase_impl(
         *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=slop, k=16))
     np.testing.assert_array_equal(kd[:, :16], xd[:, :16])
@@ -267,6 +272,24 @@ def test_phrase_kernel_interpret(interpret_mode, slop):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(kc, xc)
     assert int(np.asarray(kc).sum()) > 0, "no phrase matches generated"
+
+
+def test_phrase_kernel_interpret_eq_imbalanced(interpret_mode):
+    """Equality-join pivots on the SMALLEST position window; imbalanced
+    windows (the chain's pathological case) must still match the
+    oracle, including position-0 alias-guard lanes."""
+    rng = np.random.default_rng(29)
+    Ws, PWs, stride = (1024, 2048), (1024, 4096), 64
+    args = _make_phrase(rng, 8, Ws, PWs, stride)
+    kd, ks, kc = jax.device_get(IK.phrase_batch(
+        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=0, k=16))
+    xd, xs, xc = jax.device_get(IK._xla_phrase_impl(
+        *args, T=2, Ws=Ws, PWs=PWs, stride=stride, slop=0, k=16))
+    np.testing.assert_array_equal(kd[:, :16], xd[:, :16])
+    np.testing.assert_allclose(ks[:, :16], xs[:, :16],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(kc, xc)
+    assert int(np.asarray(kc).sum()) > 0
 
 
 def test_phrase_kernel_interpret_raw(interpret_mode):
